@@ -1,0 +1,183 @@
+"""Spark extraction stages (structured path).
+
+``annotate_transcripts`` is the single heavy scan: one ``mapInPandas`` pass
+over the transcripts table producing per-turn annotation arrays — a NARROW
+transformation (zero shuffle), so it scales linearly with input splits; the
+gazetteer/blacklist ride along as a broadcast variable (S2/S3).
+
+Everything after it is visible DataFrame algebra, all keyed on
+(conv_id, turn_idx) so Catalyst plans a single exchange that the W1 window,
+the J1 band join and the instance-build join all reuse:
+
+* ``mentions_table`` / ``timexes_table`` / ``tokens_table`` — explode views
+* ``filter_mentions`` — F1 TUI predicate, F2 blacklist broadcast LEFT ANTI
+  join (EventFilter.java exact-equality semantics), optional F4 conmod gate
+* ``filter_timexes`` — F5 ``normed IS NOT NULL``
+* ``assign_annotation_ids`` — W1: unionByName + row_number() over
+  (conv_id, turn_idx) ordered by (begin, kind, in-kind index), formatted
+  ``{i}@e@{conv}_{turn}@system`` (timeline_delegator.py:469-477; ties follow
+  the reference's stable chain(mentions, timexes) order)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .annotate import annotate_turn
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .schemas import ANNOTATED_SCHEMA
+
+__all__ = [
+    "annotate_transcripts",
+    "tokens_table",
+    "mentions_table",
+    "timexes_table",
+    "filter_mentions",
+    "filter_timexes",
+    "assign_annotation_ids",
+]
+
+
+def annotate_transcripts(
+    transcripts: DataFrame,
+    gazetteer,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """transcripts -> annotated turns (ANNOTATED_SCHEMA). Narrow map, Arrow
+    batches; dictionary artifacts broadcast once per executor."""
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast((gazetteer, blacklist, cfg))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz, _bl, c = bc.value
+        for pdf in batches:
+            out = {
+                "conv_id": [], "turn_idx": [], "role": [], "tool": [],
+                "ts": [], "anchor_date": [], "text": [],
+                "tokens": [], "mentions": [], "timexes": [],
+            }
+            for row in pdf.itertuples(index=False):
+                ts = None if pd.isna(row.ts) else row.ts
+                anchor, toks, ments, tmx = annotate_turn(
+                    row.conv_id, row.turn_idx, row.text, ts, gaz, _bl, c
+                )
+                out["conv_id"].append(row.conv_id)
+                out["turn_idx"].append(row.turn_idx)
+                out["role"].append(row.role)
+                out["tool"].append(row.tool)
+                out["ts"].append(ts)
+                out["anchor_date"].append(anchor)
+                out["text"].append(row.text)
+                out["tokens"].append(toks)
+                out["mentions"].append(ments)
+                out["timexes"].append(tmx)
+            yield pd.DataFrame(out)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    return transcripts.select(*cols).mapInPandas(gen, schema=ANNOTATED_SCHEMA)
+
+
+def _explode(annotated: DataFrame, col: str, alias: str) -> DataFrame:
+    return annotated.select(
+        "conv_id", "turn_idx", "anchor_date", F.explode(col).alias(alias)
+    ).select("conv_id", "turn_idx", "anchor_date", f"{alias}.*")
+
+
+def tokens_table(annotated: DataFrame) -> DataFrame:
+    return _explode(annotated, "tokens", "tok")
+
+
+def mentions_table(annotated: DataFrame) -> DataFrame:
+    """Raw (pre-filter) mentions relation."""
+    return _explode(annotated, "mentions", "m")
+
+
+def timexes_table(annotated: DataFrame) -> DataFrame:
+    """All detected timexes; ``normed`` null marks normalization failure."""
+    return _explode(annotated, "timexes", "t")
+
+
+def filter_mentions(
+    mentions: DataFrame,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """F1 + F2 + (optional) F4.
+
+    F1: TUI predicate (timeline_delegator.py:369-375).
+    F2: blacklist exact-equality anti-join on trimmed lowercase surface
+        (EventFilter.java:100-110) — broadcast LEFT ANTI join.
+    F4: keep conmod == ACTUAL when the gate is enabled
+        (timeline_delegator.py:415-419).
+    """
+    spark = mentions.sparkSession
+    out = mentions.where(F.col("tui") == F.lit(cfg.keep_tui))
+    if blacklist:
+        bl_df = spark.createDataFrame(
+            [(t,) for t in sorted(blacklist)], "bl_term string"
+        )
+        out = out.join(
+            F.broadcast(bl_df),
+            F.lower(F.trim(out["surface"])) == bl_df["bl_term"],
+            "left_anti",
+        )
+    if cfg.use_conmod:
+        out = out.where(F.col("conmod") == F.lit("ACTUAL"))
+    return out
+
+
+def filter_timexes(timexes: DataFrame) -> DataFrame:
+    """F5: only normalized timexes survive (timexes_with_normalization,
+    timeline_delegator.py:171-177; silent-drop semantics O3)."""
+    return timexes.where(F.col("normed").isNotNull())
+
+
+def assign_annotation_ids(
+    mentions_f: DataFrame, timexes_f: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """W1: enumerate (filtered mentions ∪ normalized timexes) per turn by
+    begin offset and format ``{i}@e@{note}@system`` with
+    note ≙ ``{conv_id}_{turn_idx}``. Returns (mentions+annotation_id,
+    timexes+annotation_id)."""
+    m = mentions_f.select(
+        "conv_id", "turn_idx", "begin",
+        F.lit(0).alias("kind_rank"),
+        F.col("mention_idx").alias("in_kind_idx"),
+    )
+    t = timexes_f.select(
+        "conv_id", "turn_idx", "begin",
+        F.lit(1).alias("kind_rank"),
+        F.col("timex_idx").alias("in_kind_idx"),
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        "begin", "kind_rank", "in_kind_idx"
+    )
+    ids = (
+        m.unionByName(t)
+        .withColumn("ann_rank", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "annotation_id",
+            F.format_string(
+                "%d@e@%s_%d@system",
+                F.col("ann_rank"), F.col("conv_id"), F.col("turn_idx"),
+            ),
+        )
+    )
+    m_ids = ids.where(F.col("kind_rank") == 0).select(
+        "conv_id", "turn_idx",
+        F.col("in_kind_idx").alias("mention_idx"),
+        "annotation_id",
+    )
+    t_ids = ids.where(F.col("kind_rank") == 1).select(
+        "conv_id", "turn_idx",
+        F.col("in_kind_idx").alias("timex_idx"),
+        "annotation_id",
+    )
+    mentions_out = mentions_f.join(m_ids, ["conv_id", "turn_idx", "mention_idx"])
+    timexes_out = timexes_f.join(t_ids, ["conv_id", "turn_idx", "timex_idx"])
+    return mentions_out, timexes_out

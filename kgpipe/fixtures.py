@@ -1,0 +1,198 @@
+"""Deterministic synthetic inputs (FIXTURES.md).
+
+* ``synthetic_transcripts`` — seeded generator of the input_hint table
+  (conv_id, turn_idx, role, text, tool, ts). Plants gazetteer terms
+  (multi-word, misspellings, surface variants), the full timex variety
+  (slash dates incl. 2-digit years, Month DD YYYY, bare years, relative,
+  unparseable noise), blacklist collisions, newlines, bracketed sections,
+  and one hot (skewed) conversation. Pure function of its arguments.
+
+* ``derive_transcripts`` / ``DERIVE_TRANSCRIPTS_SQL`` — the same table shape
+  derived deterministically from the driver's parquet tables
+  (events ⋈ documents), expressed identically as a DataFrame plan and as
+  ANSI SQL so the DuckDB oracle can replay it (used by __spark_entry__).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import List
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "synthetic_transcripts",
+    "synthetic_transcripts_df",
+    "derive_transcripts",
+    "DERIVE_TRANSCRIPTS_SQL",
+]
+
+_ROLES = ["user", "assistant", "system", "tool"]
+_TOOLS = ["search", "calculator", "browser", "python"]
+
+_TERMS = [
+    "cisplatin", "carboplatin", "5-fu", "5fu", "5-fluorouracil",
+    "liposomal doxorubicin", "doxorubicin", "folfox", "xelox", "taxol",
+    "paclitaxel", "gemcitabine", "interleukin-2", "alpha 2b interferon",
+    "chemo", "chmeo", "chemotherapy", "aspirin", "glucose",  # last two non-T061
+    "ac", "ice", "cap",  # blacklist collisions
+]
+
+_NOISE_TIMEX = ["the day of the thing", "some point", "q3ish", "around then"]
+
+
+def _timex_surfaces(anchor: dt.date, rng: random.Random) -> List[str]:
+    """Deterministic pool of timex surfaces around an anchor date."""
+    d1 = anchor - dt.timedelta(days=rng.randint(1, 400))
+    d2 = anchor + dt.timedelta(days=rng.randint(1, 200))
+    return [
+        f"{d1.month}/{d1.day}/{d1.year}",
+        f"{d2.month}/{d2.day}/{str(d2.year)[2:]}",  # 2-digit year -> +2000
+        d1.strftime("%B %d, %Y").replace(" 0", " "),
+        d2.strftime("%b %Y"),
+        str(d1.year),
+        "yesterday", "today", "tomorrow",
+        "last week", "next month", "this year",
+        "3 days ago", "two weeks ago", "in 5 days",
+        "last monday", "next friday",
+        "recently", "soon", "currently",
+        "13/45/2020",  # fails calendar validation -> silently dropped
+        rng.choice(_NOISE_TIMEX),
+    ]
+
+
+_SENTENCE_TEMPLATES = [
+    "patient received {term} on {timex} .",
+    "we will start {term} {timex} , pending labs .",
+    "plan : begin {term} after imaging , maybe {timex} .",
+    "no evidence {term} was given {timex} .",
+    "if tolerated , consider {term} {timex} .",
+    "completed {term} cycle {n} {timex} without issues .",
+    "patients typically respond to {term} within weeks .",
+    "discussed {term} and {term2} options {timex} .",
+    "tool output : dosage table for {term} generated {timex} .",
+    "follow-up {timex} showed stable disease after {term} .",
+]
+
+_FILLER = (
+    "vitals stable . labs reviewed . continue monitoring . "
+    "assessment and plan discussed with team ."
+)
+
+
+def synthetic_transcripts(
+    n_conv: int = 20,
+    turns_per_conv: int = 10,
+    seed: int = 42,
+    hot_conv_factor: int = 10,
+) -> pd.DataFrame:
+    """Seeded transcript corpus. Conversation 0 gets ``hot_conv_factor``×
+    the average turns (skew fixture)."""
+    rng = random.Random(seed)
+    rows = []
+    base = dt.datetime(2023, 1, 2, 9, 0, 0)
+    for c in range(n_conv):
+        conv_id = f"conv{c:04d}"
+        n_turns = turns_per_conv * (hot_conv_factor if c == 0 else 1)
+        t0 = base + dt.timedelta(days=rng.randint(0, 300))
+        for i in range(n_turns):
+            ts = t0 + dt.timedelta(hours=6 * i, minutes=rng.randint(0, 59))
+            anchor = ts.date()
+            role = _ROLES[rng.randrange(len(_ROLES))]
+            tool = _TOOLS[rng.randrange(len(_TOOLS))] if role == "tool" else None
+            pool = _timex_surfaces(anchor, rng)
+            n_sent = rng.randint(1, 3)
+            sents = []
+            for _ in range(n_sent):
+                tpl = _SENTENCE_TEMPLATES[rng.randrange(len(_SENTENCE_TEMPLATES))]
+                sents.append(
+                    tpl.format(
+                        term=_TERMS[rng.randrange(len(_TERMS))],
+                        term2=_TERMS[rng.randrange(len(_TERMS))],
+                        timex=pool[rng.randrange(len(pool))],
+                        n=rng.randint(1, 6),
+                    )
+                )
+            if rng.random() < 0.3:
+                sents.append(_FILLER)
+            joiner = "\n" if rng.random() < 0.4 else " "
+            text = joiner.join(sents)
+            if rng.random() < 0.15:
+                text = f'[start section id="HPI"]{text}[end section id="HPI"]'
+            if rng.random() < 0.05:
+                # X3 fixture: header-scan DCT fallback, ts withheld
+                text = f"Principal Date: {anchor.strftime('%Y%m%d')}\n" + text
+                ts_out = None
+            else:
+                ts_out = ts
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": i,
+                    "role": role,
+                    "text": text,
+                    "tool": tool,
+                    "ts": ts_out,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def synthetic_transcripts_df(
+    spark: SparkSession, n_conv: int = 20, turns_per_conv: int = 10, seed: int = 42,
+    hot_conv_factor: int = 10, partitions: int | None = None,
+) -> DataFrame:
+    from .schemas import TRANSCRIPTS_SCHEMA
+
+    pdf = synthetic_transcripts(n_conv, turns_per_conv, seed, hot_conv_factor)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    if partitions:
+        df = df.repartition(partitions, "conv_id", "turn_idx")
+    return df
+
+
+# --------------------------------------------------------------------------
+# derivation from the driver's tables (events ⋈ documents) — used by
+# __spark_entry__ so the DuckDB oracle can replay the exact same derivation.
+# --------------------------------------------------------------------------
+
+# role from event_type, tool only for error events, text = document text plus
+# a planted slash date ("on M/D/YYYY") so the timex fast path has work to do.
+DERIVE_TRANSCRIPTS_SQL = """
+SELECT
+  'c' || CAST(e.user_id AS VARCHAR) AS conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
+  CASE e.event_type
+    WHEN 'click' THEN 'user'
+    WHEN 'view' THEN 'user'
+    WHEN 'signup' THEN 'assistant'
+    WHEN 'purchase' THEN 'assistant'
+    ELSE 'tool'
+  END AS role,
+  d.text || ' on ' || {date_expr} AS text,
+  CASE WHEN e.event_type = 'error' THEN 'logger' ELSE NULL END AS tool,
+  e.ts AS ts
+FROM events e
+JOIN documents d ON d.doc_id = e.event_id % 500
+"""
+
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of DERIVE_TRANSCRIPTS_SQL over the driver parquet."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events.createOrReplaceTempView("events")
+    documents.createOrReplaceTempView("documents")
+    sql = DERIVE_TRANSCRIPTS_SQL.format(
+        date_expr="date_format(e.ts, 'M/d/yyyy')"
+    )
+    return spark.sql(sql)
+
+
+def derive_transcripts_duckdb_sql() -> str:
+    """The identical derivation in DuckDB dialect (strftime month/day without
+    zero padding)."""
+    return DERIVE_TRANSCRIPTS_SQL.format(date_expr="strftime(e.ts, '%-m/%-d/%Y')")

@@ -1,0 +1,147 @@
+"""Graph-predicate triples and cross-turn temporal edges — pure DataFrame
+column algebra (no UDFs).
+
+* speaker-attribution / tool-invocation: projections of the transcripts
+  columns (north_star predicates; no reference counterpart — the reference's
+  provenance columns patient_id/note_name play this role).
+* entity-mention / doc-time-rel: projections of the filtered+id'd mentions.
+* cross-turn event-event edges: per-conversation window (lead) over
+  turn-level entity sets, labeled before/after/overlap by comparing the two
+  turns' anchor dates — the across-turn analog of the reference's TLINK
+  labels. One shuffle keyed by conv_id; turn-level pre-aggregation
+  (collect_set) bounds hot-conversation rows to one per turn before the
+  window, so skew stays linear in turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .schemas import TRIPLE_SCHEMA
+
+__all__ = [
+    "attribution_triples",
+    "entity_mention_triples",
+    "dtr_triples",
+    "cross_turn_event_edges",
+]
+
+_TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
+
+
+def _as_triples(df: DataFrame) -> DataFrame:
+    """Project onto TRIPLE_SCHEMA, filling absent columns with typed nulls."""
+    cols = []
+    present = set(df.columns)
+    for f in TRIPLE_SCHEMA.fields:
+        if f.name in present:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def attribution_triples(transcripts: DataFrame) -> DataFrame:
+    """(turn@conv_turn, speaker-attribution, role) for every turn plus
+    (turn@conv_turn, tool-invocation, tool) where a tool is recorded."""
+    base = transcripts.select(
+        F.format_string("turn@%s_%d", "conv_id", "turn_idx").alias("subj"),
+        "conv_id",
+        "turn_idx",
+        F.to_date("ts").alias("anchor_date"),
+        "role",
+        "tool",
+    )
+    speaker = _as_triples(
+        base.where(F.col("role").isNotNull()).select(
+            "subj",
+            F.lit("speaker-attribution").alias("pred"),
+            F.col("role").alias("obj"),
+            "anchor_date", "conv_id", "turn_idx",
+        )
+    )
+    tool = _as_triples(
+        base.where(F.col("tool").isNotNull() & (F.col("tool") != "")).select(
+            "subj",
+            F.lit("tool-invocation").alias("pred"),
+            F.col("tool").alias("obj"),
+            "anchor_date", "conv_id", "turn_idx",
+        )
+    )
+    return speaker.unionByName(tool)
+
+
+def entity_mention_triples(mentions_with_id: DataFrame) -> DataFrame:
+    """(mention annotation id, entity-mention, cui)."""
+    return _as_triples(
+        mentions_with_id.select(
+            F.col("annotation_id").alias("subj"),
+            F.lit("entity-mention").alias("pred"),
+            F.col("cui").alias("obj"),
+            "anchor_date", "conv_id", "turn_idx",
+            F.col("surface").alias("subj_text"),
+            F.col("term").alias("obj_text"),
+        )
+    )
+
+
+def dtr_triples(mentions_with_id: DataFrame) -> DataFrame:
+    """(mention annotation id, doc-time-rel, label) with the instance string
+    kept for the debug contract (README.md:61 analog)."""
+    return _as_triples(
+        mentions_with_id.select(
+            F.col("annotation_id").alias("subj"),
+            F.lit("doc-time-rel").alias("pred"),
+            F.col("dtr").alias("obj"),
+            "anchor_date", "conv_id", "turn_idx",
+            F.col("surface").alias("subj_text"),
+            F.col("dtr_inst").alias("instance"),
+        )
+    )
+
+
+def cross_turn_event_edges(
+    mentions_f: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Event-event temporal edges across turns of one conversation.
+
+    turn-level entity sets -> lead() window -> exploded pairs, labeled by
+    anchor-date comparison; only the next entity-bearing turn within
+    ``cfg.cross_turn_max_gap`` turns is linked (bounded fan-out).
+    Returns EDGE_SCHEMA-shaped rows.
+    """
+    turn_entities = mentions_f.groupBy("conv_id", "turn_idx", "anchor_date").agg(
+        F.sort_array(F.collect_set("cui")).alias("cuis")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    with_next = (
+        turn_entities.withColumn("next_turn_idx", F.lead("turn_idx").over(w))
+        .withColumn("next_anchor", F.lead("anchor_date").over(w))
+        .withColumn("next_cuis", F.lead("cuis").over(w))
+        .where(
+            F.col("next_turn_idx").isNotNull()
+            & ((F.col("next_turn_idx") - F.col("turn_idx")) <= cfg.cross_turn_max_gap)
+        )
+    )
+    pairs = with_next.select(
+        "conv_id", "turn_idx", "anchor_date", "next_turn_idx", "next_anchor",
+        F.explode("cuis").alias("src_cui"), "next_cuis",
+    ).select(
+        "conv_id", "turn_idx", "anchor_date", "next_turn_idx", "next_anchor",
+        "src_cui", F.explode("next_cuis").alias("dst_cui"),
+    )
+    label = (
+        F.when(F.col("anchor_date") < F.col("next_anchor"), F.lit("before"))
+        .when(F.col("anchor_date") > F.col("next_anchor"), F.lit("after"))
+        .otherwise(F.lit("overlap"))
+    )
+    return pairs.select(
+        F.format_string("%s@%s_%d", "src_cui", "conv_id", "turn_idx").alias("src"),
+        F.format_string("%s@%s_%d", "dst_cui", "conv_id", "next_turn_idx").alias("dst"),
+        label.alias("pred"),
+        "conv_id",
+        "turn_idx",
+        F.lit(1.0).alias("weight"),
+    )

@@ -1,0 +1,238 @@
+"""J1 windowed pairing + TLINK scoring -> tlink triples.
+
+Structured path: the pairing is an equi+band join — equi on
+(conv_id, turn_idx), band on the mention's precomputed ±60-token char window
+(both timex ends inside the window, get_tlink_window_mentions semantics,
+timeline_delegator.py:255-280). Because every upstream stage is keyed on the
+same (conv_id, turn_idx), the join reuses the existing exchange; the O(n·m)
+cross product is clamped by the band predicate exactly as the reference's
+token-window clamp (O4).
+
+Instance strings need the turn's token stream, so pairs are joined back to
+the annotated turns (same key again) and assembled in one ``mapInPandas``
+over Arrow batches together with the deterministic TLINK scorer + the
+inversion rule (X8, timeline_delegator.py:449-455).
+
+``turn_triples`` is the fused per-turn equivalent (zero-shuffle path): one
+call produces ALL triples for a turn — tlink, entity-mention, doc-time-rel
+(opt-in), speaker-attribution, tool-invocation — with identical results to
+the structured path (equality-tested).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .annotate import annotate_turn
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .schemas import TRIPLE_SCHEMA
+from .score import apply_inversion, get_tlink_instance, tlink_label, tokens_for_mode
+
+__all__ = ["pair_window", "tlink_triples_from_pairs", "turn_triples"]
+
+
+def pair_window(
+    mentions_f: DataFrame,
+    timexes_f: DataFrame,
+) -> DataFrame:
+    """J1: band join of filtered+id'd mentions against normalized+id'd
+    timexes within the mention's char window. Returns one row per (mention,
+    timex) pair with both spans and ids."""
+    m = mentions_f.select(
+        "conv_id", "turn_idx", "anchor_date",
+        F.col("begin").alias("m_begin"), F.col("end").alias("m_end"),
+        F.col("tok_begin").alias("m_tok_begin"), F.col("tok_end").alias("m_tok_end"),
+        F.col("surface").alias("m_surface"), F.col("cui").alias("m_cui"),
+        F.col("dtr").alias("m_dtr"), F.col("dtr_inst").alias("m_dtr_inst"),
+        F.col("annotation_id").alias("m_annotation_id"),
+        "win_char_begin", "win_char_end",
+    )
+    t = timexes_f.select(
+        "conv_id", "turn_idx",
+        F.col("begin").alias("t_begin"), F.col("end").alias("t_end"),
+        F.col("tok_begin").alias("t_tok_begin"), F.col("tok_end").alias("t_tok_end"),
+        F.col("normed").alias("t_normed"),
+        F.col("annotation_id").alias("t_annotation_id"),
+    )
+    return m.join(t, ["conv_id", "turn_idx"]).where(
+        F.col("t_begin").between(F.col("win_char_begin"), F.col("win_char_end"))
+        & F.col("t_end").between(F.col("win_char_begin"), F.col("win_char_end"))
+    )
+
+
+def tlink_triples_from_pairs(
+    pairs: DataFrame,
+    annotated: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Pairs + turn token streams -> scored tlink triples (TRIPLE_SCHEMA).
+
+    The join to ``annotated`` is again keyed (conv_id, turn_idx); the
+    instance assembly + scoring run vectorized in Arrow batches.
+    """
+    toks = annotated.select(
+        "conv_id", "turn_idx",
+        F.col("tokens.text").alias("tok_texts"),
+        F.col("tokens.is_newline").alias("tok_newlines"),
+    )
+    joined = pairs.join(toks, ["conv_id", "turn_idx"])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in TRIPLE_SCHEMA.fieldNames()}
+            for r in pdf.itertuples(index=False):
+                tokens = tokens_for_mode(list(r.tok_texts), list(r.tok_newlines), "dtr")
+                inst = get_tlink_instance(
+                    (r.m_tok_begin, r.m_tok_end + 1),
+                    (r.t_tok_begin, r.t_tok_end + 1),
+                    tokens,
+                )
+                anchor = None if pd.isna(r.anchor_date) else r.anchor_date
+                label = apply_inversion(
+                    tlink_label(r.t_normed, anchor), r.t_begin, r.m_begin
+                )
+                rows["subj"].append(r.m_annotation_id)
+                rows["pred"].append("tlink:" + label)
+                rows["obj"].append(r.t_annotation_id)
+                rows["anchor_date"].append(anchor)
+                rows["conv_id"].append(r.conv_id)
+                rows["turn_idx"].append(r.turn_idx)
+                rows["subj_text"].append(r.m_surface)
+                rows["obj_text"].append(r.t_normed)
+                rows["instance"].append(inst)
+            yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(gen, schema=TRIPLE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# fused path: transcripts -> triples in one narrow pass
+# --------------------------------------------------------------------------
+
+def turn_triples(
+    conv_id: str,
+    turn_idx: int,
+    role,
+    tool,
+    ts,
+    text: str,
+    gazetteer,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> List[dict]:
+    """All triples for one turn (fused path). Mirrors the structured
+    DataFrame algebra exactly; the equality of the two paths is a pytest
+    invariant."""
+    anchor, token_rows, mention_rows, timex_rows = annotate_turn(
+        conv_id, turn_idx, text, ts, gazetteer, blacklist, cfg
+    )
+    note = f"{conv_id}_{turn_idx}"
+    out: List[dict] = []
+
+    def triple(subj, pred, obj, subj_text=None, obj_text=None, instance=None):
+        out.append(
+            {
+                "subj": subj, "pred": pred, "obj": obj,
+                "anchor_date": anchor, "conv_id": conv_id, "turn_idx": turn_idx,
+                "subj_text": subj_text, "obj_text": obj_text, "instance": instance,
+            }
+        )
+
+    # speaker-attribution / tool-invocation (graph predicates, column-level)
+    if role is not None:
+        triple(f"turn@{note}", "speaker-attribution", role)
+    if tool:
+        triple(f"turn@{note}", "tool-invocation", tool)
+
+    # F1 + F2 + optional F4
+    positive = [
+        m
+        for m in mention_rows
+        if m["tui"] == cfg.keep_tui
+        and m["surface"].strip().lower() not in blacklist
+        and (not cfg.use_conmod or m["conmod"] == "ACTUAL")
+    ]
+    if not positive:  # F3 empty-doc skip
+        return out
+    relevant = [t for t in timex_rows if t["normed"] is not None]  # F5
+
+    # W1 annotation ids: mentions ∪ timexes, stable sort by begin
+    ann = [(m["begin"], 0, i) for i, m in enumerate(positive)] + [
+        (t["begin"], 1, i) for i, t in enumerate(relevant)
+    ]
+    ann.sort()
+    ids = {}
+    for rank, (_, kind, i) in enumerate(ann):
+        ids[(kind, i)] = f"{rank}@e@{note}@system"
+
+    tokens = tokens_for_mode(
+        [t["text"] for t in token_rows], [t["is_newline"] for t in token_rows], "dtr"
+    )
+    for mi, m in enumerate(positive):
+        m_id = ids[(0, mi)]
+        triple(
+            m_id, "entity-mention", m["cui"],
+            subj_text=m["surface"], obj_text=m["term"], instance=None,
+        )
+        if cfg.use_dtr:
+            triple(
+                m_id, "doc-time-rel", m["dtr"],
+                subj_text=m["surface"], instance=m["dtr_inst"],
+            )
+        for ti, t in enumerate(relevant):
+            inside = (
+                m["win_char_begin"] <= t["begin"] <= m["win_char_end"]
+                and m["win_char_begin"] <= t["end"] <= m["win_char_end"]
+            )
+            if not inside:
+                continue
+            inst = get_tlink_instance(
+                (m["tok_begin"], m["tok_end"] + 1),
+                (t["tok_begin"], t["tok_end"] + 1),
+                tokens,
+            )
+            label = apply_inversion(
+                tlink_label(t["normed"], anchor), t["begin"], m["begin"]
+            )
+            triple(
+                m_id, "tlink:" + label, ids[(1, ti)],
+                subj_text=m["surface"], obj_text=t["normed"], instance=inst,
+            )
+    return out
+
+
+def fused_triples(
+    transcripts: DataFrame,
+    gazetteer,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """transcripts -> triples in ONE narrow mapInPandas pass (no shuffle
+    anywhere). This is the 100-TB scale path: throughput is bounded only by
+    scan + CPU, partitions never exchange."""
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast((gazetteer, blacklist, cfg))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz, bl, c = bc.value
+        for pdf in batches:
+            rows: List[dict] = []
+            for r in pdf.itertuples(index=False):
+                ts = None if pd.isna(r.ts) else r.ts
+                rows.extend(
+                    turn_triples(
+                        r.conv_id, r.turn_idx, r.role, r.tool, ts, r.text, gaz, bl, c
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=TRIPLE_SCHEMA.fieldNames()
+            ) if rows else pd.DataFrame(
+                {k: [] for k in TRIPLE_SCHEMA.fieldNames()}
+            )
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    return transcripts.select(*cols).mapInPandas(gen, schema=TRIPLE_SCHEMA)

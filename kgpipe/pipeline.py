@@ -1,0 +1,138 @@
+"""End-to-end composition: transcripts -> triples / nodes / edges.
+
+Two equivalent execution plans (equality-tested):
+
+* ``build_triples(..., fused=False)`` — structured: every SURVEY.md §2
+  operator is a visible DataFrame op. Plan shape:
+
+      scan -> mapInPandas(annotate)                       [narrow]
+        -> explode mentions / timexes                     [narrow]
+        -> F1 predicate, F2 broadcast anti-join, F5       [narrow]
+        -> W1 row_number window   ── one exchange on (conv_id, turn_idx)
+        -> J1 band join, instance/score mapInPandas       [reuses exchange]
+        -> union with attribution/entity/dtr projections
+
+* ``build_triples(..., fused=True)`` — one narrow mapInPandas, zero
+  shuffles; the 10^12-turn scale path (scan-bound, embarrassingly parallel).
+
+The O1 semi-join gate (normalize timexes only for turns that have a
+surviving entity mention — TimeMentionNormalizer.java:104-117,
+Timelines.piper:32-35) is inherent here: annotation runs in one fused pass
+per turn, and downstream joins are inner on turns with mentions, so
+timex-only turns never reach pairing/scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .extract import (
+    annotate_transcripts,
+    assign_annotation_ids,
+    filter_mentions,
+    filter_timexes,
+    mentions_table,
+    timexes_table,
+)
+from .graph import (
+    attribution_triples,
+    cross_turn_event_edges,
+    dtr_triples,
+    entity_mention_triples,
+)
+from .pair import fused_triples, pair_window, tlink_triples_from_pairs
+
+__all__ = ["build_annotations", "build_triples", "build_graph"]
+
+
+def build_annotations(
+    transcripts: DataFrame,
+    gazetteer,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+):
+    """Structured intermediate tables. Returns dict with annotated /
+    mentions_raw / mentions / timexes (filtered+id'd)."""
+    annotated = annotate_transcripts(transcripts, gazetteer, blacklist, cfg)
+    mentions_raw = mentions_table(annotated)
+    timexes_raw = timexes_table(annotated)
+    mentions_f = filter_mentions(mentions_raw, blacklist, cfg)
+    timexes_f = filter_timexes(timexes_raw)
+    mentions_id, timexes_id = assign_annotation_ids(mentions_f, timexes_f)
+    return {
+        "annotated": annotated,
+        "mentions_raw": mentions_raw,
+        "timexes_raw": timexes_raw,
+        "mentions": mentions_id,
+        "timexes": timexes_id,
+    }
+
+
+def build_triples(
+    transcripts: DataFrame,
+    gazetteer,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    fused: bool = False,
+) -> DataFrame:
+    """transcripts -> all triples (tlink + entity-mention + doc-time-rel
+    (opt-in) + speaker-attribution + tool-invocation)."""
+    if fused:
+        return fused_triples(transcripts, gazetteer, blacklist, cfg)
+    tables = build_annotations(transcripts, gazetteer, blacklist, cfg)
+    annotated = tables["annotated"]
+    mentions_id, timexes_id = tables["mentions"], tables["timexes"]
+
+    # F3 (empty-doc skip) + O1 (entity gate on timex work) fall out of the
+    # inner equi-join in pair_window: timexes of mention-less turns never
+    # reach instance assembly or scoring.
+    pairs = pair_window(mentions_id, timexes_id)
+    tlink = tlink_triples_from_pairs(pairs, annotated, cfg)
+
+    out = attribution_triples(transcripts).unionByName(
+        entity_mention_triples(mentions_id)
+    )
+    if cfg.use_dtr:
+        out = out.unionByName(dtr_triples(mentions_id))
+    return out.unionByName(tlink)
+
+
+def build_graph(
+    transcripts: DataFrame,
+    gazetteer,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+):
+    """Full graph materialization inputs: triples + cross-turn edges +
+    canonical nodes. Returns dict of DataFrames."""
+    from .canon import canonical_nodes  # local import: optional stage
+
+    tables = build_annotations(transcripts, gazetteer, blacklist, cfg)
+    triples = build_triples(transcripts, gazetteer, blacklist, cfg)
+    edges = cross_turn_event_edges(tables["mentions"], cfg)
+    nodes = canonical_nodes(tables["mentions"])
+    return {"triples": triples, "edges": edges, "nodes": nodes, **tables}
+
+
+def triples_output_view(triples: DataFrame) -> DataFrame:
+    """Reference-TSV-compatible projection of the tlink triples
+    (NO_DTR_OUTPUT_COLUMNS, timeline_delegator.py:42-52) for golden
+    comparison: DCT, patient_id, chemo_text, chemo_annotation_id,
+    normed_timex, timex_annotation_id, tlink, note_name, tlink_inst."""
+    return (
+        triples.where(F.col("pred").startswith("tlink:"))
+        .select(
+            F.date_format("anchor_date", "yyyy-MM-dd").alias("DCT"),
+            F.col("conv_id").alias("patient_id"),
+            F.col("subj_text").alias("chemo_text"),
+            F.col("subj").alias("chemo_annotation_id"),
+            F.col("obj_text").alias("normed_timex"),
+            F.col("obj").alias("timex_annotation_id"),
+            F.regexp_replace("pred", "^tlink:", "").alias("tlink"),
+            F.format_string("%s_%d", "conv_id", "turn_idx").alias("note_name"),
+            F.col("instance").alias("tlink_inst"),
+        )
+        .orderBy("patient_id", "note_name", "chemo_annotation_id", "timex_annotation_id")
+    )

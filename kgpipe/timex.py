@@ -1,0 +1,273 @@
+"""Time-expression detection and normalization.
+
+Replaces two reference components with deterministic, dependency-free rules:
+
+* detection — the reference's SVM ``BackwardsTimeAnnotator`` (Timelines.piper:30;
+  model jar stripped from the repo) -> an ordered regex battery emitting
+  longest non-overlapping spans;
+* normalization — ``TimeMentionNormalizer`` rule fast-path + timenorm SCFG
+  (TimeMentionNormalizer.java:162-234, TemporalExpressionParser.scala) -> the
+  fast path reproduced exactly (3 all-numeric slash parts, American
+  month-first order, 2-digit year + 2000, calendar validation,
+  TimeMentionNormalizer.java:165-196) plus a bounded rule library for the
+  grammar subset our corpora plant (absolute dates, month-year, bare years,
+  relative day/week/month/year, "N units ago"/"in N units", last/next
+  weekday, PAST_REF/FUTURE_REF/PRESENT_REF — en.grammar roots
+  [Period][TimeSpan] analogs).
+
+Failure semantics match O3: unnormalizable surface -> None -> the timex is
+silently dropped downstream (no triple), mirroring the reference's
+empty-string-on-timeout behavior (TimeMentionNormalizer.java:199-213).
+
+TimeML value formatting follows Temporal.scala:325-355: day -> YYYY-MM-DD,
+ISO week -> YYYY-Www, month -> YYYY-MM, year -> YYYY.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from typing import List, Optional, Tuple
+
+__all__ = [
+    "detect_timexes",
+    "normalize_timex",
+    "timeml_interval",
+    "TIMEX_PATTERNS",
+]
+
+_MONTHS = {
+    "january": 1, "jan": 1, "february": 2, "feb": 2, "march": 3, "mar": 3,
+    "april": 4, "apr": 4, "may": 5, "june": 6, "jun": 6, "july": 7, "jul": 7,
+    "august": 8, "aug": 8, "september": 9, "sep": 9, "sept": 9,
+    "october": 10, "oct": 10, "november": 11, "nov": 11,
+    "december": 12, "dec": 12,
+}
+_MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
+
+_WEEKDAYS = {
+    "monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
+    "friday": 4, "saturday": 5, "sunday": 6,
+}
+_WEEKDAY_ALT = "|".join(_WEEKDAYS)
+
+_NUM_WORDS = {
+    "a": 1, "an": 1, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
+    "twelve": 12,
+}
+_NUM_ALT = r"\d+|" + "|".join(_NUM_WORDS)
+
+# Ordered battery; longest-span-wins resolution across patterns.
+TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
+    ("iso_date", re.compile(r"\b\d{4}-\d{2}-\d{2}\b")),
+    ("slash_date", re.compile(r"\b\d{1,2}/\d{1,2}/\d{2,4}\b")),
+    (
+        "month_day_year",
+        re.compile(rf"\b({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}\b", re.I),
+    ),
+    ("month_year", re.compile(rf"\b({_MONTH_ALT})\.?\s+\d{{4}}\b", re.I)),
+    (
+        "ago",
+        re.compile(rf"\b({_NUM_ALT})\s+(day|week|month|year)s?\s+ago\b", re.I),
+    ),
+    (
+        "in_n",
+        re.compile(rf"\bin\s+({_NUM_ALT})\s+(day|week|month|year)s?\b", re.I),
+    ),
+    (
+        "rel_unit",
+        re.compile(r"\b(last|next|this)\s+(week|month|year)\b", re.I),
+    ),
+    (
+        "rel_weekday",
+        re.compile(rf"\b(last|next)\s+({_WEEKDAY_ALT})\b", re.I),
+    ),
+    ("rel_day", re.compile(r"\b(yesterday|today|tomorrow)\b", re.I)),
+    (
+        "past_ref",
+        re.compile(r"\b(recently|previously|formerly|in\s+the\s+past)\b", re.I),
+    ),
+    (
+        "future_ref",
+        re.compile(r"\b(soon|eventually|in\s+the\s+future)\b", re.I),
+    ),
+    (
+        "present_ref",
+        re.compile(r"\b(currently|presently|at\s+present|right\s+now|now)\b", re.I),
+    ),
+    ("bare_year", re.compile(r"\b(19|20)\d{2}\b")),
+]
+
+
+def detect_timexes(text: str):
+    """All timex spans in one turn: longest non-overlapping, earliest-first.
+
+    Returns list of dicts (begin, end, surface, kind). When two candidate
+    spans overlap, the longer wins; on equal length the earlier pattern in
+    TIMEX_PATTERNS wins (deterministic).
+    """
+    candidates = []
+    for prio, (kind, pat) in enumerate(TIMEX_PATTERNS):
+        for m in pat.finditer(text):
+            candidates.append((m.start(), -(m.end() - m.start()), prio, m.end(), kind))
+    candidates.sort()
+    out = []
+    taken_until = -1
+    # greedy sweep: sort by (begin, -len, prio); a span is kept iff it does
+    # not overlap an already-kept span
+    kept: List[Tuple[int, int]] = []
+    for begin, neglen, prio, end, kind in candidates:
+        if any(b < end and begin < e for b, e in kept):
+            continue
+        kept.append((begin, end))
+        out.append(
+            {"begin": begin, "end": end, "surface": text[begin:end], "kind": kind}
+        )
+    out.sort(key=lambda d: d["begin"])
+    return out
+
+
+def _fmt_day(d: dt.date) -> str:
+    return d.isoformat()
+
+
+def _fmt_week(d: dt.date) -> str:
+    iso = d.isocalendar()
+    return f"{iso[0]}-W{iso[1]:02d}"
+
+
+def _fmt_month(year: int, month: int) -> str:
+    return f"{year:04d}-{month:02d}"
+
+
+def _shift_month(year: int, month: int, delta: int) -> Tuple[int, int]:
+    m = (year * 12 + (month - 1)) + delta
+    return m // 12, m % 12 + 1
+
+
+def _num(tok: str) -> Optional[int]:
+    tok = tok.lower()
+    if tok.isdigit():
+        return int(tok)
+    return _NUM_WORDS.get(tok)
+
+
+def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optional[str]:
+    """Surface + detected kind + per-turn anchor date -> TimeML value or None.
+
+    The slash fast path reproduces TimeMentionNormalizer.getTimeML exactly:
+    split on '/', require 3 all-numeric components, month-first, 2-digit year
+    + 2000, drop if the calendar rejects it (java:165-196). Whitespace in the
+    surface is collapsed first (java:197).
+    """
+    s = " ".join(surface.split())
+    try:
+        if kind == "slash_date":
+            parts = s.split("/")
+            if len(parts) != 3 or not all(p.isdigit() for p in parts):
+                return None
+            month, day, raw_year = int(parts[0]), int(parts[1]), int(parts[2])
+            year = raw_year + 2000 if len(parts[2]) == 2 else raw_year
+            return _fmt_day(dt.date(year, month, day))
+        if kind == "iso_date":
+            y, m, d = s.split("-")
+            return _fmt_day(dt.date(int(y), int(m), int(d)))
+        if kind == "month_day_year":
+            m = re.match(
+                rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})\s*,?\s+(\d{{4}})", s, re.I
+            )
+            if not m:
+                return None
+            month = _MONTHS[m.group(1).lower()]
+            return _fmt_day(dt.date(int(m.group(3)), month, int(m.group(2))))
+        if kind == "month_year":
+            m = re.match(rf"({_MONTH_ALT})\.?\s+(\d{{4}})", s, re.I)
+            if not m:
+                return None
+            return _fmt_month(int(m.group(2)), _MONTHS[m.group(1).lower()])
+        if kind == "bare_year":
+            return f"{int(s):04d}"
+        if kind == "past_ref":
+            return "PAST_REF"
+        if kind == "future_ref":
+            return "FUTURE_REF"
+        if kind == "present_ref":
+            return "PRESENT_REF"
+        # everything below is anchored arithmetic
+        if anchor is None:
+            return None
+        if kind == "rel_day":
+            w = s.lower()
+            delta = {"yesterday": -1, "today": 0, "tomorrow": 1}[w]
+            return _fmt_day(anchor + dt.timedelta(days=delta))
+        if kind == "rel_unit":
+            m = re.match(r"(last|next|this)\s+(week|month|year)", s, re.I)
+            direction = {"last": -1, "next": 1, "this": 0}[m.group(1).lower()]
+            unit = m.group(2).lower()
+            if unit == "week":
+                return _fmt_week(anchor + dt.timedelta(days=7 * direction))
+            if unit == "month":
+                y, mo = _shift_month(anchor.year, anchor.month, direction)
+                return _fmt_month(y, mo)
+            return f"{anchor.year + direction:04d}"
+        if kind in ("ago", "in_n"):
+            m = re.match(
+                rf"(?:in\s+)?({_NUM_ALT})\s+(day|week|month|year)s?(?:\s+ago)?",
+                s,
+                re.I,
+            )
+            n = _num(m.group(1))
+            if n is None:
+                return None
+            sign = -1 if kind == "ago" else 1
+            unit = m.group(2).lower()
+            if unit == "day":
+                return _fmt_day(anchor + dt.timedelta(days=sign * n))
+            if unit == "week":
+                return _fmt_week(anchor + dt.timedelta(days=7 * sign * n))
+            if unit == "month":
+                y, mo = _shift_month(anchor.year, anchor.month, sign * n)
+                return _fmt_month(y, mo)
+            return f"{anchor.year + sign * n:04d}"
+        if kind == "rel_weekday":
+            m = re.match(rf"(last|next)\s+({_WEEKDAY_ALT})", s, re.I)
+            target = _WEEKDAYS[m.group(2).lower()]
+            if m.group(1).lower() == "last":
+                # latest such weekday strictly before the anchor
+                back = (anchor.weekday() - target - 1) % 7 + 1
+                return _fmt_day(anchor - dt.timedelta(days=back))
+            fwd = (target - anchor.weekday() - 1) % 7 + 1
+            return _fmt_day(anchor + dt.timedelta(days=fwd))
+    except (ValueError, KeyError, AttributeError):
+        return None
+    return None
+
+
+_WEEK_VAL_RE = re.compile(r"^(\d{4})-W(\d{2})$")
+_MONTH_VAL_RE = re.compile(r"^(\d{4})-(\d{2})$")
+_DAY_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+_YEAR_VAL_RE = re.compile(r"^(\d{4})$")
+
+
+def timeml_interval(value: str) -> Optional[Tuple[dt.date, dt.date]]:
+    """TimeML value -> inclusive [start, end] calendar interval; None for the
+    REF pseudo-values. Used by the deterministic TLINK scorer."""
+    m = _DAY_VAL_RE.match(value)
+    if m:
+        d = dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        return d, d
+    m = _WEEK_VAL_RE.match(value)
+    if m:
+        start = dt.date.fromisocalendar(int(m.group(1)), int(m.group(2)), 1)
+        return start, start + dt.timedelta(days=6)
+    m = _MONTH_VAL_RE.match(value)
+    if m:
+        y, mo = int(m.group(1)), int(m.group(2))
+        y2, mo2 = _shift_month(y, mo, 1)
+        return dt.date(y, mo, 1), dt.date(y2, mo2, 1) - dt.timedelta(days=1)
+    m = _YEAR_VAL_RE.match(value)
+    if m:
+        y = int(m.group(1))
+        return dt.date(y, 1, 1), dt.date(y, 12, 31)
+    return None
