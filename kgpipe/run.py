@@ -1,0 +1,111 @@
+"""spark-submit entry point (E1 recast).
+
+    spark-submit --py-files kgpipe.zip -m ... kgpipe/run.py \
+        --input /path/transcripts_parquet --output /tmp/kg_out \
+        [--fused] [--buckets 64] [--run-id r1] [--resume]
+        [--synthetic N_CONV TURNS] [--derive SF_DIR]
+
+Reads a transcripts parquet (or synthesizes/derives one), materializes
+bucket-partitioned triples + lineage, prints one JSON metrics line:
+{"turns": N, "triples": M, "wall_sec": s, "turns_per_sec": r}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from .config import PipelineConfig
+from .materialize import run_with_resume
+from .pipeline import build_triples
+from .resources import (
+    Gazetteer,
+    builtin_blacklist_terms,
+    builtin_gazetteer_rows,
+    load_blacklist,
+    load_gazetteer_bsv,
+)
+from .session import get_spark
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="transcripts parquet path")
+    p.add_argument("--synthetic", nargs=2, type=int, metavar=("N_CONV", "TURNS"))
+    p.add_argument("--derive", help="derive transcripts from driver sf dir")
+    p.add_argument("--output", required=True)
+    p.add_argument("--gazetteer", help="CUI|TUI|term BSV path (default builtin)")
+    p.add_argument("--blacklist", help="newline term list path (default builtin)")
+    p.add_argument("--fused", action="store_true", help="zero-shuffle fused plan")
+    p.add_argument("--use-dtr", action="store_true")
+    p.add_argument("--use-conmod", action="store_true")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--snapshot-id", default="snap0")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark(
+        "kgpipe-run", master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    elif args.synthetic:
+        from .fixtures import synthetic_transcripts_df
+
+        transcripts = synthetic_transcripts_df(
+            spark, n_conv=args.synthetic[0], turns_per_conv=args.synthetic[1]
+        )
+    elif args.derive:
+        from .fixtures import derive_transcripts
+
+        transcripts = derive_transcripts(spark, args.derive)
+    else:
+        p.error("one of --input / --synthetic / --derive required")
+
+    gaz = (
+        load_gazetteer_bsv(args.gazetteer)
+        if args.gazetteer
+        else Gazetteer.from_rows(builtin_gazetteer_rows())
+    )
+    bl = load_blacklist(args.blacklist) if args.blacklist else builtin_blacklist_terms()
+    cfg = PipelineConfig(use_dtr=args.use_dtr, use_conmod=args.use_conmod)
+
+    t0 = time.monotonic()
+    n_turns = transcripts.count()
+    result = run_with_resume(
+        spark,
+        transcripts,
+        args.output,
+        lambda df: build_triples(df, gaz, bl, cfg, fused=args.fused),
+        run_id=args.run_id,
+        source_snapshot_id=args.snapshot_id,
+        n_buckets=args.buckets,
+    )
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "turns": n_turns,
+                "triples": result["triples_written"],
+                "written_buckets": len(result["written_buckets"]),
+                "skipped_buckets": len(result["skipped_buckets"]),
+                "wall_sec": round(wall, 3),
+                "turns_per_sec": round(n_turns / wall, 1) if wall > 0 else None,
+                "fused": args.fused,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,309 @@
+"""Large-scale training-data operators over a document corpus
+(documents(doc_id, text, lang, source, n_chars)).
+
+These have no reference counterpart (the reference's dedup is delegated to
+an external consumer of its annotation ids, timeline_delegator.py:468-477);
+they are first-class components of this engine per the build brief. Every
+operator is pure DataFrame algebra on JVM-side functions — no Python in the
+hot path — and every hash is the md5-prefix portable hash so the DuckDB
+oracle can replay it bit-for-bit.
+
+Scale notes: exact dedup is one hash-groupBy; MinHash banding turns the
+O(n^2) pair space into per-band equi-joins; n-gram Jaccard joins only
+shingle-sharing pairs (blocked, not cross); SimHash is a vectorized Arrow
+UDF emitting one 64-bit key per doc, near-dup candidates join on rotated
+prefixes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "exact_dedup",
+    "doc_shingles",
+    "doc_minhash_signatures",
+    "minhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_dup_pairs",
+    "language_id",
+    "quality_scores",
+    "token_stats",
+    "doc_fingerprint",
+]
+
+
+def _portable_hash(col, seed: int):
+    """60-bit bigint from md5 prefix — replayable in DuckDB as
+    CAST(('0x' || substring(md5(s || '#seed'), 1, 15)) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+# ---------------------------------------------------------------- dedup ---
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate clusters by md5(text): one row per cluster with the
+    kept (min) doc_id and the duplicate count."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-gram shingles of the
+    whitespace-tokenized text."""
+    toks = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
+    )
+    return (
+        toks.select("doc_id", F.explode(idx).alias("i"), "toks")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def doc_minhash_signatures(shingled: DataFrame, k: int = 16) -> DataFrame:
+    aggs = [
+        F.min(_portable_hash(F.col("shingle"), seed)).alias(f"sig_{seed}")
+        for seed in range(k)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_dup_pairs(
+    documents: DataFrame, *, n: int = 3, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates: (doc_a, doc_b, n_bands_hit)
+    with doc_a < doc_b. Docs colliding in >=1 band are candidates; the
+    n_bands_hit count orders by similarity evidence."""
+    sigs = doc_minhash_signatures(doc_shingles(documents, n=n), k=k)
+    r = k // bands
+    banded = None
+    for b in range(bands):
+        cols = [F.col(f"sig_{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    l, rgt = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            rgt,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, *, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all shingle-sharing pairs
+    (blocked self-join), thresholded. Columns: doc_a, doc_b, jaccard."""
+    sh = doc_shingles(documents, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc — vectorized Arrow UDF (bit-twiddling is the
+    one genuinely non-relational step; numpy over Arrow batches)."""
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in (t or "").split():
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                )
+                for b in range(bits):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            val = 0
+            for b in range(bits):
+                if acc[b] > 0:
+                    val |= 1 << b
+            out[i] = np.int64(np.uint64(val).astype(np.int64))
+        return pd.Series(out)
+
+    return documents.select("doc_id", _simhash("text").alias("simhash"))
+
+
+def simhash_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dups: block on 16-bit key chunks (a pair within hamming
+    distance 3 of a 64-bit key must agree exactly on at least one of 4
+    16-bit chunks), then verify the true hamming distance."""
+    sh = simhash(documents)
+    chunks = None
+    for c in range(4):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_key"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_key") == F.col("r.chunk_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# -------------------------------------------------------- text analysis ---
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "les", "des"],
+    "de": ["der", "die", "und"],
+}
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language heuristic: count marker hits per language over
+    the whitespace tokens, argmax with deterministic (count desc, lang asc)
+    tie-break; 'und' when nothing matches."""
+    toks = F.split(F.col("text"), " ")
+    scored = documents.select("doc_id", "text")
+    def _count(mk: str):
+        # NB: F.filter treats a two-arg lambda as (element, index) — keep
+        # the closure single-arg.
+        return F.size(F.filter(toks, lambda t: t == F.lit(mk)))
+
+    pairs = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        cnt = None
+        for mk in markers:
+            c = _count(mk)
+            cnt = c if cnt is None else cnt + c
+        pairs.append(F.struct(cnt.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*pairs))
+    return scored.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_guess"
+        ),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Deterministic quality features + composite score in [0, 1]:
+    token count, mean token length, distinct-token ratio, stopword ratio,
+    punctuation ratio."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    stop_ratio = stop_hits / n_tok
+    mean_tok_len = (F.length("text") - (n_tok - 1)) / n_tok
+    punct_ratio = (
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9 ]", "")) / F.length("text")
+    )
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.3
+        + F.least(distinct_ratio * 2, F.lit(1.0)) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex count
+    (alnum runs + single symbols), plus char length."""
+    return documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame, *, n: int = 3, keep: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: the ``keep`` smallest portable hashes of
+    the doc's word n-gram shingles, as a sorted array + a scalar min."""
+    sh = doc_shingles(documents, n=n).withColumn(
+        "h", _portable_hash(F.col("shingle"), 0)
+    )
+    return sh.groupBy("doc_id").agg(
+        F.slice(F.sort_array(F.collect_list("h")), 1, keep).alias("fingerprint"),
+        F.min("h").alias("min_hash"),
+    )
