@@ -190,9 +190,15 @@ def match_gazetteer(
                     "tui": hit[1],
                 }
             )
-        if matches_here:
-            if all_spans:
-                out.extend(matches_here)
-            else:
-                out.append(max(matches_here, key=lambda m: m["end"] - m["begin"]))
+        out.extend(matches_here)
+    if not all_spans:
+        # PrecisionTermConsumer: drop any span contained in a longer match
+        out = [
+            m
+            for m in out
+            if not any(
+                (o["begin"] <= m["begin"] and m["end"] <= o["end"] and o is not m)
+                for o in out
+            )
+        ]
     return out

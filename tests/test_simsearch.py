@@ -1,0 +1,61 @@
+"""Similarity search: exact brute-force baseline + LSH scale path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.simsearch import brute_force_topk, cosine_col, lsh_topk
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(40, DIM).astype("float32")
+    base[1] = base[0] + 0.001 * rng.randn(DIM)  # planted near-dup of vec 0
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(len(base))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_bruteforce_matches_numpy(emb):
+    df, base = emb
+    q = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(df, q, k=5).toPandas()
+    norms = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for qid in (0, 1):
+        order = np.lexsort((np.arange(len(base)), -sims[qid]))[:5]
+        mine = got[got.query_id == qid].sort_values("rank").vec_id.tolist()
+        assert mine == list(order)
+    # planted near-dup is rank 2 for query 0 (rank 1 = itself)
+    r = got[(got.query_id == 0) & (got["rank"] == 2)]
+    assert r.vec_id.iloc[0] == 1
+
+
+def test_cosine_col_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r.c for r in df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(vals[0] - 1.0) < 1e-6 and abs(vals[1]) < 1e-6
+
+
+def test_lsh_finds_planted_near_dup(emb):
+    df, _ = emb
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_topk(df, q, k=3, dim=DIM, n_bits=4, n_tables=8).toPandas()
+    # near-identical vectors land in the same bucket in every table
+    assert got[got["rank"] == 1].vec_id.iloc[0] == 0
+    assert 1 in set(got.vec_id)
+    # LSH scores are exact cosines (re-ranked), so they match brute force
+    bf = brute_force_topk(df, q, k=3).toPandas()
+    merged = got.merge(bf, on=["query_id", "vec_id"], suffixes=("_l", "_b"))
+    assert (abs(merged.cosine_l - merged.cosine_b) < 1e-9).all()

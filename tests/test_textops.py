@@ -1,0 +1,84 @@
+"""Training-data corpus operators (dedup / quality / langid / tokens)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.textops import (
+    doc_fingerprint,
+    exact_dedup,
+    language_id,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    simhash_dup_pairs,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog again and AGAIN", "en"),  # near dup
+        (3, "el rio la montana los pajaros el cielo la noche", "es"),
+        (4, "completely different text about spark query engines and shuffles", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    clusters = exact_dedup(docs).collect()
+    assert len(clusters) == 1
+    assert clusters[0].keep_doc_id == 0 and clusters[0].n_docs == 2
+
+
+def test_minhash_identical_docs_hit_all_bands(docs):
+    pairs = {(r.doc_a, r.doc_b): r.n_bands_hit for r in minhash_dup_pairs(docs, k=8, bands=4).collect()}
+    assert pairs[(0, 1)] == 4  # identical -> every band collides
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    h = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert h[0] == h[1]
+    # short docs flip many bits per token change: hamming(0,2) is 8 here, so
+    # widen the verify threshold (blocking still finds the pair: 2/4 chunks
+    # match; the <=3 guarantee applies only to near-identical long docs)
+    dups = {(r.doc_a, r.doc_b): r.hamming for r in simhash_dup_pairs(docs, max_hamming=10).collect()}
+    assert dups[(0, 1)] == 0
+    assert dups[(0, 2)] == 8
+
+
+def test_language_id_markers(docs):
+    out = {r.doc_id: r.lang_guess for r in language_id(docs).collect()}
+    assert out[0] == "en" and out[3] == "es"
+
+
+def test_quality_and_token_stats(docs):
+    q = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert 0.0 <= q[0].quality_score <= 1.0
+    assert q[0].n_tokens == 12
+    assert q[0].stopword_ratio > q[3].stopword_ratio
+    t = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert t[0].ws_tokens == 12 and t[0].bpe_ish_tokens == 12
+    assert t[0].n_chars == len("the quick brown fox jumps over the lazy dog again and again")
+
+
+def test_fingerprint_deterministic_and_dup_consistent(docs):
+    fp = {r.doc_id: (tuple(r.fingerprint), r.min_hash) for r in doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]           # identical docs -> identical fingerprints
+    assert fp[0] != fp[4]
+    fp2 = {r.doc_id: (tuple(r.fingerprint), r.min_hash) for r in doc_fingerprint(docs).collect()}
+    assert fp == fp2                # stable across runs

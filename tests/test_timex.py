@@ -1,0 +1,110 @@
+"""Timex detection + normalization (X4/X5/X7/X12, O2/O3, W7 analog)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgpipe.timex import detect_timexes, normalize_timex, timeml_interval
+
+ANCHOR = dt.date(2024, 3, 15)  # a Friday
+
+
+def _norm(surface: str, anchor=ANCHOR):
+    det = detect_timexes(surface)
+    assert det, f"no timex detected in {surface!r}"
+    t = det[0]
+    assert (t["begin"], t["end"]) == (0, len(surface)), f"partial span for {surface!r}"
+    return normalize_timex(t["surface"], t["kind"], anchor)
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        ("3/5/2024", "2024-03-05"),
+        ("12/31/99", "2099-12-31"),      # 2-digit year -> +2000 (java:178-189)
+        ("1/2/24", "2024-01-02"),
+        ("2024-03-05", "2024-03-05"),
+        ("March 5, 2024", "2024-03-05"),
+        ("Mar 5 2024", "2024-03-05"),
+        ("March 2024", "2024-03"),
+        ("1999", "1999"),
+        ("yesterday", "2024-03-14"),
+        ("today", "2024-03-15"),
+        ("tomorrow", "2024-03-16"),
+        ("last week", "2024-W10"),       # anchor is in 2024-W11
+        ("this week", "2024-W11"),
+        ("next month", "2024-04"),
+        ("last year", "2023"),
+        ("3 days ago", "2024-03-12"),
+        ("two weeks ago", "2024-W09"),
+        ("in 5 days", "2024-03-20"),
+        ("in 2 months", "2024-05"),
+        ("last monday", "2024-03-11"),   # strictly before Friday anchor
+        ("next friday", "2024-03-22"),   # strictly after anchor
+        ("recently", "PAST_REF"),
+        ("soon", "FUTURE_REF"),
+        ("currently", "PRESENT_REF"),
+    ],
+)
+def test_normalization_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_invalid_calendar_dates_dropped():
+    # silent-drop semantics (O3; TimeMentionNormalizer returns "")
+    for bad in ["13/45/2020", "2/30/2021", "0/0/00"]:
+        det = detect_timexes(bad)
+        assert det
+        assert normalize_timex(det[0]["surface"], det[0]["kind"], ANCHOR) is None
+
+
+def test_unparseable_noise_not_detected():
+    assert detect_timexes("the day of the thing q3ish") == []
+
+
+def test_longest_span_wins_on_overlap():
+    # 'March 5, 2024' must win over bare-year '2024' and month-year
+    det = detect_timexes("seen March 5, 2024 ok")
+    assert len(det) == 1
+    assert det[0]["surface"] == "March 5, 2024"
+    assert det[0]["kind"] == "month_day_year"
+
+
+def test_multiple_disjoint_timexes_ordered():
+    det = detect_timexes("from 1/2/2024 until next friday")
+    assert [d["kind"] for d in det] == ["slash_date", "rel_weekday"]
+    assert det[0]["begin"] < det[1]["begin"]
+
+
+def test_anchorless_relative_is_dropped():
+    det = detect_timexes("yesterday")
+    assert normalize_timex(det[0]["surface"], det[0]["kind"], None) is None
+
+
+def test_timeml_interval():
+    assert timeml_interval("2024-03-05") == (dt.date(2024, 3, 5), dt.date(2024, 3, 5))
+    ws, we = timeml_interval("2024-W11")
+    assert ws == dt.date(2024, 3, 11) and we == dt.date(2024, 3, 17)
+    ms, me = timeml_interval("2024-02")
+    assert ms == dt.date(2024, 2, 1) and me == dt.date(2024, 2, 29)  # leap
+    ys, ye = timeml_interval("1999")
+    assert ys == dt.date(1999, 1, 1) and ye == dt.date(1999, 12, 31)
+    assert timeml_interval("PAST_REF") is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    m=st.integers(1, 12),
+    d=st.integers(1, 28),
+    y=st.integers(1990, 2079),
+    anchor_off=st.integers(-2000, 2000),
+)
+def test_slash_fastpath_property(m, d, y, anchor_off):
+    """Valid M/D/YYYY always normalizes to the ISO day, anchor-independent."""
+    anchor = ANCHOR + dt.timedelta(days=anchor_off)
+    s = f"{m}/{d}/{y}"
+    det = detect_timexes(s)
+    assert det and det[0]["kind"] == "slash_date"
+    assert normalize_timex(s, "slash_date", anchor) == f"{y:04d}-{m:02d}-{d:02d}"
