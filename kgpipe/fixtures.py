@@ -163,7 +163,7 @@ def synthetic_transcripts_df(
 # a planted slash date ("on M/D/YYYY") so the timex fast path has work to do.
 DERIVE_TRANSCRIPTS_SQL = """
 SELECT
-  'c' || CAST(e.user_id AS VARCHAR) AS conv_id,
+  'c' || CAST(e.user_id AS {str_type}) AS conv_id,
   CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
   CASE e.event_type
     WHEN 'click' THEN 'user'
@@ -187,7 +187,7 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.createOrReplaceTempView("events")
     documents.createOrReplaceTempView("documents")
     sql = DERIVE_TRANSCRIPTS_SQL.format(
-        date_expr="date_format(e.ts, 'M/d/yyyy')"
+        date_expr="date_format(e.ts, 'M/d/yyyy')", str_type="STRING"
     )
     return spark.sql(sql)
 
@@ -195,4 +195,4 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def derive_transcripts_duckdb_sql() -> str:
     """The identical derivation in DuckDB dialect (strftime month/day without
     zero padding)."""
-    return DERIVE_TRANSCRIPTS_SQL.format(date_expr="strftime(e.ts, '%-m/%-d/%Y')")
+    return DERIVE_TRANSCRIPTS_SQL.format(date_expr="strftime(e.ts, '%-m/%-d/%Y')", str_type="VARCHAR")

@@ -254,10 +254,11 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
+def quality_scores(documents: DataFrame, raw: bool = False) -> DataFrame:
     """Deterministic quality features + composite score in [0, 1]:
     token count, mean token length, distinct-token ratio, stopword ratio,
-    punctuation ratio."""
+    punctuation ratio. ``raw=True`` skips the display rounding (callers that
+    need cross-engine bit-parity floor-scale the raw doubles instead)."""
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
@@ -273,14 +274,15 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2
         + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
     )
+    rnd = (lambda c: c) if raw else (lambda c: F.round(c, 4))
     return documents.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(mean_tok_len, 4).alias("mean_token_len"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        rnd(mean_tok_len).alias("mean_token_len"),
+        rnd(distinct_ratio).alias("distinct_ratio"),
+        rnd(stop_ratio).alias("stopword_ratio"),
+        rnd(punct_ratio).alias("punct_ratio"),
+        rnd(score).alias("quality_score"),
     )
 
 
