@@ -46,11 +46,20 @@ def _as_triples(df: DataFrame) -> DataFrame:
 def attribution_triples(transcripts: DataFrame) -> DataFrame:
     """(turn@conv_turn, speaker-attribution, role) for every turn plus
     (turn@conv_turn, tool-invocation, tool) where a tool is recorded."""
+    # anchor: date(ts) with the X3 header-scan fallback (DCTAnnotator.java:
+    # 62-89) — same rule as annotate.anchor_for, so the structured and fused
+    # paths agree on ts-less turns; try_to_date keeps ANSI mode non-throwing
+    anchor = F.coalesce(
+        F.to_date("ts"),
+        F.expr(
+            r"try_to_date(nullif(regexp_extract(text, 'Principal Date\\D*(\\d{8})', 1), ''), 'yyyyMMdd')"
+        ),
+    )
     base = transcripts.select(
         F.format_string("turn@%s_%d", "conv_id", "turn_idx").alias("subj"),
         "conv_id",
         "turn_idx",
-        F.to_date("ts").alias("anchor_date"),
+        anchor.alias("anchor_date"),
         "role",
         "tool",
     )
@@ -111,17 +120,33 @@ def cross_turn_event_edges(
     anchor-date comparison; only the next entity-bearing turn within
     ``cfg.cross_turn_max_gap`` turns is linked (bounded fan-out).
     Returns EDGE_SCHEMA-shaped rows.
+
+    Skew: when ``cfg.conv_chunk_turns`` > 0 the lead window runs per
+    (conv_id, chunk) with a ``cross_turn_max_gap``-turn halo duplicated
+    across chunk boundaries (kgpipe.skew.with_conv_chunks) — exact results,
+    but a hot conversation spreads over ceil(turns/chunk) tasks instead of
+    landing in one window partition.
     """
     turn_entities = mentions_f.groupBy("conv_id", "turn_idx", "anchor_date").agg(
         F.sort_array(F.collect_set("cui")).alias("cuis")
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    if cfg.conv_chunk_turns > 0:
+        from .skew import with_conv_chunks
+
+        chunked = with_conv_chunks(
+            turn_entities, cfg.conv_chunk_turns, cfg.cross_turn_max_gap
+        )
+        w = Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
+    else:
+        chunked = turn_entities.withColumn("is_halo", F.lit(False))
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
     with_next = (
-        turn_entities.withColumn("next_turn_idx", F.lead("turn_idx").over(w))
+        chunked.withColumn("next_turn_idx", F.lead("turn_idx").over(w))
         .withColumn("next_anchor", F.lead("anchor_date").over(w))
         .withColumn("next_cuis", F.lead("cuis").over(w))
         .where(
-            F.col("next_turn_idx").isNotNull()
+            (~F.col("is_halo"))
+            & F.col("next_turn_idx").isNotNull()
             & ((F.col("next_turn_idx") - F.col("turn_idx")) <= cfg.cross_turn_max_gap)
         )
     )

@@ -52,10 +52,21 @@ def build_annotations(
     gazetteer,
     blacklist,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    persist: bool = True,
 ):
     """Structured intermediate tables. Returns dict with annotated /
-    mentions_raw / mentions / timexes (filtered+id'd)."""
+    mentions_raw / mentions / timexes (filtered+id'd).
+
+    ``annotated`` is the expensive Arrow-UDF stage and the DAG diamonds off
+    it (mentions, timexes, and the pair->token join all consume it), so it is
+    persisted MEMORY_AND_DISK by default — otherwise Spark re-runs the
+    annotation pass once per branch (measured 5x wall on the structured
+    plan at sf0.1)."""
     annotated = annotate_transcripts(transcripts, gazetteer, blacklist, cfg)
+    if persist:
+        from pyspark import StorageLevel
+
+        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     mentions_raw = mentions_table(annotated)
     timexes_raw = timexes_table(annotated)
     mentions_f = filter_mentions(mentions_raw, blacklist, cfg)
@@ -79,6 +90,13 @@ def build_triples(
 ) -> DataFrame:
     """transcripts -> all triples (tlink + entity-mention + doc-time-rel
     (opt-in) + speaker-attribution + tool-invocation)."""
+    if cfg.salt_partitions > 0:
+        # salted repartition on hash(conv_id, turn_idx): a hot conversation's
+        # turns scatter across all executors before the (embarrassingly
+        # parallel) annotation stage instead of staying in one input split
+        from .skew import spread_by_turn
+
+        transcripts = spread_by_turn(transcripts, cfg.salt_partitions)
     if fused:
         return fused_triples(transcripts, gazetteer, blacklist, cfg)
     tables = build_annotations(transcripts, gazetteer, blacklist, cfg)

@@ -25,8 +25,13 @@ KEY = ["subj", "pred", "obj", "conv_id", "turn_idx", "subj_text", "obj_text", "i
 
 
 def _canon_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    # anchor_date is compared too (as string): the structured path's column
+    # expression and the fused/oracle paths' anchor_for must agree, including
+    # the X3 Principal-Date fallback on ts-less turns
+    out = pdf[KEY + ["anchor_date"]].copy()
+    out["anchor_date"] = out["anchor_date"].astype(str)
     return (
-        pdf[KEY].fillna("_").astype({"turn_idx": int}).sort_values(KEY).reset_index(drop=True)
+        out.fillna("_").astype({"turn_idx": int}).sort_values(KEY).reset_index(drop=True)
     )
 
 
