@@ -169,6 +169,50 @@ def _q_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True).select(*_TRIPLE_COLS)
 
 
+def _q_dtr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 doc-time-rel classifier stage (--use_dtr analog): deterministic
+    marker scorer over the ±10-token context window (W3)."""
+    import dataclasses
+
+    t = derive_transcripts(spark, sf_dir)
+    cfg = dataclasses.replace(_CFG, use_dtr=True)
+    triples = build_triples(t, _GAZ, _BLACKLIST, cfg, fused=False)
+    return triples.where(F.col("pred") == "doc-time-rel").select(*_TRIPLE_COLS)
+
+
+def _q_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 mention confidence (AnnotationConfidencer analog) — pure
+    arithmetic over component-token lengths, floor-scaled for compare."""
+    m = _annotations(spark, sf_dir)["mentions"]
+    return m.select(
+        "conv_id", "turn_idx",
+        F.col("begin").cast("int").alias("begin"),
+        "term",
+        F.floor(F.col("confidence") * 1e6).cast("bigint").alias("confidence_e6"),
+    )
+
+
+def _q_tsv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 reference-TSV projection (NO_DTR_OUTPUT_COLUMNS,
+    timeline_delegator.py:42-52) minus the instance column (instance parity
+    is covered by pytest golden tests; char-exact token-window assembly is
+    not worth replicating in SQL)."""
+    from kgpipe.pipeline import triples_output_view
+
+    t = derive_transcripts(spark, sf_dir)
+    triples = build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=False)
+    return triples_output_view(triples).drop("tlink_inst")
+
+
+def _q_anafora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 Anafora XML documents (one per turn) — structure is
+    pytest-verified (well-formedness, id scheme); rows-only here."""
+    from kgpipe.anafora import anafora_documents
+
+    ann = _annotations(spark, sf_dir)
+    return anafora_documents(ann["mentions"], ann["timexes"])
+
+
 def _q_cross_turn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-turn event-event temporal edges: per-conversation lead() window
     over turn-level entity sets, before/after/overlap by anchor comparison."""
@@ -301,6 +345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tlink": _q_tlink,
         "kg_triples_all": _q_triples_all,
         "kg_triples_fused": _q_triples_fused,
+        "kg_dtr": _q_dtr,
+        "kg_confidence": _q_confidence,
+        "kg_tsv_view": _q_tsv_view,
+        "kg_anafora": _q_anafora,
         "kg_cross_turn_edges": _q_cross_turn_edges,
         "kg_canon_nodes": _q_canon_nodes,
         "dedup_exact": _q_dedup_exact,
@@ -451,6 +499,67 @@ WITH {_MENTIONS}, {_TLINK}, {_ATTRIB}, {_ENTITY}
 SELECT * FROM attrib
 UNION ALL SELECT * FROM entity
 UNION ALL SELECT subj, pred, obj, anchor_date, conv_id, turn_idx, subj_text, obj_text FROM tl
+"""
+
+# U2 doc-time-rel: deterministic marker scorer replayed in SQL. The engine
+# scores the ±10-token window around the mention (kgpipe.score.dtr_label);
+# in the derived corpus every token left of the planted date is one
+# space-split word (word i, 1-based, ≙ engine token i-1) and the date's 5
+# engine tokens can never be markers, so the window reduces to word indices
+# [greatest(widx-9, 1), widx+extra+11] clipped to the last real word.
+_DTR_FUTURE = "('will','plan','planned','scheduled','upcoming','start','starting','begin')"
+_DTR_PAST = "('received','completed','finished','was','were','had','prior','previous')"
+
+_DTR_LABELS = f"""
+dtrm AS (
+  SELECT m.annotation_id, m.anchor_date, m.conv_id, m.turn_idx, m.term,
+         CASE WHEN bool_or(t.tok IN {_DTR_FUTURE}) THEN 'AFTER'
+              WHEN bool_or(t.tok IN {_DTR_PAST}) THEN 'BEFORE'
+              ELSE 'OVERLAP' END AS dtr
+  FROM ment_ann m JOIN toks2 t
+    ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+   AND t.i BETWEEN greatest(m.widx - 9, 1) AND m.widx + m.extra + 11
+   AND t.i <= m.n_words - 1
+  GROUP BY ALL
+)
+"""
+
+_ORACLE_DTR = f"""
+WITH {_MENTIONS}, {_DTR_LABELS}
+SELECT annotation_id AS subj, 'doc-time-rel' AS pred, dtr AS obj,
+       anchor_date, conv_id, turn_idx,
+       term AS subj_text, CAST(NULL AS VARCHAR) AS obj_text
+FROM dtrm
+"""
+
+# X9 confidence: max(1, 100 - posDeficit - lengthDeficit)/100 with
+# posDeficit = 20 iff single short token, lengthDeficit = 2*(8 - min token
+# length, floored at 0) — pure arithmetic on the matched term.
+_ORACLE_CONFIDENCE = f"""
+WITH {_MENTIONS},
+conf AS (
+  SELECT conv_id, turn_idx, begin_c AS begin, term,
+         list_min(list_transform(string_split(term, ' '), x -> len(x))) AS min_len,
+         CASE WHEN extra = 0 AND len(term) < 4 THEN 20 ELSE 0 END AS pos_deficit
+  FROM ment_ann
+)
+SELECT conv_id, turn_idx, begin, term,
+       CAST(FLOOR(greatest(1, 100 - pos_deficit - 2 * greatest(8 - min_len, 0)) / 100.0 * 1e6) AS BIGINT) AS confidence_e6
+FROM conf
+"""
+
+# S5 TSV projection of the tlink triples (instance column excluded).
+_ORACLE_TSV_VIEW = f"""
+WITH {_MENTIONS}, {_TLINK}
+SELECT strftime(anchor_date, '%Y-%m-%d') AS DCT,
+       conv_id AS patient_id,
+       subj_text AS chemo_text,
+       subj AS chemo_annotation_id,
+       obj_text AS normed_timex,
+       obj AS timex_annotation_id,
+       regexp_replace(pred, '^tlink:', '') AS tlink,
+       conv_id || '_' || CAST(turn_idx AS VARCHAR) AS note_name
+FROM tl
 """
 
 # Portable 60-bit hash (textops._portable_hash twin).
@@ -635,6 +744,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT subj, pred, obj, anchor_date, conv_id, turn_idx, subj_text, obj_text FROM tl",
         "kg_triples_all": _ORACLE_TRIPLES_ALL,
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
+        "kg_dtr": _ORACLE_DTR,
+        "kg_confidence": _ORACLE_CONFIDENCE,
+        "kg_tsv_view": _ORACLE_TSV_VIEW,
         "kg_cross_turn_edges": f"""
 WITH {_MENTIONS},
 turn_entities AS (
@@ -680,6 +792,6 @@ FROM docs GROUP BY 1 HAVING COUNT(*) > 1
         "text_token_stats": _ORACLE_TOKEN_STATS,
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "sim_topk_bruteforce": _ORACLE_TOPK,
-        # no oracle (rows-only checks): kg_canon_nodes, dedup_simhash,
-        # sim_topk_lsh, mm_media_features
+        # no oracle (rows-only checks): kg_canon_nodes, kg_anafora,
+        # dedup_simhash, sim_topk_lsh, mm_media_features
     }

@@ -177,7 +177,11 @@ SELECT
   e.ts AS ts
 FROM events e
 JOIN documents d ON d.doc_id = e.event_id % 500
+WHERE d.doc_id < 500
 """
+# The WHERE is implied by the join condition (event_id % 500 < 500) but
+# stating it lets Spark push a doc_id predicate into the documents scan and
+# guarantees the dimension side stays broadcastable at any sf.
 
 
 def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
