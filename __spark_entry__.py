@@ -206,10 +206,15 @@ def _q_tsv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_anafora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 Anafora XML documents (one per turn) — structure is
-    pytest-verified (well-formedness, id scheme); rows-only here."""
+    pytest-verified (well-formedness, id scheme); rows-only here. DTR /
+    conmod stages enabled so the property elements carry real labels."""
+    import dataclasses
+
     from kgpipe.anafora import anafora_documents
 
-    ann = _annotations(spark, sf_dir)
+    t = derive_transcripts(spark, sf_dir)
+    cfg = dataclasses.replace(_CFG, use_dtr=True, use_conmod=True)
+    ann = build_annotations(t, _GAZ, _BLACKLIST, cfg)
     return anafora_documents(ann["mentions"], ann["timexes"])
 
 

@@ -52,7 +52,7 @@ PRINCIPAL_DATE_RE = re.compile(r"Principal Date\D*(\d{8})")
 def anchor_for(ts, text: str) -> Optional[dt.date]:
     """Per-turn anchor date (≙ DCT): date(ts), else the header-scan fallback
     (DCTAnnotator.java:62-89), else None."""
-    if ts is not None:
+    if ts is not None and ts == ts:  # NaT/NaN-safe (NaT != NaT)
         try:
             return ts.date() if hasattr(ts, "date") else ts
         except (ValueError, AttributeError):
@@ -142,9 +142,17 @@ def annotate_turn(
         )
 
     # --- mentions: gazetteer lookup + per-mention context annotations ---
-    dtr_tokens = tokens_for_mode(tokens, newline_flags, "dtr")
-    conmod_tokens = tokens_for_mode(tokens, newline_flags, "conmod")
-    sents = sentence_spans(text)
+    # dtr/conmod labels + instance strings are computed only when their
+    # stage is enabled (--use_dtr / --use_conmod analogs): the reference
+    # only runs those classifiers when flagged (timeline_delegator.py:
+    # 343-363), and the label+instance work is ~27% of per-turn CPU.
+    dtr_tokens = (
+        tokens_for_mode(tokens, newline_flags, "dtr") if cfg.use_dtr else None
+    )
+    conmod_tokens = (
+        tokens_for_mode(tokens, newline_flags, "conmod") if cfg.use_conmod else None
+    )
+    sents = sentence_spans(text) if cfg.use_conmod else []
 
     mention_rows = []
     matches = match_gazetteer(
@@ -166,18 +174,24 @@ def annotate_turn(
         win_cb = token_map[wb_tok][0] if n else 0
         win_ce = token_map[we_tok][1] if n else 0
         # dtr context + instance over <newline>-substituted tokens
-        dtr_inst = get_dtr_instance(tb, te + 1, dtr_tokens)
-        ctx = dtr_tokens[max(0, tb - cfg.dtr_window_radius) : te + 1 + cfg.dtr_window_radius]
-        dtr = dtr_label(ctx)
-        # conmod over the covering sentence with <cr> sentinels
-        sent = covering_sentence(sents, m["begin"], m["end"])
-        if sent is not None:
-            sb = _tok_at_begin(begin_map, begins_sorted, sent[0])
-            se = _tok_at_end(end_map, ends_sorted, sent[1]) + 1
+        if cfg.use_dtr:
+            dtr_inst = get_dtr_instance(tb, te + 1, dtr_tokens)
+            ctx = dtr_tokens[max(0, tb - cfg.dtr_window_radius) : te + 1 + cfg.dtr_window_radius]
+            dtr = dtr_label(ctx)
         else:
-            sb, se = 0, n
-        conmod_inst = get_conmod_instance(tb, te + 1, sb, se, conmod_tokens)
-        conmod = conmod_label(conmod_tokens[sb:se], tb - sb)
+            dtr, dtr_inst = None, None
+        # conmod over the covering sentence with <cr> sentinels
+        if cfg.use_conmod:
+            sent = covering_sentence(sents, m["begin"], m["end"])
+            if sent is not None:
+                sb = _tok_at_begin(begin_map, begins_sorted, sent[0])
+                se = _tok_at_end(end_map, ends_sorted, sent[1]) + 1
+            else:
+                sb, se = 0, n
+            conmod_inst = get_conmod_instance(tb, te + 1, sb, se, conmod_tokens)
+            conmod = conmod_label(conmod_tokens[sb:se], tb - sb)
+        else:
+            conmod, conmod_inst = None, None
         mention_rows.append(
             {
                 "mention_idx": m_idx,

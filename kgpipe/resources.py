@@ -41,6 +41,11 @@ class Gazetteer:
 
     terms: dict  # str -> tuple[str, str]
     max_tokens: int
+    first_words: frozenset = frozenset()
+    # first_words is the matcher's fast path — the analog of the reference's
+    # rare-word index (BsvRareWordDictionary, gazetteer.xml:26-31): a token
+    # not opening any term skips the n-gram probe loop entirely, so lookup
+    # cost is one set test per token for the overwhelmingly common miss case.
 
     @staticmethod
     def from_rows(rows):
@@ -52,7 +57,8 @@ class Gazetteer:
                 continue
             terms[norm] = (cui, tui)
             max_tokens = max(max_tokens, len(norm.split()))
-        return Gazetteer(terms=terms, max_tokens=max_tokens)
+        first = frozenset(t.split(" ", 1)[0] for t in terms)
+        return Gazetteer(terms=terms, max_tokens=max_tokens, first_words=first)
 
 
 def load_gazetteer_bsv(path_or_text: str, *, is_text: bool = False) -> Gazetteer:

@@ -162,15 +162,19 @@ def match_gazetteer(
     out = []
     terms = gazetteer.terms
     max_len = gazetteer.max_tokens
+    first_words = gazetteer.first_words
+    lowered = [t.lower() for t in tokens]
     for i in range(n):
         if newline_flags[i]:
             continue
+        if first_words and lowered[i] not in first_words:
+            continue  # rare-word-index fast path: token opens no term
         parts: List[str] = []
         matches_here = []
         for j in range(i, min(i + max_len, n)):
             if newline_flags[j]:
                 break
-            parts.append(tokens[j].lower())
+            parts.append(lowered[j])
             cand = " ".join(parts)
             hit = terms.get(cand)
             if hit is None:

@@ -99,6 +99,27 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ("bare_year", re.compile(r"\b(19|20)\d{2}\b")),
 ]
 
+_DIGIT_RE = re.compile(r"\d")
+
+# Cheap necessary-condition prefilters: a pattern's regex can only match if
+# one of these lowercase substrings occurs (or any digit, for "digit") —
+# C-speed `in` scans replace full regex scans for the common no-hit case.
+_QUICK_KEYS = {
+    "iso_date": "digit",
+    "slash_date": ("/",),
+    "month_day_year": "digit",
+    "month_year": "digit",
+    "ago": ("ago",),
+    "in_n": ("in",),
+    "rel_unit": ("last", "next", "this"),
+    "rel_weekday": ("last", "next"),
+    "rel_day": ("yesterday", "today", "tomorrow"),
+    "past_ref": ("recently", "previously", "formerly", "past"),
+    "future_ref": ("soon", "eventually", "future"),
+    "present_ref": ("currently", "presently", "present", "now"),
+    "bare_year": "digit",
+}
+
 
 def detect_timexes(text: str):
     """All timex spans in one turn: longest non-overlapping, earliest-first.
@@ -107,8 +128,16 @@ def detect_timexes(text: str):
     spans overlap, the longer wins; on equal length the earlier pattern in
     TIMEX_PATTERNS wins (deterministic).
     """
+    lower = text.lower()
+    has_digit = _DIGIT_RE.search(text) is not None
     candidates = []
     for prio, (kind, pat) in enumerate(TIMEX_PATTERNS):
+        quick = _QUICK_KEYS.get(kind)
+        if quick == "digit":
+            if not has_digit:
+                continue
+        elif quick is not None and not any(k in lower for k in quick):
+            continue
         for m in pat.finditer(text):
             candidates.append((m.start(), -(m.end() - m.start()), prio, m.end(), kind))
     candidates.sort()

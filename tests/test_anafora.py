@@ -3,6 +3,7 @@ TIMEX after a one-id gap, DOCTIME last), spans and A4 CUI join correct."""
 
 from __future__ import annotations
 
+import dataclasses
 import xml.etree.ElementTree as ET
 
 from kgpipe.anafora import anafora_documents
@@ -10,10 +11,12 @@ from kgpipe.config import DEFAULT_CONFIG
 from kgpipe.fixtures import synthetic_transcripts_df
 from kgpipe.pipeline import build_annotations
 
+CFG = dataclasses.replace(DEFAULT_CONFIG, use_dtr=True, use_conmod=True)
+
 
 def test_anafora_xml_structure(spark, gazetteer, blacklist):
     t = synthetic_transcripts_df(spark, n_conv=3, turns_per_conv=4, hot_conv_factor=1)
-    ann = build_annotations(t, gazetteer, blacklist, DEFAULT_CONFIG)
+    ann = build_annotations(t, gazetteer, blacklist, CFG)
     docs = anafora_documents(ann["mentions"], ann["timexes"]).collect()
     assert docs
 
