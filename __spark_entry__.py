@@ -31,13 +31,23 @@ from pyspark.sql import functions as F
 from kgpipe.config import DEFAULT_CONFIG
 from kgpipe.fixtures import derive_transcripts, derive_transcripts_duckdb_sql
 from kgpipe.pipeline import build_annotations, build_triples
-from kgpipe.graph import attribution_triples, cross_turn_event_edges
+from kgpipe.graph import (
+    attribution_triples,
+    cross_turn_event_edges,
+    entity_timeline_summary,
+)
 from kgpipe.resources import (
     Gazetteer,
     builtin_blacklist_terms,
     builtin_gazetteer_rows,
 )
-from kgpipe.simsearch import brute_force_topk, cosine_col, lsh_topk
+from kgpipe.simsearch import (
+    brute_force_topk,
+    cosine_col,
+    embedding_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from kgpipe.textops import (
     doc_fingerprint,
     exact_dedup,
@@ -79,6 +89,28 @@ _DOCS_PLUS_SQL = (
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _emb_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ a perturbed copy of the first 50 vectors (+0.001 per
+    component, in double): guarantees near-duplicate pairs with cosine ≈ 1
+    exist at every sf (random vectors alone have none above 0.99)."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = e.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    return e.unionByName(dup)
+
+
+_EMB_PLUS_SQL = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+    "UNION ALL SELECT vec_id + 100000, "
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.001) "
+    "FROM embeddings WHERE vec_id < 50"
+)
 
 
 # --------------------------------------------------------------------------
@@ -228,6 +260,33 @@ def _q_cross_turn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/F4 contextual-modality stage (--use_conmod analog): deterministic
+    marker scorer over the covering sentence (W5). Labels shown pre-gate
+    (the ACTUAL filter itself is exercised inside kg_anafora and pytest)."""
+    import dataclasses
+
+    from kgpipe.extract import filter_mentions
+
+    t = derive_transcripts(spark, sf_dir)
+    cfg = dataclasses.replace(_CFG, use_conmod=True)
+    ann = build_annotations(t, _GAZ, _BLACKLIST, cfg)
+    # F1+F2 only (default cfg): keep every label visible for the oracle
+    m = filter_mentions(ann["mentions_raw"], _BLACKLIST, _CFG)
+    return m.select(
+        "conv_id", "turn_idx",
+        F.col("begin").cast("int").alias("begin"),
+        "term", "conmod",
+    )
+
+
+def _q_timeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 per-conversation timeline rollup + A4 distinct+string-agg: one row
+    per (conv_id, cui) with counts, first/last anchor, sorted terms."""
+    m = _annotations(spark, sf_dir)["mentions"]
+    return entity_timeline_summary(m)
+
+
 def _q_canon_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity canonicalization: MinHash-LSH blocking + connected components
     (label propagation) — iterative, not SQL-expressible → rows-only check."""
@@ -332,6 +391,40 @@ def _q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=5, dim=64, n_bits=8, n_tables=4)
 
 
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline: JVM
+    higher-order-function cosine (double left fold, bit-identical to the
+    DuckDB list_reduce oracle)."""
+    p = embedding_dup_pairs(_emb_plus(spark, sf_dir), threshold=0.99, method="exact")
+    return p.select(
+        "vec_a", "vec_b",
+        F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cosine_e6"),
+    )
+
+
+def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup semantics via sign-random-projection blocking (the
+    web-scale path: bucket equi-join instead of cross product) — rows-only."""
+    p = embedding_dup_pairs(
+        _emb_plus(spark, sf_dir), threshold=0.99, method="lsh",
+        dim=64, n_bits=8, n_tables=4,
+    )
+    return p.select(
+        "vec_a", "vec_b",
+        F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cosine_e6"),
+    )
+
+
+def _q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantized inverted lists + n_probe-list exact re-rank
+    (partition-pruned scan at scale) — rows-only check."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, q, k=5, n_list=16, n_probe=4)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata through a
     mapInPandas feature extractor (deterministic fake codec) — rows-only."""
@@ -354,18 +447,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_confidence": _q_confidence,
         "kg_tsv_view": _q_tsv_view,
         "kg_anafora": _q_anafora,
+        "kg_conmod": _q_conmod,
+        "kg_timeline_summary": _q_timeline_summary,
         "kg_cross_turn_edges": _q_cross_turn_edges,
         "kg_canon_nodes": _q_canon_nodes,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
         "sim_topk_bruteforce": _q_topk_bruteforce,
         "sim_topk_lsh": _q_topk_lsh,
+        "sim_topk_ivf": _q_topk_ivf,
         "mm_media_features": _q_media_features,
     }
 
@@ -535,6 +633,70 @@ SELECT annotation_id AS subj, 'doc-time-rel' AS pred, dtr AS obj,
        anchor_date, conv_id, turn_idx,
        term AS subj_text, CAST(NULL AS VARCHAR) AS obj_text
 FROM dtrm
+"""
+
+# U3 conmod: deterministic marker scorer replayed in SQL. The covering
+# sentence of every mention in the derived corpus is the whole turn (the
+# word-salad text has no sentence breaks), so HYPOTHETICAL/GENERIC reduce to
+# whole-turn word tests; NEGATED tests the 3 engine tokens before the
+# mention, which are the words at 1-based indices [widx-2, widx].
+_CONMOD_HYPO = "('if','consider','considering','possible','possibly','may','might','option')"
+_CONMOD_NEG = "('no','not','denies','denied','without','never')"
+_CONMOD_GENERIC = "('patients','typically','generally','usually')"
+
+_ORACLE_CONMOD = f"""
+WITH {_MENTIONS},
+marks AS (
+  SELECT conv_id, turn_idx,
+         bool_or(tok IN {_CONMOD_HYPO}) AS has_hypo,
+         bool_or(tok IN {_CONMOD_GENERIC}) AS has_generic
+  FROM toks2 GROUP BY conv_id, turn_idx
+),
+neg AS (
+  SELECT m.conv_id, m.turn_idx, m.begin_c, m.term,
+         bool_or(t.tok IN {_CONMOD_NEG}) AS has_neg
+  FROM ment_ann m JOIN toks2 t
+    ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+   AND t.i BETWEEN greatest(m.widx - 2, 1) AND m.widx
+  GROUP BY ALL
+)
+SELECT m.conv_id, m.turn_idx, m.begin_c AS begin, m.term,
+       CASE WHEN mk.has_hypo THEN 'HYPOTHETICAL'
+            WHEN COALESCE(n.has_neg, false) THEN 'NEGATED'
+            WHEN mk.has_generic THEN 'GENERIC'
+            ELSE 'ACTUAL' END AS conmod
+FROM ment_ann m
+JOIN marks mk USING (conv_id, turn_idx)
+LEFT JOIN neg n
+  ON n.conv_id = m.conv_id AND n.turn_idx = m.turn_idx
+ AND n.begin_c = m.begin_c AND n.term = m.term
+"""
+
+# A2 + A4: per-(conv_id, cui) timeline rollup with distinct term string-agg.
+_ORACLE_TIMELINE_SUMMARY = f"""
+WITH {_MENTIONS}
+SELECT conv_id, cui,
+       COUNT(*) AS n_mentions,
+       COUNT(DISTINCT turn_idx) AS n_turns,
+       MIN(anchor_date) AS first_seen,
+       MAX(anchor_date) AS last_seen,
+       array_to_string(list_sort(list_distinct(list(term))), ',') AS terms
+FROM ment_ann GROUP BY conv_id, cui
+"""
+
+# Embedding-cosine near-dup: double left-fold cosine (bit-identical to the
+# Spark aggregate()), threshold on the raw double, floor-scaled output.
+_ORACLE_DEDUP_EMBEDDING = f"""
+WITH plus AS ({_EMB_PLUS_SQL}),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_reduce(list_prepend(0.0, list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.e, x -> x * x)), (x, y) -> x + y))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x * x)), (x, y) -> x + y))) AS cos_raw
+  FROM plus a JOIN plus b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(FLOOR(cos_raw * 1e6) AS BIGINT) AS cosine_e6
+FROM pairs WHERE cos_raw >= 0.99
 """
 
 # X9 confidence: max(1, 100 - posDeficit - lengthDeficit)/100 with
@@ -750,6 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_all": _ORACLE_TRIPLES_ALL,
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
         "kg_dtr": _ORACLE_DTR,
+        "kg_conmod": _ORACLE_CONMOD,
+        "kg_timeline_summary": _ORACLE_TIMELINE_SUMMARY,
         "kg_confidence": _ORACLE_CONFIDENCE,
         "kg_tsv_view": _ORACLE_TSV_VIEW,
         "kg_cross_turn_edges": f"""
@@ -792,11 +956,13 @@ FROM docs GROUP BY 1 HAVING COUNT(*) > 1
 """,
         "dedup_minhash": _ORACLE_MINHASH,
         "dedup_jaccard": _ORACLE_JACCARD,
+        "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "text_quality": _ORACLE_QUALITY,
         "text_langid": _langid_oracle(),
         "text_token_stats": _ORACLE_TOKEN_STATS,
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "sim_topk_bruteforce": _ORACLE_TOPK,
         # no oracle (rows-only checks): kg_canon_nodes, kg_anafora,
-        # dedup_simhash, sim_topk_lsh, mm_media_features
+        # dedup_simhash, dedup_embedding_lsh, sim_topk_lsh, sim_topk_ivf,
+        # mm_media_features
     }

@@ -26,6 +26,7 @@ __all__ = [
     "entity_mention_triples",
     "dtr_triples",
     "cross_turn_event_edges",
+    "entity_timeline_summary",
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -108,6 +109,28 @@ def dtr_triples(mentions_with_id: DataFrame) -> DataFrame:
             F.col("surface").alias("subj_text"),
             F.col("dtr_inst").alias("instance"),
         )
+    )
+
+
+def entity_timeline_summary(mentions_with_id: DataFrame) -> DataFrame:
+    """Per-conversation, per-entity timeline rollup — the A2 "one timeline
+    per patient" aggregation contract (/root/reference/README.md:17-19,48)
+    combined with the A4 distinct+string-agg pattern
+    (NormalizedEventTimeAnaforaWriter.java:207-214).
+
+    One row per (conv_id, cui): mention/turn counts, first/last anchor date,
+    and the sorted distinct surface terms joined with ','. A single hash
+    aggregate keyed on (conv_id, cui) — partial (map-side) aggregation
+    applies, so the shuffle carries one row per group per map task.
+    """
+    return mentions_with_id.groupBy("conv_id", "cui").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("turn_idx").alias("n_turns"),
+        F.min("anchor_date").alias("first_seen"),
+        F.max("anchor_date").alias("last_seen"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("term"))), ","
+        ).alias("terms"),
     )
 
 

@@ -9,6 +9,17 @@
   independent hash tables), exact cosine re-rank inside buckets. At 10^12
   rows the bucket join replaces the cross join; recall tunes with
   n_tables/n_bits.
+* ``ivf_topk`` — the other classic ANN layout: a small set of coarse
+  centroids partitions the corpus into inverted lists; a query probes its
+  ``n_probe`` nearest lists and re-ranks exactly inside them. The corpus
+  side is one narrow assignment pass + an equi-join on ``list_id`` — at
+  scale the assignment is computed once and the corpus is written
+  partitioned by ``list_id``, so a probe reads n_probe/n_list of the data
+  (partition pruning on the scan).
+* ``embedding_dup_pairs`` — embedding-cosine near-duplicate pairs
+  (cosine >= threshold, id_a < id_b): ``method='exact'`` is the all-pairs
+  baseline (and the DuckDB-oracle path); ``method='lsh'`` blocks with the
+  same sign-random-projection buckets so only same-bucket pairs are scored.
 
 Hyperplanes are deterministic (seeded via a fixed linear-congruential
 sequence), so results are stable across runs and engines.
@@ -24,7 +35,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cosine_col", "brute_force_topk", "lsh_topk"]
+__all__ = [
+    "cosine_col",
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_dup_pairs",
+]
 
 
 def cosine_col(a, b):
@@ -127,4 +144,136 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _assign_lists_udf(centroids: np.ndarray, n_probe: int):
+    """Vectorized list assignment: top-``n_probe`` centroid ids by cosine.
+    The centroid matrix is tiny (n_list x dim) and ships in the closure —
+    the broadcast-dim-table pattern, no shuffle on the corpus side."""
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    unit = centroids / norms[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)  # (batch, dim)
+        mn = np.linalg.norm(mat, axis=1)
+        mn[mn == 0] = 1.0
+        sims = (mat / mn[:, None]) @ unit.T  # (batch, n_list)
+        # stable top-n_probe: sort by (-sim, centroid id)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_list: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into ``n_list``
+    inverted lists, probe each query's ``n_probe`` nearest lists, exact
+    cosine re-rank inside them.
+
+    Centroids are the first ``n_list`` corpus vectors (deterministic,
+    training-free; a production deployment would swap in offline k-means
+    centroids — the dataflow is identical). Collecting them to the driver is
+    the standard tiny-dim-table pattern (n_list rows), not a data collect.
+    """
+    cent_rows = (
+        embeddings.orderBy("vec_id")
+        .limit(n_list)
+        .select("embedding")
+        .collect()
+    )
+    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+
+    corpus_assign = _assign_lists_udf(centroids, 1)
+    query_assign = _assign_lists_udf(centroids, n_probe)
+
+    corpus = embeddings.select(
+        "vec_id", "embedding", corpus_assign("embedding")[0].alias("list_id")
+    )
+    q = queries.select(
+        "query_id",
+        F.col("embedding").alias("q_emb"),
+        F.explode(query_assign("embedding")).alias("list_id"),
+    )
+    cand = corpus.join(F.broadcast(q), "list_id")
+    scored = cand.select(
+        "query_id", "vec_id",
+        cosine_col(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    *,
+    method: str = "exact",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-duplicate (vec_a, vec_b, cosine) pairs with cosine >= threshold
+    and vec_a < vec_b.
+
+    ``exact``: self cross-join — the correctness baseline, quadratic, used
+    for the oracle gate at test scale. ``lsh``: sign-random-projection
+    blocking (same deterministic hyperplanes as ``lsh_topk``) — only pairs
+    sharing a bucket in at least one table are scored; at web scale the
+    bucket equi-join replaces the cross product and the shuffle key is the
+    bucket id. Embeddings are cast to double so the aggregate() left-fold
+    matches the DuckDB oracle bit-for-bit.
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    if method == "exact":
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    elif method == "lsh":
+        blocked = None
+        for t in range(n_tables):
+            bu = _bucket_udf(dim, n_bits, t)
+            keyed = emb.select("vec_id", "embedding", bu("embedding").alias("bkt"))
+            la = keyed.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+                "bkt",
+            )
+            lb = keyed.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("emb_b"),
+                "bkt",
+            )
+            hit = la.join(lb, "bkt").where(F.col("vec_a") < F.col("vec_b")).drop("bkt")
+            blocked = hit if blocked is None else blocked.unionByName(hit)
+        pairs = blocked.dropDuplicates(["vec_a", "vec_b"])
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    return (
+        pairs.select(
+            "vec_a", "vec_b",
+            cosine_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
     )

@@ -6,7 +6,13 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from kgpipe.simsearch import brute_force_topk, cosine_col, lsh_topk
+from kgpipe.simsearch import (
+    brute_force_topk,
+    cosine_col,
+    embedding_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 
 DIM = 16
 
@@ -59,3 +65,54 @@ def test_lsh_finds_planted_near_dup(emb):
     bf = brute_force_topk(df, q, k=3).toPandas()
     merged = got.merge(bf, on=["query_id", "vec_id"], suffixes=("_l", "_b"))
     assert (abs(merged.cosine_l - merged.cosine_b) < 1e-9).all()
+
+
+def test_ivf_full_probe_equals_bruteforce(emb):
+    """Probing every list makes IVF exact — must equal the brute-force
+    baseline row for row."""
+    df, _ = emb
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_list = 8
+    got = (
+        ivf_topk(df, q, k=5, n_list=n_list, n_probe=n_list)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    bf = (
+        brute_force_topk(df, q, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.vec_id.tolist() == bf.vec_id.tolist()
+    assert (abs(got.cosine - bf.cosine) < 1e-9).all()
+
+
+def test_ivf_partial_probe_finds_planted_dup(emb):
+    df, _ = emb
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(df, q, k=3, n_list=8, n_probe=3).toPandas()
+    # vec 0 and its near-identical copy share a coarse list
+    assert got[got["rank"] == 1].vec_id.iloc[0] == 0
+    assert 1 in set(got.vec_id)
+
+
+def test_embedding_dup_pairs_exact_and_lsh(emb):
+    df, base = emb
+    exact = embedding_dup_pairs(df, threshold=0.99, method="exact").toPandas()
+    # the only pair above 0.99 in the fixture is the planted (0, 1)
+    assert set(map(tuple, exact[["vec_a", "vec_b"]].values)) == {(0, 1)}
+    assert (exact.cosine >= 0.99).all()
+    lsh = embedding_dup_pairs(
+        df, threshold=0.99, method="lsh", dim=DIM, n_bits=4, n_tables=8
+    ).toPandas()
+    assert (0, 1) in set(map(tuple, lsh[["vec_a", "vec_b"]].values))
+    # LSH candidates are a subset of all pairs -> results subset of exact
+    assert set(map(tuple, lsh[["vec_a", "vec_b"]].values)) <= set(
+        map(tuple, exact[["vec_a", "vec_b"]].values)
+    )
