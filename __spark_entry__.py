@@ -10,9 +10,12 @@
                       is pure lowercase word-salad: tokenization, gazetteer
                       n-gram matching (J4), char offsets, W1 annotation-id
                       ranks, the J1 ±60-token band window, and the tlink
-                      label algebra are all SQL-expressible. Non-SQL ops
-                      (SimHash bit loops, LSH hyperplanes, canonicalization
-                      label propagation, multimodal UDFs) are registered
+                      label algebra are all SQL-expressible. Even iterative /
+                      UDF ops get exact oracles when their hashes are
+                      md5-portable: canonicalization closes components with a
+                      recursive CTE, SimHash rebuilds the bit sums in SQL.
+                      Genuinely non-replayable ops (LCG hyperplane LSH,
+                      binary multimodal payloads, XML sinks) are registered
                       without oracles → rows-only checks.
 
 Column-name/type parity with the oracle is load-bearing: every computed
@@ -33,8 +36,11 @@ from kgpipe.fixtures import derive_transcripts, derive_transcripts_duckdb_sql
 from kgpipe.pipeline import build_annotations, build_triples
 from kgpipe.graph import (
     attribution_triples,
+    conversation_stats,
     cross_turn_event_edges,
     entity_timeline_summary,
+    node_degree,
+    top_entities,
 )
 from kgpipe.resources import (
     Gazetteer,
@@ -308,12 +314,40 @@ def _q_timeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_canon_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity canonicalization: MinHash-LSH blocking + connected components
-    (label propagation) — iterative, not SQL-expressible → rows-only check."""
+    """Entity canonicalization: MinHash-LSH blocking (md5-portable hashes)
+    + connected components via min-label propagation. The DuckDB oracle
+    replays the identical hash/band/Jaccard algebra and closes components
+    with a recursive CTE, so this iterative op still gets an exact check."""
     from kgpipe.canon import canonical_nodes
 
     mentions = _annotations(spark, sf_dir)["mentions"]
-    return canonical_nodes(mentions)
+    return canonical_nodes(mentions).select(
+        "node_id", "kind", "canonical_cui",
+        F.array_join("surfaces", "|").alias("surfaces"),
+    )
+
+
+def _q_node_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the materialized edge list: per-node in/out/total
+    degree + distinct neighbors (map-side-combined single aggregate)."""
+    mentions = _annotations(spark, sf_dir)["mentions"]
+    return node_degree(cross_turn_event_edges(mentions, _CFG))
+
+
+def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup (A2 analog): turns, roles, anchor span,
+    mention/entity/timex counts — three combined aggregates + AQE-broadcast
+    merges."""
+    t = derive_transcripts(spark, sf_dir)
+    ann = build_annotations(t, _GAZ, _BLACKLIST, _CFG)
+    return conversation_stats(t, ann["mentions"], ann["timexes"])
+
+
+def _q_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k entities by mention count (agg shuffles on cui; rank
+    window runs on vocabulary-bounded aggregated rows only)."""
+    mentions = _annotations(spark, sf_dir)["mentions"]
+    return top_entities(mentions, k=10)
 
 
 # --------------------------------------------------------------------------
@@ -337,8 +371,10 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (vectorized Arrow UDF for the bit loop) —
-    rows-only check."""
+    """SimHash near-dup pairs (vectorized Arrow UDF for the bit loop). The
+    md5-per-token hash makes even the UDF exactly replayable: the DuckDB
+    oracle rebuilds the 64 sign-sums, the 16-bit chunk blocking, and the
+    hamming verify in pure SQL."""
     return simhash_dup_pairs(_docs_plus(spark, sf_dir), max_hamming=6)
 
 
@@ -437,12 +473,22 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse-quantized inverted lists + n_probe-list exact re-rank
-    (partition-pruned scan at scale) — rows-only check."""
-    emb = _embeddings(spark, sf_dir)
+    (partition-pruned scan at scale). Deterministic end-to-end (first-n
+    centroids, stable argmax/rank ties), so the DuckDB oracle replays the
+    full assign→probe→re-rank path exactly; embeddings cast to double so
+    the re-rank fold is bit-identical to list_reduce."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, q, k=5, n_list=16, n_probe=4)
+    r = ivf_topk(emb, q, k=5, n_list=16, n_probe=4, raw=True)
+    return r.select(
+        "query_id", "vec_id",
+        F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cosine_e6"),
+        "rank",
+    )
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_timeline_summary": _q_timeline_summary,
         "kg_cross_turn_edges": _q_cross_turn_edges,
         "kg_canon_nodes": _q_canon_nodes,
+        "kg_node_degree": _q_node_degree,
+        "kg_conv_stats": _q_conv_stats,
+        "kg_top_entities": _q_top_entities,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -755,6 +804,204 @@ def _ph(expr: str, seed: int) -> str:
     return f"CAST(('0x' || substring(md5({expr} || '#{seed}'), 1, 15)) AS BIGINT)"
 
 
+_ORACLE_CROSS_EDGES = f"""
+WITH {_MENTIONS},
+turn_entities AS (
+  SELECT conv_id, turn_idx, anchor_date,
+         list_sort(list(DISTINCT cui)) AS cuis
+  FROM ment_ann GROUP BY conv_id, turn_idx, anchor_date
+),
+with_next AS (
+  SELECT *,
+         lead(turn_idx) OVER w AS next_turn_idx,
+         lead(anchor_date) OVER w AS next_anchor,
+         lead(cuis) OVER w AS next_cuis
+  FROM turn_entities WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+  QUALIFY next_turn_idx IS NOT NULL AND next_turn_idx - turn_idx <= 8
+),
+e1 AS (
+  SELECT conv_id, turn_idx, anchor_date, next_turn_idx, next_anchor,
+         UNNEST(cuis) AS src_cui, next_cuis
+  FROM with_next
+),
+e2 AS (
+  SELECT conv_id, turn_idx, anchor_date, next_turn_idx, next_anchor,
+         src_cui, UNNEST(next_cuis) AS dst_cui
+  FROM e1
+)
+SELECT src_cui || '@' || conv_id || '_' || CAST(turn_idx AS VARCHAR) AS src,
+       dst_cui || '@' || conv_id || '_' || CAST(next_turn_idx AS VARCHAR) AS dst,
+       CASE WHEN anchor_date < next_anchor THEN 'before'
+            WHEN anchor_date > next_anchor THEN 'after'
+            ELSE 'overlap' END AS pred,
+       conv_id, turn_idx, CAST(1.0 AS DOUBLE) AS weight
+FROM e2
+"""
+
+_ORACLE_NODE_DEGREE = f"""
+WITH edges AS ({_ORACLE_CROSS_EDGES}),
+ends AS (
+  SELECT src AS node, dst AS nbr, 1 AS is_out FROM edges
+  UNION ALL
+  SELECT dst AS node, src AS nbr, 0 AS is_out FROM edges
+)
+SELECT node,
+       CAST(SUM(is_out) AS BIGINT) AS out_degree,
+       CAST(SUM(1 - is_out) AS BIGINT) AS in_degree,
+       COUNT(*) AS degree,
+       COUNT(DISTINCT nbr) AS n_neighbors
+FROM ends GROUP BY node
+"""
+
+_ORACLE_CONV_STATS = f"""
+WITH {_MENTIONS},
+base AS (
+  SELECT conv_id, COUNT(*) AS n_turns, COUNT(DISTINCT role) AS n_roles,
+         MIN(CAST(ts AS DATE)) AS first_date, MAX(CAST(ts AS DATE)) AS last_date
+  FROM t GROUP BY conv_id
+),
+ment_c AS (
+  SELECT conv_id, COUNT(*) AS n_mentions, COUNT(DISTINCT cui) AS n_entities
+  FROM ment_ann GROUP BY conv_id
+),
+tmx_c AS (SELECT conv_id, COUNT(*) AS n_timexes FROM tmx_ann GROUP BY conv_id)
+SELECT b.conv_id, b.n_turns, b.n_roles, b.first_date, b.last_date,
+       date_diff('day', b.first_date, b.last_date) AS span_days,
+       COALESCE(m.n_mentions, 0) AS n_mentions,
+       COALESCE(m.n_entities, 0) AS n_entities,
+       COALESCE(x.n_timexes, 0) AS n_timexes
+FROM base b LEFT JOIN ment_c m USING (conv_id) LEFT JOIN tmx_c x USING (conv_id)
+"""
+
+_ORACLE_TOP_ENTITIES = f"""
+WITH {_MENTIONS},
+counts AS (
+  SELECT cui, COUNT(*) AS n_mentions, COUNT(DISTINCT conv_id) AS n_convs
+  FROM ment_ann GROUP BY cui
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_mentions DESC, cui ASC) AS INT) AS rank,
+       cui, n_mentions, n_convs
+FROM counts QUALIFY rank <= 10
+"""
+
+# Canonicalization twin: identical md5-portable minhash/band/Jaccard algebra
+# (canon.py), connected components closed by a recursive CTE (min reachable
+# label over the undirected edge list == min-label-propagation fixpoint).
+_CANON_SIGS = ", ".join(
+    f"min({_ph('shingle', seed)}) AS sig_{seed}" for seed in range(12)
+)
+_CANON_BANDS = "\nUNION ALL\n".join(
+    "SELECT surface, {b} AS band, md5({key}) AS band_key FROM canon_sigs".format(
+        b=b,
+        key=" || '|' || ".join(
+            f"CAST(sig_{i} AS VARCHAR)" for i in range(b * 3, b * 3 + 3)
+        ),
+    )
+    for b in range(4)
+)
+_ORACLE_CANON_NODES = f"""
+WITH RECURSIVE {_MENTIONS},
+-- MATERIALIZED: under WITH RECURSIVE DuckDB re-inlines referenced CTEs, so
+-- without it the whole tokenize->match subtree is re-evaluated per reference
+surf AS MATERIALIZED (SELECT DISTINCT lower(trim(term)) AS surface, cui FROM ment_ann),
+surfaces AS (SELECT DISTINCT surface FROM surf),
+padded AS (
+  SELECT surface,
+         '^' || lower(regexp_replace(surface, '\\s+', ' ', 'g')) || '$' AS s
+  FROM surfaces
+),
+canon_sh AS (
+  SELECT DISTINCT surface, substring(s, i.i, 3) AS shingle
+  FROM padded,
+       LATERAL (SELECT UNNEST(generate_series(1, greatest(len(s) - 2, 1))) AS i) i
+),
+canon_sigs AS (
+  SELECT surface, {_CANON_SIGS}
+  FROM canon_sh GROUP BY surface
+),
+banded AS (
+{_CANON_BANDS}
+),
+lsh_pairs AS (
+  SELECT DISTINCT l.surface AS a, r.surface AS b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.surface < r.surface
+),
+sh_sizes AS (SELECT surface, COUNT(*) AS n_sh FROM canon_sh GROUP BY surface),
+pair_inter AS (
+  SELECT p.a, p.b, COUNT(DISTINCT x.shingle) AS n_inter
+  FROM lsh_pairs p
+  JOIN canon_sh x ON x.surface = p.a
+  JOIN canon_sh y ON y.surface = p.b AND y.shingle = x.shingle
+  GROUP BY p.a, p.b
+),
+lsh_edges AS (
+  SELECT i.a, i.b
+  FROM pair_inter i
+  JOIN sh_sizes sa ON sa.surface = i.a
+  JOIN sh_sizes sb ON sb.surface = i.b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+),
+cui_edges AS (
+  SELECT DISTINCT x.surface AS a, y.surface AS b
+  FROM surf x JOIN surf y ON x.cui = y.cui AND x.surface < y.surface
+),
+all_edges AS (SELECT a, b FROM cui_edges UNION SELECT a, b FROM lsh_edges),
+und AS (
+  SELECT a AS src, b AS dst FROM all_edges
+  UNION
+  SELECT b AS src, a AS dst FROM all_edges
+),
+reach AS (
+  SELECT surface AS id, surface AS comp FROM surfaces
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN und e ON e.src = r.id
+),
+comps AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+SELECT 'entity:' || c.component AS node_id,
+       'entity' AS kind,
+       MIN(s.cui) AS canonical_cui,
+       array_to_string(list_sort(list(DISTINCT c.id)), '|') AS surfaces
+FROM comps c JOIN surf s ON s.surface = c.id
+GROUP BY c.component
+"""
+
+_ORACLE_SIMHASH = f"""
+WITH docs AS ({_DOCS_PLUS_SQL}),
+sh_toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM docs
+),
+sh_hashed AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM sh_toks
+),
+sh_bitsum AS (
+  SELECT doc_id, bb.b AS b,
+         SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM sh_hashed, (SELECT UNNEST(generate_series(0, 63)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+sh_bits AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+           AS bitstr
+  FROM sh_bitsum GROUP BY doc_id
+),
+sh_chunked AS (
+  SELECT doc_id, bitstr, cc.c AS c, substring(bitstr, cc.c * 16 + 1, 16) AS chunk
+  FROM sh_bits, (SELECT UNNEST(generate_series(0, 3)) AS c) cc
+),
+sh_cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.bitstr AS bits_a, r.bitstr AS bits_b
+  FROM sh_chunked l JOIN sh_chunked r
+    ON l.c = r.c AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming(bits_a, bits_b) AS INT) AS hamming
+FROM sh_cand WHERE hamming(bits_a, bits_b) <= 6
+"""
+
+
 _SHINGLES = f"""
 docs AS ({_DOCS_PLUS_SQL}),
 sdoc AS (
@@ -916,6 +1163,42 @@ SELECT query_id, vec_id, CAST(FLOOR(cos_raw * 1e6) AS BIGINT) AS cosine_e6, CAST
 FROM ranked WHERE rank <= 5
 """
 
+# IVF replay: centroids = first 16 corpus vectors; assignment = argmax
+# cosine with stable centroid-id tie-break (the numpy stable argsort twin);
+# queries probe their 4 nearest lists; exact left-fold cosine re-rank.
+# Assignment ranking may use any cosine formula (eps-insensitive); the
+# re-ranked output cosine must be the bit-identical fold.
+_ORACLE_TOPK_IVF = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM emb ORDER BY vec_id LIMIT 16),
+asn AS (
+  SELECT emb.vec_id, emb.e, cent.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY emb.vec_id
+           ORDER BY list_cosine_similarity(emb.e, cent.ce) DESC, cent.cid ASC
+         ) AS rnk
+  FROM emb CROSS JOIN cent
+),
+corpus AS (SELECT vec_id, e, cid AS list_id FROM asn WHERE rnk = 1),
+qasn AS (
+  SELECT vec_id AS query_id, e AS qe, cid AS list_id
+  FROM asn WHERE vec_id < 5 AND rnk <= 4
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_reduce(list_prepend(0.0, list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * c.e[i])), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe, x -> x * x)), (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(c.e, x -> x * x)), (a, b) -> a + b))) AS cos_raw
+  FROM corpus c JOIN qasn q USING (list_id)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(FLOOR(cos_raw * 1e6) AS BIGINT) AS cosine_e6, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -938,39 +1221,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_timeline_summary": _ORACLE_TIMELINE_SUMMARY,
         "kg_confidence": _ORACLE_CONFIDENCE,
         "kg_tsv_view": _ORACLE_TSV_VIEW,
-        "kg_cross_turn_edges": f"""
-WITH {_MENTIONS},
-turn_entities AS (
-  SELECT conv_id, turn_idx, anchor_date,
-         list_sort(list(DISTINCT cui)) AS cuis
-  FROM ment_ann GROUP BY conv_id, turn_idx, anchor_date
-),
-with_next AS (
-  SELECT *,
-         lead(turn_idx) OVER w AS next_turn_idx,
-         lead(anchor_date) OVER w AS next_anchor,
-         lead(cuis) OVER w AS next_cuis
-  FROM turn_entities WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
-  QUALIFY next_turn_idx IS NOT NULL AND next_turn_idx - turn_idx <= 8
-),
-e1 AS (
-  SELECT conv_id, turn_idx, anchor_date, next_turn_idx, next_anchor,
-         UNNEST(cuis) AS src_cui, next_cuis
-  FROM with_next
-),
-e2 AS (
-  SELECT conv_id, turn_idx, anchor_date, next_turn_idx, next_anchor,
-         src_cui, UNNEST(next_cuis) AS dst_cui
-  FROM e1
-)
-SELECT src_cui || '@' || conv_id || '_' || CAST(turn_idx AS VARCHAR) AS src,
-       dst_cui || '@' || conv_id || '_' || CAST(next_turn_idx AS VARCHAR) AS dst,
-       CASE WHEN anchor_date < next_anchor THEN 'before'
-            WHEN anchor_date > next_anchor THEN 'after'
-            ELSE 'overlap' END AS pred,
-       conv_id, turn_idx, CAST(1.0 AS DOUBLE) AS weight
-FROM e2
-""",
+        "kg_cross_turn_edges": _ORACLE_CROSS_EDGES,
+        "kg_canon_nodes": _ORACLE_CANON_NODES,
+        "kg_node_degree": _ORACLE_NODE_DEGREE,
+        "kg_conv_stats": _ORACLE_CONV_STATS,
+        "kg_top_entities": _ORACLE_TOP_ENTITIES,
         "dedup_exact": f"""
 WITH docs AS ({_DOCS_PLUS_SQL})
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
@@ -978,13 +1233,15 @@ FROM docs GROUP BY 1 HAVING COUNT(*) > 1
 """,
         "dedup_minhash": _ORACLE_MINHASH,
         "dedup_jaccard": _ORACLE_JACCARD,
+        "dedup_simhash": _ORACLE_SIMHASH,
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "text_quality": _ORACLE_QUALITY,
         "text_langid": _langid_oracle(),
         "text_token_stats": _ORACLE_TOKEN_STATS,
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "sim_topk_bruteforce": _ORACLE_TOPK,
-        # no oracle (rows-only checks): kg_canon_nodes, kg_anafora,
-        # dedup_simhash, dedup_embedding_lsh, sim_topk_lsh, sim_topk_ivf,
-        # mm_media_features
+        "sim_topk_ivf": _ORACLE_TOPK_IVF,
+        # no oracle (rows-only checks): kg_anafora (XML strings),
+        # dedup_embedding_lsh / sim_topk_lsh (LCG hyperplane projections
+        # live in the UDF), mm_media_features (binary payloads)
     }

@@ -27,6 +27,9 @@ __all__ = [
     "dtr_triples",
     "cross_turn_event_edges",
     "entity_timeline_summary",
+    "node_degree",
+    "conversation_stats",
+    "top_entities",
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -131,6 +134,86 @@ def entity_timeline_summary(mentions_with_id: DataFrame) -> DataFrame:
         F.array_join(
             F.array_sort(F.array_distinct(F.collect_list("term"))), ","
         ).alias("terms"),
+    )
+
+
+def node_degree(edges: DataFrame) -> DataFrame:
+    """Degree table over an EDGE_SCHEMA-shaped edge list: per node id,
+    out/in/total degree and distinct-neighbor count.
+
+    One union of two narrow projections then a single hash aggregate keyed
+    on node — partial aggregation combines map-side, so the shuffle carries
+    one row per (node) per map task regardless of edge skew.
+    """
+    ends = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"),
+        F.lit(1).alias("is_out"),
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("node"), F.col("src").alias("nbr"),
+            F.lit(0).alias("is_out"),
+        )
+    )
+    return ends.groupBy("node").agg(
+        F.sum("is_out").alias("out_degree"),
+        F.sum(F.lit(1) - F.col("is_out")).alias("in_degree"),
+        F.count(F.lit(1)).alias("degree"),
+        F.countDistinct("nbr").alias("n_neighbors"),
+    )
+
+
+def conversation_stats(
+    transcripts: DataFrame, mentions_f: DataFrame, timexes_n: DataFrame
+) -> DataFrame:
+    """Per-conversation rollup: turns, distinct roles, anchor-date span,
+    mention / normalized-timex counts — the A2 per-patient aggregation
+    contract (/root/reference/README.md:17-19,48) lifted to conversations.
+
+    Three pre-aggregations (each map-side combined on conv_id) merged with
+    left joins; AQE turns the post-agg joins into broadcasts (group count =
+    #conversations << #turns).
+    """
+    base = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.min(F.to_date("ts")).alias("first_date"),
+        F.max(F.to_date("ts")).alias("last_date"),
+    )
+    ment = mentions_f.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("cui").alias("n_entities"),
+    )
+    tmx = timexes_n.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_timexes"))
+    return (
+        base.join(ment, "conv_id", "left")
+        .join(tmx, "conv_id", "left")
+        .select(
+            "conv_id", "n_turns", "n_roles", "first_date", "last_date",
+            F.datediff("last_date", "first_date").alias("span_days"),
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+            F.coalesce("n_entities", F.lit(0)).alias("n_entities"),
+            F.coalesce("n_timexes", F.lit(0)).alias("n_timexes"),
+        )
+    )
+
+
+def top_entities(mentions_f: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k entities by mention count (rank ties broken by cui asc).
+
+    The aggregate shuffles on cui; the final rank window runs on the
+    aggregated rows only — cardinality is vocabulary-bounded (gazetteer
+    size), not corpus-bounded, so the single-partition window is safe at
+    any corpus scale.
+    """
+    counts = mentions_f.groupBy("cui").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    w = Window.orderBy(F.col("n_mentions").desc(), F.col("cui").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "cui", "n_mentions", "n_convs")
     )
 
 

@@ -175,6 +175,7 @@ def ivf_topk(
     *,
     n_list: int = 16,
     n_probe: int = 4,
+    raw: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_list``
     inverted lists, probe each query's ``n_probe`` nearest lists, exact
@@ -184,6 +185,10 @@ def ivf_topk(
     training-free; a production deployment would swap in offline k-means
     centroids — the dataflow is identical). Collecting them to the driver is
     the standard tiny-dim-table pattern (n_list rows), not a data collect.
+    Every step is deterministic (stable argmax ties on centroid id, rank
+    ties on vec_id), so the whole ANN path replays exactly in the DuckDB
+    oracle. ``raw=True`` returns the unrounded cosine for floor-scaled
+    cross-engine comparison.
     """
     cent_rows = (
         embeddings.orderBy("vec_id")
@@ -212,11 +217,11 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
     )
+    cos = F.col("cosine") if raw else F.round("cosine", 6).alias("cosine")
+    return ranked.select("query_id", "vec_id", cos, "rank")
 
 
 def embedding_dup_pairs(

@@ -1,10 +1,16 @@
-"""A2 per-conversation timeline rollup (entity_timeline_summary)."""
+"""A2 rollups and graph analytics (entity_timeline_summary, node_degree,
+conversation_stats, top_entities)."""
 
 from __future__ import annotations
 
 import datetime as dt
 
-from kgpipe.graph import entity_timeline_summary
+from kgpipe.graph import (
+    conversation_stats,
+    entity_timeline_summary,
+    node_degree,
+    top_entities,
+)
 
 
 def test_timeline_summary_rollup(spark):
@@ -33,3 +39,61 @@ def test_timeline_summary_rollup(spark):
     assert r.terms == "apache spark,spark"
     assert got[("c1", "C102")].n_mentions == 1
     assert got[("c2", "C101")].terms == "spark"
+
+
+def test_node_degree(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "before", "c1", 0, 1.0),
+            ("a", "c", "before", "c1", 0, 1.0),
+            ("b", "a", "after", "c1", 1, 1.0),
+        ],
+        "src string, dst string, pred string, conv_id string, turn_idx int, weight double",
+    )
+    got = {r.node: r for r in node_degree(edges).collect()}
+    a = got["a"]
+    assert (a.out_degree, a.in_degree, a.degree, a.n_neighbors) == (2, 1, 3, 2)
+    b = got["b"]
+    assert (b.out_degree, b.in_degree, b.degree, b.n_neighbors) == (1, 1, 2, 1)
+    c = got["c"]
+    assert (c.out_degree, c.in_degree, c.degree, c.n_neighbors) == (0, 1, 1, 1)
+
+
+def test_conversation_stats(spark):
+    d = dt.date
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "x", None, dt.datetime(2021, 1, 1)),
+            ("c1", 1, "assistant", "y", "logger", dt.datetime(2021, 1, 4)),
+            ("c2", 0, "user", "z", None, dt.datetime(2020, 6, 6)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    m = spark.createDataFrame(
+        [("c1", 0, "C101"), ("c1", 1, "C101"), ("c1", 1, "C102")],
+        "conv_id string, turn_idx int, cui string",
+    )
+    x = spark.createDataFrame(
+        [("c1", 0, "2021-01-01")], "conv_id string, turn_idx int, normed string"
+    )
+    got = {r.conv_id: r for r in conversation_stats(t, m, x).collect()}
+    c1 = got["c1"]
+    assert (c1.n_turns, c1.n_roles, c1.span_days) == (2, 2, 3)
+    assert (c1.n_mentions, c1.n_entities, c1.n_timexes) == (3, 2, 1)
+    assert c1.first_date == d(2021, 1, 1) and c1.last_date == d(2021, 1, 4)
+    c2 = got["c2"]
+    # no mentions/timexes -> coalesced zeros, never nulls
+    assert (c2.n_mentions, c2.n_entities, c2.n_timexes) == (0, 0, 0)
+
+
+def test_top_entities_rank_and_tiebreak(spark):
+    m = spark.createDataFrame(
+        [("c1", "C102"), ("c2", "C102"), ("c1", "C101"), ("c1", "C103"),
+         ("c2", "C103")],
+        "conv_id string, cui string",
+    )
+    rows = top_entities(m, k=2).collect()
+    assert [(r.rank, r.cui, r.n_mentions, r.n_convs) for r in rows] == [
+        (1, "C102", 2, 2),  # tie on count broken by cui asc
+        (2, "C103", 2, 2),
+    ]
