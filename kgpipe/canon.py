@@ -136,8 +136,13 @@ def connected_components(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
+        # the edge list is re-joined every iteration: checkpoint it once so
+        # the (possibly deep) edge-derivation lineage never re-executes
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+    if und.isEmpty():  # no edges -> every vertex is its own component
+        return labels
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und["src"] == labels["id"])
@@ -183,9 +188,17 @@ def canonical_nodes(
     canonical node id is ``entity:<lexical-min surface>``, canonical_cui the
     min CUI in the cluster, surfaces the sorted member list.
     """
-    surf = mentions_f.select(
-        F.lower(F.trim("surface")).alias("surface"), "cui"
-    ).distinct()
+    # surf is vocabulary-bounded (distinct surface strings, not corpus rows)
+    # and fans out into 6+ downstream branches (cui self-join, shingling,
+    # CC vertices, final membership join); persisting it cuts the expensive
+    # mention-extraction lineage to ONE execution instead of one per branch.
+    surf = (
+        mentions_f.select(F.lower(F.trim("surface")).alias("surface"), "cui")
+        .distinct()
+        # eager: a lazy persist would still recompute the extraction lineage
+        # once per concurrent branch of the first fan-out action
+        .localCheckpoint(eager=True)
+    )
     surfaces = surf.select("surface").distinct()
 
     cui_edges = (
@@ -195,7 +208,9 @@ def canonical_nodes(
         .select(F.col("x.surface").alias("a"), F.col("y.surface").alias("b"))
         .distinct()
     )
-    shingled = surface_shingles(surfaces)
+    # shingled is referenced by the signature agg and three times inside the
+    # Jaccard verify — also vocabulary-bounded, also worth one materialization
+    shingled = surface_shingles(surfaces).localCheckpoint(eager=True)
     sigs = minhash_signatures(shingled, k=k)
     lsh_pairs = lsh_candidate_pairs(sigs, k=k, bands=bands)
     lsh_edges = _jaccard_verify(lsh_pairs, shingled, jaccard_threshold)
