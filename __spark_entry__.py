@@ -10,13 +10,14 @@
                       is pure lowercase word-salad: tokenization, gazetteer
                       n-gram matching (J4), char offsets, W1 annotation-id
                       ranks, the J1 ±60-token band window, and the tlink
-                      label algebra are all SQL-expressible. Even iterative /
-                      UDF ops get exact oracles when their hashes are
-                      md5-portable: canonicalization closes components with a
-                      recursive CTE, SimHash rebuilds the bit sums in SQL.
-                      Genuinely non-replayable ops (LCG hyperplane LSH,
-                      binary multimodal payloads, XML sinks) are registered
-                      without oracles → rows-only checks.
+                      label algebra are all SQL-expressible. Every iterative
+                      / UDF op is made exactly replayable by construction:
+                      md5-portable hashes (minhash, simhash, fingerprints),
+                      recursive-CTE connected components (canonicalization),
+                      recursive-CTE LCG hyperplanes (sign-projection LSH),
+                      integer-exact fake codecs (multimodal), left-fold
+                      double cosines (ANN re-rank). ALL 33 queries carry an
+                      exact oracle — zero rows-only checks.
 
 Column-name/type parity with the oracle is load-bearing: every computed
 column is aliased identically on both sides, float-valued comparisons are
@@ -439,12 +440,21 @@ def _q_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: sign-random-projection buckets + in-bucket exact
-    re-rank (hyperplanes are LCG-generated in the UDF) — rows-only check."""
-    emb = _embeddings(spark, sf_dir)
+    re-rank. The hyperplanes are a pure-integer LCG recurrence, so even the
+    bucketing replays exactly in DuckDB (recursive-CTE LCG); embeddings cast
+    to double so the re-rank fold is bit-identical to list_reduce."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, q, k=5, dim=64, n_bits=8, n_tables=4)
+    r = lsh_topk(emb, q, k=5, dim=64, n_bits=8, n_tables=4, raw=True)
+    return r.select(
+        "query_id", "vec_id",
+        F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cosine_e6"),
+        "rank",
+    )
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,11 +503,20 @@ def _q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata through a
-    mapInPandas feature extractor (deterministic fake codec) — rows-only."""
+    mapInPandas feature extractor. The fake codec emits integer-exact byte
+    stats, so even the binary->Arrow->numpy path replays exactly in DuckDB
+    (ASCII corpus: byte values == code points)."""
     from kgpipe.multimodal import attach_fake_media, extract_media_features
 
-    docs = _documents(spark, sf_dir).limit(200)
-    return extract_media_features(attach_fake_media(docs), fake=True)
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") < 200)
+    feats = extract_media_features(attach_fake_media(docs), fake=True)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes",
+        F.array_join(
+            F.transform("features", lambda x: x.cast("bigint").cast("string")),
+            ",",
+        ).alias("features"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -563,7 +582,7 @@ toks AS (
          UNNEST(generate_series(1, n_words)) AS i
   FROM words
 ),
-toks2 AS (
+toks2 AS MATERIALIZED (
   SELECT *, CAST(COALESCE(SUM(len(tok) + 1) OVER (
            PARTITION BY conv_id, turn_idx ORDER BY i
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS begin_c
@@ -601,7 +620,7 @@ ment_id AS (
          COUNT(*) OVER (PARTITION BY conv_id, turn_idx) AS n_ment
   FROM ment
 ),
-ment_ann AS (
+ment_ann AS MATERIALIZED (
   SELECT *, CAST(rnk AS VARCHAR) || '@e@' || conv_id || '_' ||
             CAST(turn_idx AS VARCHAR) || '@system' AS annotation_id
   FROM ment_id
@@ -714,8 +733,7 @@ _CONMOD_HYPO = "('if','consider','considering','possible','possibly','may','migh
 _CONMOD_NEG = "('no','not','denies','denied','without','never')"
 _CONMOD_GENERIC = "('patients','typically','generally','usually')"
 
-_ORACLE_CONMOD = f"""
-WITH {_MENTIONS},
+_CONMOD_LABELS = f"""
 marks AS (
   SELECT conv_id, turn_idx,
          bool_or(tok IN {_CONMOD_HYPO}) AS has_hypo,
@@ -729,17 +747,25 @@ neg AS (
     ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
    AND t.i BETWEEN greatest(m.widx - 2, 1) AND m.widx
   GROUP BY ALL
+),
+cmod AS (
+  SELECT m.conv_id, m.turn_idx, m.begin_c, m.term,
+         CASE WHEN mk.has_hypo THEN 'HYPOTHETICAL'
+              WHEN COALESCE(n.has_neg, false) THEN 'NEGATED'
+              WHEN mk.has_generic THEN 'GENERIC'
+              ELSE 'ACTUAL' END AS conmod
+  FROM ment_ann m
+  JOIN marks mk USING (conv_id, turn_idx)
+  LEFT JOIN neg n
+    ON n.conv_id = m.conv_id AND n.turn_idx = m.turn_idx
+   AND n.begin_c = m.begin_c AND n.term = m.term
 )
-SELECT m.conv_id, m.turn_idx, m.begin_c AS begin, m.term,
-       CASE WHEN mk.has_hypo THEN 'HYPOTHETICAL'
-            WHEN COALESCE(n.has_neg, false) THEN 'NEGATED'
-            WHEN mk.has_generic THEN 'GENERIC'
-            ELSE 'ACTUAL' END AS conmod
-FROM ment_ann m
-JOIN marks mk USING (conv_id, turn_idx)
-LEFT JOIN neg n
-  ON n.conv_id = m.conv_id AND n.turn_idx = m.turn_idx
- AND n.begin_c = m.begin_c AND n.term = m.term
+"""
+
+_ORACLE_CONMOD = f"""
+WITH {_MENTIONS}, {_CONMOD_LABELS}
+SELECT conv_id, turn_idx, begin_c AS begin, term, conmod
+FROM cmod
 """
 
 # A2 + A4: per-(conv_id, cui) timeline rollup with distinct term string-agg.
@@ -1001,6 +1027,127 @@ SELECT doc_a, doc_b, CAST(hamming(bits_a, bits_b) AS INT) AS hamming
 FROM sh_cand WHERE hamming(bits_a, bits_b) <= 6
 """
 
+# S6 Anafora XML replay: events = conmod-ACTUAL-gated mentions with DTR
+# labels, grouped per (begin,end) span (A4 distinct-CUI string-agg), sorted
+# and 1-indexed; TIMEX ids resume after a one-id gap (the reference writer's
+# idNumber+1 quirk); DOCTIME node last. The corpus is &<>-free so the XML
+# escaping is the identity and plain string concat replays it.
+_ANAFORA_EVENT_TMPL = (
+    "<entity><id>%d@e@%s@system</id><span>%d,%d</span><type>EVENT</type>"
+    "<parentsType>TemporalEntities</parentsType><properties>"
+    "<DocTimeRel>%s</DocTimeRel><Polarity>POS</Polarity><Degree>N/A</Degree>"
+    "<Type>N/A</Type><ContextualModality>%s</ContextualModality>"
+    "<ContextualAspect>UNDETERMINED</ContextualAspect>"
+    "<Permanence>UNDETERMINED</Permanence><CUI>%s</CUI><Text>%s</Text>"
+    "</properties></entity>"
+)
+_ANAFORA_TIMEX_TMPL = (
+    "<entity><id>%d@e@%s@system</id><span>%d,%d</span><type>TIMEX3</type>"
+    "<parentsType>TemporalEntities</parentsType><properties>"
+    "<Class>DATE</Class><normalizedExpression>%s</normalizedExpression>"
+    "</properties></entity>"
+)
+_ANAFORA_DOCTIME_TMPL = (
+    "<entity><id>%d@e@%s@system</id><type>DOCTIME</type>"
+    "<parentsType>TemporalEntities</parentsType><properties>"
+    "<normalizedExpression>%s</normalizedExpression></properties></entity>"
+)
+
+_ORACLE_ANAFORA = f"""
+WITH {_MENTIONS}, {_DTR_LABELS}, {_CONMOD_LABELS},
+ev_m AS (
+  SELECT m.conv_id, m.turn_idx, m.anchor_date, m.begin_c, m.end_c,
+         m.cui, m.term, d.dtr, c.conmod
+  FROM ment_ann m
+  JOIN dtrm d ON d.annotation_id = m.annotation_id
+  JOIN cmod c
+    ON c.conv_id = m.conv_id AND c.turn_idx = m.turn_idx
+   AND c.begin_c = m.begin_c AND c.term = m.term
+  WHERE c.conmod = 'ACTUAL'
+),
+ev_spans AS (
+  SELECT conv_id, turn_idx, anchor_date, begin_c, end_c,
+         array_to_string(list_sort(list(DISTINCT cui)), ',') AS cuis,
+         min(dtr) AS dtr, min(conmod) AS conmod, min(term) AS surface
+  FROM ev_m GROUP BY conv_id, turn_idx, anchor_date, begin_c, end_c
+),
+ev_idx AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY begin_c, end_c
+         ) AS INT) AS rn
+  FROM ev_spans
+),
+ev_xml AS (
+  SELECT conv_id, turn_idx, any_value(anchor_date) AS anchor_date,
+         COUNT(*) AS n_evs,
+         string_agg(
+           printf('{_ANAFORA_EVENT_TMPL}',
+                  rn, conv_id || '_' || CAST(turn_idx AS VARCHAR),
+                  begin_c, end_c, dtr, conmod, cuis, surface),
+           '' ORDER BY rn) AS exml
+  FROM ev_idx GROUP BY conv_id, turn_idx
+),
+tmx_idx AS (
+  SELECT conv_id, turn_idx, t_begin, t_end, normed,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY t_begin, t_end
+         ) AS INT) AS rn
+  FROM tmx_ann
+),
+tx AS (
+  SELECT t.conv_id, t.turn_idx, COUNT(*) AS n_tms,
+         string_agg(
+           printf('{_ANAFORA_TIMEX_TMPL}',
+                  e.n_evs + 1 + t.rn,
+                  t.conv_id || '_' || CAST(t.turn_idx AS VARCHAR),
+                  t.t_begin, t.t_end, t.normed),
+           '' ORDER BY t.rn) AS txml
+  FROM tmx_idx t JOIN ev_xml e USING (conv_id, turn_idx)
+  GROUP BY t.conv_id, t.turn_idx
+)
+SELECT e.conv_id, e.turn_idx,
+       e.conv_id || '_' || CAST(e.turn_idx AS VARCHAR) AS doc_name,
+       '<data><info><savetime>' || strftime(e.anchor_date, '%Y-%m-%d') ||
+       '</savetime><progress>completed</progress></info>' ||
+       '<schema path="./" protocol="file">temporal-schema_NORM.xml</schema>' ||
+       '<annotations>' || e.exml || COALESCE(t.txml, '') ||
+       printf('{_ANAFORA_DOCTIME_TMPL}',
+              e.n_evs + 2 + COALESCE(t.n_tms, 0),
+              e.conv_id || '_' || CAST(e.turn_idx AS VARCHAR),
+              strftime(e.anchor_date, '%Y-%m-%d')) ||
+       '</annotations></data>' AS xml
+FROM ev_xml e LEFT JOIN tx t USING (conv_id, turn_idx)
+"""
+
+# Multimodal fake-codec replay: the payload is utf-8 text over an ASCII
+# corpus, so byte values == code points; the feature vector is pure integer
+# stats (count/sum/min/max/mod-sums) — exact in both engines.
+_ORACLE_MEDIA_FEATURES = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+chars AS (
+  SELECT doc_id, i.i AS i, unicode(substring(text, i.i, 1)) AS code,
+         length(text) AS n
+  FROM docs, LATERAL (SELECT UNNEST(generate_series(1, length(text))) AS i) i
+),
+stats AS (
+  SELECT doc_id, n,
+         SUM(code) AS total, MIN(code) AS mn, MAX(code) AS mx,
+         SUM(code * code) % 9973 AS sq_mod,
+         SUM(CASE WHEN (i - 1) % greatest(n // 8, 1) = 0 THEN code ELSE 0 END)
+           % 997 AS strided_mod
+  FROM chars GROUP BY doc_id, n
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(n AS INT) AS n_bytes,
+       CAST(n AS VARCHAR) || ',' || CAST(total AS VARCHAR) || ',' ||
+       CAST(mn AS VARCHAR) || ',' || CAST(mx AS VARCHAR) || ',' ||
+       CAST(sq_mod AS VARCHAR) || ',' || CAST(strided_mod AS VARCHAR)
+         AS features
+FROM stats
+"""
+
 
 _SHINGLES = f"""
 docs AS ({_DOCS_PLUS_SQL}),
@@ -1163,6 +1310,96 @@ SELECT query_id, vec_id, CAST(FLOOR(cos_raw * 1e6) AS BIGINT) AS cosine_e6, CAST
 FROM ranked WHERE rank <= 5
 """
 
+# Sign-random-projection bucket replay (simsearch._hyperplanes twin): the
+# hyperplanes are a 64-bit LCG recurrence — generated here by a recursive
+# CTE in HUGEINT arithmetic (mod-2^64 wraps; max product 6.4e18 * (2^64-1)
+# ≈ 1.2e38 < HUGEINT max) — and the bucket key is the sign-bit pack of the
+# 8 plane dot products per table. Requires a CTE ``lsh_emb(vec_id, e)`` with
+# e DOUBLE[] in scope; yields ``lsh_buckets(vec_id, tbl, bkt)``.
+_LSH_BUCKETS = """
+seeds AS (
+  SELECT t,
+         xor(CAST((CAST(t AS HUGEINT) * 13787848793156543929)
+                  % 18446744073709551616 AS UBIGINT),
+             CAST(11400714819323198485 AS UBIGINT)) AS seed_u
+  FROM (SELECT UNNEST(generate_series(0, 3)) AS t)
+),
+lcg(tbl, i, x) AS (
+  SELECT t, 0, CAST(seed_u AS HUGEINT) FROM seeds
+  UNION ALL
+  SELECT tbl, i + 1,
+         (CAST(6364136223846793005 AS HUGEINT) * x + 1442695040888963407)
+           % CAST(18446744073709551616 AS HUGEINT)
+  FROM lcg WHERE i < 512
+),
+planes AS MATERIALIZED (
+  SELECT tbl, CAST((i - 1) // 64 AS INT) AS bit, CAST((i - 1) % 64 AS INT) AS d,
+         CAST(x // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 AS v
+  FROM lcg WHERE i >= 1
+),
+lsh_dots AS (
+  SELECT e.vec_id, p.tbl, p.bit, SUM(e.e[p.d + 1] * p.v) AS dot
+  FROM lsh_emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl, p.bit
+),
+lsh_buckets AS MATERIALIZED (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END) AS INT) AS bkt
+  FROM lsh_dots GROUP BY vec_id, tbl
+)
+"""
+
+_ORACLE_TOPK_LSH = f"""
+WITH RECURSIVE
+lsh_emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+{_LSH_BUCKETS},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM lsh_buckets c
+  JOIN lsh_buckets q ON q.tbl = c.tbl AND q.bkt = c.bkt
+  WHERE q.vec_id < 5
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_reduce(list_prepend(0.0, list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(q.e, x -> x * x)), (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(c.e, x -> x * x)), (a, b) -> a + b))) AS cos_raw
+  FROM cand
+  JOIN lsh_emb q ON q.vec_id = cand.query_id
+  JOIN lsh_emb c ON c.vec_id = cand.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(FLOOR(cos_raw * 1e6) AS BIGINT) AS cosine_e6, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+_ORACLE_DEDUP_EMB_LSH = f"""
+WITH RECURSIVE
+lsh_emb AS MATERIALIZED ({_EMB_PLUS_SQL}),
+{_LSH_BUCKETS},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM lsh_buckets a
+  JOIN lsh_buckets b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+         list_reduce(list_prepend(0.0, list_transform(range(1, len(x.e) + 1), i -> x.e[i] * y.e[i])), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(x.e, v -> v * v)), (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(y.e, v -> v * v)), (a, b) -> a + b))) AS cos_raw
+  FROM cand
+  JOIN lsh_emb x ON x.vec_id = cand.vec_a
+  JOIN lsh_emb y ON y.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, CAST(FLOOR(cos_raw * 1e6) AS BIGINT) AS cosine_e6
+FROM scored WHERE cos_raw >= 0.99
+"""
+
 # IVF replay: centroids = first 16 corpus vectors; assignment = argmax
 # cosine with stable centroid-id tie-break (the numpy stable argsort twin);
 # queries probe their 4 nearest lists; exact left-fold cosine re-rank.
@@ -1219,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_dtr": _ORACLE_DTR,
         "kg_conmod": _ORACLE_CONMOD,
         "kg_timeline_summary": _ORACLE_TIMELINE_SUMMARY,
+        "kg_anafora": _ORACLE_ANAFORA,
         "kg_confidence": _ORACLE_CONFIDENCE,
         "kg_tsv_view": _ORACLE_TSV_VIEW,
         "kg_cross_turn_edges": _ORACLE_CROSS_EDGES,
@@ -1241,7 +1479,8 @@ FROM docs GROUP BY 1 HAVING COUNT(*) > 1
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "sim_topk_bruteforce": _ORACLE_TOPK,
         "sim_topk_ivf": _ORACLE_TOPK_IVF,
-        # no oracle (rows-only checks): kg_anafora (XML strings),
-        # dedup_embedding_lsh / sim_topk_lsh (LCG hyperplane projections
-        # live in the UDF), mm_media_features (binary payloads)
+        "sim_topk_lsh": _ORACLE_TOPK_LSH,
+        "dedup_embedding_lsh": _ORACLE_DEDUP_EMB_LSH,
+        "mm_media_features": _ORACLE_MEDIA_FEATURES,
+        # every queries() entry has an exact oracle — zero rows-only checks
     }

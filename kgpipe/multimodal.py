@@ -37,7 +37,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -68,17 +68,21 @@ def _decode(payload: bytes, media_type: str, fake: bool) -> np.ndarray:
         raise NotImplementedError(
             "media codecs not available in this environment; use fake=True"
         )
-    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float32)
+    # integer-exact byte stats (count/sum/min/max/mod-sums): every value is
+    # an exact int64 -> exact double, so the fake-decode output replays
+    # bit-for-bit in the DuckDB oracle (a real decoder swap-in keeps the
+    # identical signature/shape and simply loses the oracle)
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.int64)
     return np.array(
         [
             float(arr.size),
-            float(arr.mean()),
-            float(arr.std()),
+            float(arr.sum()),
             float(arr.min()),
             float(arr.max()),
+            float((arr * arr).sum() % 9973),
             float(arr[:: max(1, arr.size // 8)].sum() % 997),
         ],
-        dtype=np.float32,
+        dtype=np.float64,
     )
 
 

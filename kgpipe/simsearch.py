@@ -114,9 +114,13 @@ def lsh_topk(
     dim: int,
     n_bits: int = 8,
     n_tables: int = 4,
+    raw: bool = False,
 ) -> DataFrame:
     """Approximate top-k: sign-random-projection buckets x n_tables, exact
-    cosine re-rank within candidate union."""
+    cosine re-rank within candidate union. The LCG hyperplanes are pure
+    integer recurrences, so the whole path (bucketing included) replays in
+    the DuckDB oracle; ``raw=True`` skips display rounding for floor-scaled
+    cross-engine comparison."""
     corpus = embeddings
     cand = None
     for t in range(n_tables):
@@ -140,11 +144,11 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
     )
+    cos = F.col("cosine") if raw else F.round("cosine", 6).alias("cosine")
+    return ranked.select("query_id", "vec_id", cos, "rank")
 
 
 def _assign_lists_udf(centroids: np.ndarray, n_probe: int):
