@@ -71,7 +71,12 @@ def build_annotations(
     timexes_raw = timexes_table(annotated)
     mentions_f = filter_mentions(mentions_raw, blacklist, cfg)
     timexes_f = filter_timexes(timexes_raw)
-    mentions_id, timexes_id = assign_annotation_ids(mentions_f, timexes_f)
+    # cache=persist: the W1 id window (union -> exchange -> sort -> window)
+    # otherwise re-executes once per consumer — entity triples, both pairing
+    # sides (measured 3x subtree wall at sf0.1)
+    mentions_id, timexes_id = assign_annotation_ids(
+        mentions_f, timexes_f, cache=persist
+    )
     return {
         "annotated": annotated,
         "mentions_raw": mentions_raw,
