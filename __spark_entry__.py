@@ -222,7 +222,7 @@ def _q_dtr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 mention confidence (AnnotationConfidencer analog) — pure
     arithmetic over component-token lengths, floor-scaled for compare."""
-    m = _annotations(spark, sf_dir)["mentions"]
+    m = _annotations(spark, sf_dir)["mentions_f"]  # ids unused: skip W1 window
     return m.select(
         "conv_id", "turn_idx",
         F.col("begin").cast("int").alias("begin"),
@@ -260,7 +260,7 @@ def _q_anafora(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cross_turn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-turn event-event temporal edges: per-conversation lead() window
     over turn-level entity sets, before/after/overlap by anchor comparison."""
-    mentions = _annotations(spark, sf_dir)["mentions"]
+    mentions = _annotations(spark, sf_dir)["mentions_f"]  # ids unused
     return cross_turn_event_edges(mentions, _CFG).select(
         "src", "dst", "pred", "conv_id", "turn_idx",
         F.col("weight").cast("double").alias("weight"),
@@ -310,7 +310,7 @@ def _q_conmod(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_timeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 per-conversation timeline rollup + A4 distinct+string-agg: one row
     per (conv_id, cui) with counts, first/last anchor, sorted terms."""
-    m = _annotations(spark, sf_dir)["mentions"]
+    m = _annotations(spark, sf_dir)["mentions_f"]  # ids unused
     return entity_timeline_summary(m)
 
 
@@ -321,7 +321,7 @@ def _q_canon_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive CTE, so this iterative op still gets an exact check."""
     from kgpipe.canon import canonical_nodes
 
-    mentions = _annotations(spark, sf_dir)["mentions"]
+    mentions = _annotations(spark, sf_dir)["mentions_f"]  # ids unused
     return canonical_nodes(mentions).select(
         "node_id", "kind", "canonical_cui",
         F.array_join("surfaces", "|").alias("surfaces"),
@@ -331,7 +331,7 @@ def _q_canon_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_node_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized edge list: per-node in/out/total
     degree + distinct neighbors (map-side-combined single aggregate)."""
-    mentions = _annotations(spark, sf_dir)["mentions"]
+    mentions = _annotations(spark, sf_dir)["mentions_f"]  # ids unused
     return node_degree(cross_turn_event_edges(mentions, _CFG))
 
 
@@ -341,13 +341,13 @@ def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges."""
     t = derive_transcripts(spark, sf_dir)
     ann = build_annotations(t, _GAZ, _BLACKLIST, _CFG)
-    return conversation_stats(t, ann["mentions"], ann["timexes"])
+    return conversation_stats(t, ann["mentions_f"], ann["timexes_f"])
 
 
 def _q_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k entities by mention count (agg shuffles on cui; rank
     window runs on vocabulary-bounded aggregated rows only)."""
-    mentions = _annotations(spark, sf_dir)["mentions"]
+    mentions = _annotations(spark, sf_dir)["mentions_f"]  # ids unused
     return top_entities(mentions, k=10)
 
 

@@ -81,6 +81,11 @@ def build_annotations(
         "annotated": annotated,
         "mentions_raw": mentions_raw,
         "timexes_raw": timexes_raw,
+        # pre-id filtered mentions: consumers that never read annotation_id
+        # (rollups, cross-turn edges, canonicalization) take this and skip
+        # the W1 window exchange entirely
+        "mentions_f": mentions_f,
+        "timexes_f": timexes_f,
         "mentions": mentions_id,
         "timexes": timexes_id,
     }
