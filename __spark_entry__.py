@@ -16,7 +16,8 @@
                       recursive-CTE connected components (canonicalization),
                       recursive-CTE LCG hyperplanes (sign-projection LSH),
                       integer-exact fake codecs (multimodal), left-fold
-                      double cosines (ANN re-rank). ALL 33 queries carry an
+                      double cosines (ANN re-rank), final-snapshot equality
+                      for keyed streaming state. ALL 34 queries carry an
                       exact oracle — zero rows-only checks.
 
 Column-name/type parity with the oracle is load-bearing: every computed
@@ -287,6 +288,36 @@ def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(*_TRIPLE_COLS)
 
 
+def _q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-conversation running stats with state carried across micro-batches
+    (4 input files x maxFilesPerTrigger=1). The final cumulative snapshot
+    per key must equal the batch aggregate — the DuckDB oracle."""
+    import os
+    import tempfile
+
+    from kgpipe.streaming import run_stateful_stream
+
+    base = tempfile.mkdtemp(prefix="kg_state_q_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    derive_transcripts(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    run_stateful_stream(spark, in_dir, out_dir, ckpt, max_files_per_trigger=1)
+    snaps = spark.read.parquet(out_dir)
+    w = Window.partitionBy("conv_id").orderBy(F.col("n_turns").desc())
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "conv_id", "n_turns", "n_roles", "first_date", "last_date",
+            "total_chars",
+        )
+    )
+
+
 def _q_conmod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3/F4 contextual-modality stage (--use_conmod analog): deterministic
     marker scorer over the covering sentence (W5). Labels shown pre-gate
@@ -529,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_all": _q_triples_all,
         "kg_triples_fused": _q_triples_fused,
         "kg_streaming_ingest": _q_streaming_ingest,
+        "kg_streaming_state": _q_streaming_state,
         "kg_dtr": _q_dtr,
         "kg_confidence": _q_confidence,
         "kg_tsv_view": _q_tsv_view,
@@ -1453,6 +1485,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_all": _ORACLE_TRIPLES_ALL,
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
         "kg_streaming_ingest": _ORACLE_TRIPLES_ALL,
+        "kg_streaming_state": f"""
+WITH t AS ({_T})
+SELECT conv_id, COUNT(*) AS n_turns,
+       CAST(COUNT(DISTINCT role) AS INT) AS n_roles,
+       MIN(CAST(ts AS DATE)) AS first_date,
+       MAX(CAST(ts AS DATE)) AS last_date,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM t GROUP BY conv_id
+""",
         "kg_dtr": _ORACLE_DTR,
         "kg_conmod": _ORACLE_CONMOD,
         "kg_timeline_summary": _ORACLE_TIMELINE_SUMMARY,

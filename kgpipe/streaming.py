@@ -26,13 +26,21 @@ processing-time trigger it runs as a live service.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .pair import fused_triples
 from .schemas import TRANSCRIPTS_SCHEMA
 
-__all__ = ["stream_triples", "run_stream"]
+__all__ = [
+    "stream_triples",
+    "run_stream",
+    "stateful_conversation_stats",
+    "run_stateful_stream",
+]
 
 
 def stream_triples(
@@ -75,4 +83,101 @@ def run_stream(
     query = writer.start()
     if trigger_available_now:
         query.awaitTermination(timeout_sec)
+    return query
+
+
+_STATE_OUT_SCHEMA = (
+    "conv_id string, n_turns long, n_roles int, "
+    "first_date date, last_date date, total_chars long"
+)
+# roles kept as a sorted comma-joined set: bounded (role vocabulary is
+# tiny), and flat state structs serialize cheaply
+_STATE_SCHEMA = (
+    "n_turns long, roles string, first_date string, last_date string, "
+    "total_chars long"
+)
+
+
+def _update_conv_state(key, pdfs: Iterator[pd.DataFrame], state):
+    """Custom stateful operator body: merge this micro-batch's turns for one
+    conversation into the running state, emit the cumulative snapshot."""
+    n_turns, roles_s, first_d, last_d, total_chars = (
+        state.get if state.exists else (0, "", None, None, 0)
+    )
+    roles = set(roles_s.split(",")) - {""}
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        roles |= set(pdf["role"].dropna())
+        total_chars += int(pdf["text"].fillna("").str.len().sum())
+        dates = pd.to_datetime(pdf["ts"]).dropna().dt.strftime("%Y-%m-%d")
+        if len(dates):
+            lo, hi = dates.min(), dates.max()
+            first_d = lo if first_d is None or lo < first_d else first_d
+            last_d = hi if last_d is None or hi > last_d else last_d
+    state.update((n_turns, ",".join(sorted(roles)), first_d, last_d, total_chars))
+    yield pd.DataFrame(
+        {
+            "conv_id": [key[0]],
+            "n_turns": [n_turns],
+            "n_roles": [len(roles)],
+            "first_date": [pd.Timestamp(first_d).date() if first_d else None],
+            "last_date": [pd.Timestamp(last_d).date() if last_d else None],
+            "total_chars": [total_chars],
+        }
+    )
+
+
+def stateful_conversation_stats(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md §2.9 extension):
+    per-conversation running stats via ``applyInPandasWithState``.
+
+    State (one flat struct per conv_id) carries cumulative turn count, the
+    distinct-role set, anchor-date span, and char volume across micro-
+    batches; each batch a conversation appears in emits its updated
+    cumulative snapshot (append mode), so the LAST snapshot per key equals
+    the batch aggregate over the full input — the oracle relation. The
+    shuffle is the single groupBy(conv_id) Spark requires for keyed state;
+    state lives in the checkpoint's state store (RocksDB/HDFS-backed on a
+    cluster), so a 10^12-turn keyed-state job scales with executors exactly
+    like any aggregation."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    transcripts = reader.parquet(input_dir)
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        _update_conv_state,
+        _STATE_OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float | None = 300.0,
+):
+    """Drain the stateful stream (availableNow) into a parquet append sink;
+    with max_files_per_trigger < file count the run spans several micro-
+    batches, so the state genuinely carries across batch boundaries."""
+    snaps = stateful_conversation_stats(spark, input_dir, max_files_per_trigger)
+    query = (
+        snaps.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
     return query

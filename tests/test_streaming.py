@@ -53,3 +53,46 @@ def test_stream_equals_batch_and_resumes(spark, gazetteer, blacklist, tmp_path):
     )
     assert got2 == want2
     assert os.path.isdir(ckpt)
+
+
+def test_stateful_conversation_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches; the final
+    snapshot per conversation equals the batch aggregate over all input."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.streaming import run_stateful_stream
+
+    in_dir = str(tmp_path / "sin")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    t = synthetic_transcripts_df(spark, n_conv=5, turns_per_conv=6, seed=3,
+                                 hot_conv_factor=1)
+    # 4 input files + maxFilesPerTrigger=1 -> 4 micro-batches
+    t.repartition(4).write.mode("append").parquet(in_dir)
+
+    q = run_stateful_stream(spark, in_dir, out_dir, ckpt,
+                            max_files_per_trigger=1, timeout_sec=180.0)
+    assert not q.isActive
+    snaps = spark.read.parquet(out_dir)
+    n_convs = t.select("conv_id").distinct().count()
+    # cumulative snapshots from >1 batch: more rows than conversations
+    assert snaps.count() > n_convs
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("conv_id").orderBy(F.col("n_turns").desc())
+    final = (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("conv_id", "n_turns", "n_roles", "first_date", "last_date",
+                "total_chars")
+    )
+    want = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").cast("int").alias("n_roles"),
+        F.min(F.to_date("ts")).alias("first_date"),
+        F.max(F.to_date("ts")).alias("last_date"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    got_rows = sorted(map(tuple, final.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
