@@ -59,23 +59,22 @@ def tokenize(text: str):
     stream), token_map[i] = (begin, end) char offsets, is_newline[i] marks
     newline tokens.
 
-    Duplicate begin offsets collapse last-wins and the stream is emitted in
-    sorted-begin order, mirroring tokens_and_map
-    (timeline_delegator.py:98-118).
+    W2 semantics (duplicate-begin last-wins, sorted-begin emission,
+    tokens_and_map timeline_delegator.py:98-118) hold vacuously here: a
+    single finditer pass yields non-overlapping matches in strictly
+    increasing begin order, so no dict/sort pass is needed (the reference
+    needed one because multiple UIMA annotators could emit colliding
+    tokens). invert_token_map keeps the real last-wins behavior for callers
+    that merge token streams.
     """
-    collected: Dict[int, Tuple[int, str, bool]] = {}
-    for m in _TOKEN_RE.finditer(text):
-        tok = m.group(0)
-        is_nl = tok == "\n"
-        collected[m.start()] = (m.end(), tok, is_nl)
     tokens: List[str] = []
     token_map: List[Tuple[int, int]] = []
     newline_flags: List[bool] = []
-    for begin in sorted(collected):
-        end, tok, is_nl = collected[begin]
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
         tokens.append(tok)
-        token_map.append((begin, end))
-        newline_flags.append(is_nl)
+        token_map.append((m.start(), m.end()))
+        newline_flags.append(tok == "\n")
     return tokens, token_map, newline_flags
 
 
