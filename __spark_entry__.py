@@ -17,7 +17,7 @@
                       recursive-CTE LCG hyperplanes (sign-projection LSH),
                       integer-exact fake codecs (multimodal), left-fold
                       double cosines (ANN re-rank), final-snapshot equality
-                      for keyed streaming state. ALL 34 queries carry an
+                      for keyed streaming state. ALL 36 queries carry an
                       exact oracle — zero rows-only checks.
 
 Column-name/type parity with the oracle is load-bearing: every computed
@@ -42,6 +42,7 @@ from kgpipe.graph import (
     cross_turn_event_edges,
     entity_timeline_summary,
     node_degree,
+    tool_transitions,
     top_entities,
 )
 from kgpipe.resources import (
@@ -382,6 +383,12 @@ def _q_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_entities(mentions, k=10)
 
 
+def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-invocation bigrams per conversation (lead window on the pruned
+    tool-bearing subset, then a vocabulary-bounded aggregate)."""
+    return tool_transitions(derive_transcripts(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # corpus / training-data operators (documents table)
 # --------------------------------------------------------------------------
@@ -430,6 +437,18 @@ def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_documents(spark, sf_dir))
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (explode -> two hash aggregates ->
+    per-doc rank window), floor-scaled for cross-engine compare."""
+    from kgpipe.textops import tfidf_top_terms
+
+    t = tfidf_top_terms(_documents(spark, sf_dir), k=3)
+    return t.select(
+        "doc_id", "rank", "term",
+        F.floor(F.col("tfidf") * 1e6).cast("bigint").alias("tfidf_e6"),
+    )
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_degree": _q_node_degree,
         "kg_conv_stats": _q_conv_stats,
         "kg_top_entities": _q_top_entities,
+        "kg_tool_transitions": _q_tool_transitions,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -582,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
+        "text_tfidf": _q_tfidf,
         "sim_topk_bruteforce": _q_topk_bruteforce,
         "sim_topk_lsh": _q_topk_lsh,
         "sim_topk_ivf": _q_topk_ivf,
@@ -1151,6 +1172,48 @@ SELECT e.conv_id, e.turn_idx,
 FROM ev_xml e LEFT JOIN tx t USING (conv_id, turn_idx)
 """
 
+_ORACLE_TOOL_TRANSITIONS = f"""
+WITH t AS ({_T}),
+tooled AS (
+  SELECT conv_id, turn_idx, tool FROM t
+  WHERE tool IS NOT NULL AND tool <> ''
+),
+pairs AS (
+  SELECT conv_id, tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM tooled QUALIFY next_tool IS NOT NULL
+)
+SELECT tool AS tool_a, next_tool AS tool_b,
+       COUNT(*) AS n_transitions, COUNT(DISTINCT conv_id) AS n_convs
+FROM pairs GROUP BY tool, next_tool
+"""
+
+_ORACLE_TFIDF = """
+WITH docs AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, CAST(FLOOR(tfidf * 1e6) AS BIGINT) AS tfidf_e6
+FROM ranked WHERE rank <= 3
+"""
+
 # Multimodal fake-codec replay: the payload is utf-8 text over an ASCII
 # corpus, so byte values == code points; the feature vector is pure integer
 # stats (count/sum/min/max/mod-sums) — exact in both engines.
@@ -1505,6 +1568,8 @@ FROM t GROUP BY conv_id
         "kg_node_degree": _ORACLE_NODE_DEGREE,
         "kg_conv_stats": _ORACLE_CONV_STATS,
         "kg_top_entities": _ORACLE_TOP_ENTITIES,
+        "kg_tool_transitions": _ORACLE_TOOL_TRANSITIONS,
+        "text_tfidf": _ORACLE_TFIDF,
         "dedup_exact": f"""
 WITH docs AS ({_DOCS_PLUS_SQL})
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS n_docs

@@ -30,6 +30,7 @@ __all__ = [
     "node_degree",
     "conversation_stats",
     "top_entities",
+    "tool_transitions",
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -214,6 +215,30 @@ def top_entities(mentions_f: DataFrame, k: int = 10) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("rank", "cui", "n_mentions", "n_convs")
+    )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Tool-invocation bigrams: for each conversation, consecutive
+    tool-bearing turns (ordered by turn_idx) form (tool_a, tool_b) edges;
+    returns global counts (tool_a, tool_b, n_transitions, n_convs).
+
+    One lead() window keyed on conv_id over the tool-bearing subset (the
+    filter prunes before the exchange), then a vocabulary-bounded hash
+    aggregate."""
+    tooled = transcripts.where(
+        F.col("tool").isNotNull() & (F.col("tool") != "")
+    ).select("conv_id", "turn_idx", "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        tooled.withColumn("next_tool", F.lead("tool").over(w))
+        .where(F.col("next_tool").isNotNull())
+    )
+    return pairs.groupBy(
+        F.col("tool").alias("tool_a"), F.col("next_tool").alias("tool_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("conv_id").alias("n_convs"),
     )
 
 

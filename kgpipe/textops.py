@@ -37,6 +37,7 @@ __all__ = [
     "quality_scores",
     "token_stats",
     "doc_fingerprint",
+    "tfidf_top_terms",
 ]
 
 
@@ -211,6 +212,42 @@ def simhash_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, *, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (doc_id, rank, term, tfidf).
+
+    Classic corpus-scale dataflow: explode tokens -> per-(doc, term) TF hash
+    aggregate -> term DF hash aggregate (vocabulary-bounded, AQE broadcasts
+    it back) -> idf = ln(N / df) -> per-doc rank window. Two shuffles total
+    (doc-term agg, term agg); the rank window partitions by doc_id so it
+    never concentrates. Determinism: ties broken by term asc; tfidf is
+    ln-based double — callers floor-scale for cross-engine compare.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
     )
 
 

@@ -97,3 +97,30 @@ def test_top_entities_rank_and_tiebreak(spark):
         (1, "C102", 2, 2),  # tie on count broken by cui asc
         (2, "C103", 2, 2),
     ]
+
+
+def test_tool_transitions(spark):
+    import datetime as _dt
+
+    from kgpipe.graph import tool_transitions
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "x", "search", _dt.datetime(2021, 1, 1)),
+            ("c1", 1, "user", "x", None, _dt.datetime(2021, 1, 2)),
+            ("c1", 2, "user", "x", "browser", _dt.datetime(2021, 1, 3)),
+            ("c1", 3, "user", "x", "search", _dt.datetime(2021, 1, 4)),
+            ("c2", 0, "user", "x", "search", _dt.datetime(2021, 1, 1)),
+            ("c2", 1, "user", "x", "browser", _dt.datetime(2021, 1, 2)),
+            ("c3", 0, "user", "x", "", _dt.datetime(2021, 1, 1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {(r.tool_a, r.tool_b): (r.n_transitions, r.n_convs)
+           for r in tool_transitions(t).collect()}
+    # null/empty tools are pruned before the lag window, so c1's bigrams are
+    # (search->browser, browser->search); c3 contributes nothing
+    assert got == {
+        ("search", "browser"): (2, 2),
+        ("browser", "search"): (1, 1),
+    }

@@ -82,3 +82,28 @@ def test_fingerprint_deterministic_and_dup_consistent(docs):
     assert fp[0] != fp[4]
     fp2 = {r.doc_id: (tuple(r.fingerprint), r.min_hash) for r in doc_fingerprint(docs).collect()}
     assert fp == fp2                # stable across runs
+
+
+def test_tfidf_top_terms(spark):
+    from kgpipe.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in
+           tfidf_top_terms(docs, k=2).collect()}
+    import math
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    t, v = got[(0, 1)]
+    assert t == "apple" and abs(v - 2 * math.log(3)) < 1e-12
+    t, v = got[(0, 2)]
+    assert t == "banana" and abs(v - math.log(1.5)) < 1e-12
+    # doc 2: cherry tf=3 df=2 -> 3*ln(1.5); only one distinct term
+    t, v = got[(2, 1)]
+    assert t == "cherry" and abs(v - 3 * math.log(1.5)) < 1e-12
+    assert (2, 2) not in got
