@@ -17,7 +17,7 @@
                       recursive-CTE LCG hyperplanes (sign-projection LSH),
                       integer-exact fake codecs (multimodal), left-fold
                       double cosines (ANN re-rank), final-snapshot equality
-                      for keyed streaming state. ALL 36 queries carry an
+                      for keyed streaming state. ALL 37 queries carry an
                       exact oracle — zero rows-only checks.
 
 Column-name/type parity with the oracle is load-bearing: every computed
@@ -551,6 +551,31 @@ def _q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF as a materialized index: corpus written partitioned by list_id,
+    probes read only their n_probe partitions (dynamic partition pruning —
+    the plan carries a dynamicpruning PartitionFilter; asserted in pytest).
+    Results are identical to the in-memory IVF, so it shares that oracle."""
+    import tempfile
+
+    from kgpipe.simsearch import build_ivf_index, ivf_topk_indexed
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="kg_ivf_idx_")
+    centroids = build_ivf_index(emb, path, n_list=16)
+    r = ivf_topk_indexed(spark, path, centroids, q, k=5, n_probe=4, raw=True)
+    return r.select(
+        "query_id", "vec_id",
+        F.floor(F.col("cosine") * 1e6).cast("bigint").alias("cosine_e6"),
+        "rank",
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata through a
     mapInPandas feature extractor. The fake codec emits integer-exact byte
@@ -606,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _q_topk_bruteforce,
         "sim_topk_lsh": _q_topk_lsh,
         "sim_topk_ivf": _q_topk_ivf,
+        "sim_topk_ivf_indexed": _q_topk_ivf_indexed,
         "mm_media_features": _q_media_features,
     }
 
@@ -1585,6 +1611,7 @@ FROM docs GROUP BY 1 HAVING COUNT(*) > 1
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "sim_topk_bruteforce": _ORACLE_TOPK,
         "sim_topk_ivf": _ORACLE_TOPK_IVF,
+        "sim_topk_ivf_indexed": _ORACLE_TOPK_IVF,
         "sim_topk_lsh": _ORACLE_TOPK_LSH,
         "dedup_embedding_lsh": _ORACLE_DEDUP_EMB_LSH,
         "mm_media_features": _ORACLE_MEDIA_FEATURES,

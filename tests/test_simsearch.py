@@ -116,3 +116,29 @@ def test_embedding_dup_pairs_exact_and_lsh(emb):
     assert set(map(tuple, lsh[["vec_a", "vec_b"]].values)) <= set(
         map(tuple, exact[["vec_a", "vec_b"]].values)
     )
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF layout: probe results equal the in-memory IVF,
+    and the probe scan is dynamically partition-pruned to the probed lists."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kgpipe.simsearch import build_ivf_index, ivf_topk, ivf_topk_indexed
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(16).astype(float).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    centroids = build_ivf_index(emb, path, n_list=8)
+    got = ivf_topk_indexed(spark, path, centroids, q, k=4, n_probe=3)
+    want = ivf_topk(emb, q, k=4, n_list=8, n_probe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the probe plan prunes partitions via DPP on list_id
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(list_id" in plan

@@ -14,6 +14,9 @@ Checks (each is a hard assertion, so this doubles as a regression gate):
    (PushedFilters check).
 4. brute-force top-k — the query side is a BroadcastNestedLoopJoin
    (broadcast dim table), not a shuffled cross product.
+5. IVF index probe — the partitioned-by-list_id scan carries a
+   dynamicpruning PartitionFilter (DPP): probes read n_probe partitions,
+   never the full corpus.
 
 Usage: python tools/explain_plans.py [--write]  (--write refreshes PLANS.md)
 """
@@ -126,6 +129,26 @@ def main() -> int:
         "brute-force top-k (queries broadcast)",
         p,
         ["BroadcastNestedLoopJoin: corpus never shuffles; window only on query_id"],
+    ))
+
+    # 5. IVF index probe: dynamic partition pruning ----------------------------
+    from kgpipe.simsearch import build_ivf_index, ivf_topk_indexed
+
+    idx_dir = tempfile.mkdtemp(prefix="kg_plans_ivf_") + "/index"
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = build_ivf_index(emb_d, idx_dir, n_list=16)
+    probe = ivf_topk_indexed(spark, idx_dir, cents, qs, k=5, n_probe=4)
+    # executedPlan: DPP subqueries only appear post-planning
+    p = probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower(), "IVF probe scan is not DPP-pruned"
+    assert re.search(r"PartitionFilters: \[isnotnull\(list_id", p), p
+    sections.append((
+        "IVF index probe (corpus partitioned by list_id)",
+        "\n".join(ln for ln in p.splitlines() if len(ln) < 220),
+        ["PartitionFilters: dynamicpruning on list_id — probe reads n_probe"
+         " partitions, the rest of the corpus is never listed"],
     ))
 
     print("ALL PLAN ASSERTIONS PASS")
