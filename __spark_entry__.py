@@ -17,7 +17,7 @@
                       recursive-CTE LCG hyperplanes (sign-projection LSH),
                       integer-exact fake codecs (multimodal), left-fold
                       double cosines (ANN re-rank), final-snapshot equality
-                      for keyed streaming state. ALL 37 queries carry an
+                      for keyed streaming state. ALL 38 queries carry an
                       exact oracle — zero rows-only checks.
 
 Column-name/type parity with the oracle is load-bearing: every computed
@@ -389,6 +389,14 @@ def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_transitions(derive_transcripts(spark, sf_dir))
 
 
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization via session_window (merging windows,
+    streaming-capable); oracle = gaps-and-islands in SQL."""
+    from kgpipe.graph import conversation_sessions
+
+    return conversation_sessions(derive_transcripts(spark, sf_dir), gap_hours=12)
+
+
 # --------------------------------------------------------------------------
 # corpus / training-data operators (documents table)
 # --------------------------------------------------------------------------
@@ -617,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conv_stats": _q_conv_stats,
         "kg_top_entities": _q_top_entities,
         "kg_tool_transitions": _q_tool_transitions,
+        "kg_sessions": _q_sessions,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -1214,6 +1223,32 @@ SELECT tool AS tool_a, next_tool AS tool_b,
 FROM pairs GROUP BY tool, next_tool
 """
 
+# session_window twin: gaps-and-islands — a session breaks where the gap to
+# the previous turn EXCEEDS 12h (Spark merges an event landing exactly on
+# the window end, i.e. event <= end extends — pytest-verified boundary);
+# session end = last event + gap.
+_ORACLE_SESSIONS = f"""
+WITH t AS ({_T}),
+o AS (
+  SELECT conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM t WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+),
+s AS (
+  SELECT conv_id, ts,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT conv_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 12 HOUR AS session_end,
+       COUNT(*) AS n_turns
+FROM s GROUP BY conv_id, sid
+"""
+
 _ORACLE_TFIDF = """
 WITH docs AS (SELECT doc_id, text FROM documents),
 toks AS (
@@ -1595,6 +1630,7 @@ FROM t GROUP BY conv_id
         "kg_conv_stats": _ORACLE_CONV_STATS,
         "kg_top_entities": _ORACLE_TOP_ENTITIES,
         "kg_tool_transitions": _ORACLE_TOOL_TRANSITIONS,
+        "kg_sessions": _ORACLE_SESSIONS,
         "text_tfidf": _ORACLE_TFIDF,
         "dedup_exact": f"""
 WITH docs AS ({_DOCS_PLUS_SQL})

@@ -31,6 +31,7 @@ __all__ = [
     "conversation_stats",
     "top_entities",
     "tool_transitions",
+    "conversation_sessions",
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -215,6 +216,33 @@ def top_entities(mentions_f: DataFrame, k: int = 10) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("rank", "cui", "n_mentions", "n_convs")
+    )
+
+
+def conversation_sessions(
+    transcripts: DataFrame, gap_hours: int = 12
+) -> DataFrame:
+    """Event-time sessionization: split each conversation into sessions
+    wherever consecutive turns are >= ``gap_hours`` apart, via Spark's
+    built-in ``session_window`` (the streaming-capable merging-window
+    aggregate; window end = last event + gap).
+
+    One aggregate keyed on (conv_id, session) — at 10^12 turns this is the
+    same single shuffle as any per-conversation rollup, and under
+    Structured Streaming the identical expression runs with watermark-based
+    state eviction."""
+    return (
+        transcripts.where(F.col("ts").isNotNull())
+        .groupBy(
+            "conv_id", F.session_window("ts", f"{gap_hours} hours")
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+        )
     )
 
 

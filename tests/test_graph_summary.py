@@ -124,3 +124,38 @@ def test_tool_transitions(spark):
         ("search", "browser"): (2, 2),
         ("browser", "search"): (1, 1),
     }
+
+
+def test_conversation_sessions_gap_boundary(spark):
+    import datetime as _dt
+
+    from kgpipe.graph import conversation_sessions
+
+    base = _dt.datetime(2021, 1, 1, 0, 0, 0)
+    on_edge = base + _dt.timedelta(hours=13)            # exactly prev + gap
+    past_edge = base + _dt.timedelta(hours=25, seconds=1)  # gap + 1s later
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "x", None, base),
+            ("c1", 1, "user", "x", None, base + _dt.timedelta(hours=1)),
+            # exactly 12h after the previous turn -> MERGES (Spark extends a
+            # session for events <= window end — inclusive boundary)
+            ("c1", 2, "user", "x", None, on_edge),
+            # strictly more than 12h after -> new session
+            ("c1", 3, "user", "x", None, past_edge),
+            ("c2", 0, "user", "x", None, base),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = sorted(
+        conversation_sessions(t, gap_hours=12).collect(),
+        key=lambda r: (r.conv_id, r.session_start),
+    )
+    assert [(r.conv_id, r.n_turns) for r in rows] == [
+        ("c1", 3), ("c1", 1), ("c2", 1)
+    ]
+    s0, s1, _s2 = rows
+    assert s0.session_start == base
+    assert s0.session_end == on_edge + _dt.timedelta(hours=12)  # last + gap
+    assert s1.session_start == past_edge
+    assert s1.session_end == past_edge + _dt.timedelta(hours=12)
