@@ -40,6 +40,8 @@ __all__ = [
     "run_stream",
     "stateful_conversation_stats",
     "run_stateful_stream",
+    "windowed_turn_counts",
+    "run_windowed_stream",
 ]
 
 
@@ -83,6 +85,77 @@ def run_stream(
     query = writer.start()
     if trigger_available_now:
         query.awaitTermination(timeout_sec)
+    return query
+
+
+def windowed_turn_counts(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    window_days: int = 1,
+    watermark: str = "2 days",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation: turns per (conv_id,
+    tumbling day window), append mode.
+
+    The watermark bounds state: a window is finalized (emitted + its state
+    dropped) once the max seen event time passes window.end + watermark, and
+    rows arriving later than the watermark are discarded — the late-data
+    contract pytest pins down. This is the third streaming shape next to
+    the stateless ingest and the keyed custom state: built-in windowed agg
+    with state eviction, the piece a 10^12-turn continuously-ingesting
+    deployment uses for rollups."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    t = reader.parquet(input_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        t.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{window_days} day"), F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    window_days: int = 1,
+    watermark: str = "2 days",
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float | None = 300.0,
+):
+    """Drain the watermarked windowed aggregation into a parquet append
+    sink. Append mode emits a window only once it is finalized, so windows
+    still open when the input is exhausted are NOT in the output — the
+    deliberate semantics of a forever-running ingest (they'd emit on the
+    next batch)."""
+    counts = windowed_turn_counts(
+        spark, input_dir,
+        window_days=window_days, watermark=watermark,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    query = (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
     return query
 
 

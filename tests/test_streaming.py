@@ -96,3 +96,56 @@ def test_stateful_conversation_state_across_batches(spark, tmp_path):
     got_rows = sorted(map(tuple, final.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
+
+
+def test_watermarked_window_finalize_and_late_drop(spark, tmp_path):
+    """Watermarked tumbling-window agg: windows finalize (emit) only after
+    the watermark passes window.end; rows later than the watermark are
+    dropped by the state operator."""
+    import datetime as _dt
+
+    from kgpipe.streaming import run_windowed_stream
+
+    in_dir = str(tmp_path / "win")
+    out_dir = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    day = lambda d, h=0: _dt.datetime(2021, 1, d, h)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 1: 3 turns on day 1, 2 turns on day 2 — nothing can finalize yet
+    land([("c1", i, "user", "x", None, day(1, h)) for i, h in
+          enumerate((1, 2, 3))] +
+         [("c1", 3, "user", "x", None, day(2, 4)),
+          ("c1", 4, "user", "x", None, day(2, 5))])
+    run_windowed_stream(spark, in_dir, out_dir, ckpt, timeout_sec=120.0)
+
+    # batch 2: one row far in the future pushes the watermark past both
+    # windows' ends -> they finalize and emit
+    land([("c9", 0, "user", "x", None, day(30))])
+    run_windowed_stream(spark, in_dir, out_dir, ckpt, timeout_sec=120.0)
+    got = {
+        (r.window_start, r.conv_id): r.n_turns
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(day(1), "c1"): 3, (day(2), "c1"): 2}
+
+    # batch 3: a row on day 1 is now far older than the watermark (~day 28)
+    # -> dropped by the state operator, output unchanged
+    land([("c1", 9, "user", "x", None, day(1, 6))])
+    q = run_windowed_stream(spark, in_dir, out_dir, ckpt, timeout_sec=120.0)
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for op in (q.lastProgress or {}).get("stateOperators", [])
+    )
+    assert dropped == 1
+    got2 = {
+        (r.window_start, r.conv_id): r.n_turns
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2 == got
