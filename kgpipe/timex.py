@@ -129,6 +129,37 @@ _QUICK_KEYS = {
 }
 
 
+# Patterns whose every match contains at least one digit AND extends at most
+# 2 whitespace-words left of its first digit ("september 5, 2021": one month
+# word) and 0 chars right of its last digit (all five end on \d\b). Their
+# finditer can scan just the digit region instead of the whole text.
+_DIGIT_BOUNDED = {
+    "iso_date", "slash_date", "month_day_year", "month_year", "bare_year",
+}
+
+
+def _digit_region(text: str, first: int, last_end: int) -> Tuple[int, int]:
+    """Word-aligned window around [first digit, last digit): step left over
+    two whitespace gaps (so the region never starts mid-word — slicing at a
+    word boundary preserves \\b semantics), keep >=4 chars of right context
+    (\\b after the final digit only inspects the next char)."""
+    start = first
+    gaps = 0
+    in_space = False
+    while start > 0 and gaps < 3:
+        start -= 1
+        if text[start].isspace():
+            if not in_space:  # count word gaps, not whitespace chars
+                gaps += 1
+                if gaps == 3:
+                    start += 1
+                    break
+            in_space = True
+        else:
+            in_space = False
+    return start, min(len(text), last_end + 4)
+
+
 def detect_timexes(text: str):
     """All timex spans in one turn: longest non-overlapping, earliest-first.
 
@@ -137,7 +168,12 @@ def detect_timexes(text: str):
     TIMEX_PATTERNS wins (deterministic).
     """
     lower = text.lower()
-    has_digit = _DIGIT_RE.search(text) is not None
+    first_digit = _DIGIT_RE.search(text)
+    has_digit = first_digit is not None
+    if has_digit:
+        last_digit_end = max(m.end() for m in _DIGIT_RE.finditer(text))
+        r_begin, r_end = _digit_region(text, first_digit.start(), last_digit_end)
+        region = text[r_begin:r_end]
     candidates = []
     for prio, (kind, pat) in enumerate(TIMEX_PATTERNS):
         quick = _QUICK_KEYS.get(kind)
@@ -145,6 +181,13 @@ def detect_timexes(text: str):
             if not has_digit:
                 continue
         elif quick is not None and not any(k in lower for k in quick):
+            continue
+        if has_digit and kind in _DIGIT_BOUNDED:
+            for m in pat.finditer(region):
+                candidates.append((
+                    r_begin + m.start(), -(m.end() - m.start()), prio,
+                    r_begin + m.end(), kind,
+                ))
             continue
         for m in pat.finditer(text):
             candidates.append((m.start(), -(m.end() - m.start()), prio, m.end(), kind))
