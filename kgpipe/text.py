@@ -67,15 +67,11 @@ def tokenize(text: str):
     tokens). invert_token_map keeps the real last-wins behavior for callers
     that merge token streams.
     """
-    tokens: List[str] = []
-    token_map: List[Tuple[int, int]] = []
-    newline_flags: List[bool] = []
-    for m in _TOKEN_RE.finditer(text):
-        tok = m.group(0)
-        tokens.append(tok)
-        token_map.append((m.start(), m.end()))
-        newline_flags.append(tok == "\n")
-    return tokens, token_map, newline_flags
+    ms = list(_TOKEN_RE.finditer(text))
+    tokens = [m.group(0) for m in ms]
+    spans = [m.span() for m in ms]
+    newline_flags = [t == "\n" for t in tokens]
+    return tokens, spans, newline_flags
 
 
 def invert_token_map(token_map):
