@@ -120,9 +120,27 @@ def run_with_resume(
     t0 = time.monotonic()
     subset = bucketed_in.where(F.col("bucket").isin([int(b) for b in todo]))
     triples = build_fn(subset.drop("bucket"))
-    out = with_bucket(triples, n_buckets)
+    # Spark-native observed metrics: computed inline during the write action
+    # itself (no extra pass), recorded into the lineage rows
+    from pyspark.sql import Observation
+
+    obs = Observation("kg_run_metrics")
+    out = with_bucket(triples, n_buckets).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_triples"),
+        F.sum(F.when(F.col("pred").startswith("tlink:"), 1).otherwise(0)).alias(
+            "n_tlink"
+        ),
+        F.sum(F.when(F.col("pred") == "entity-mention", 1).otherwise(0)).alias(
+            "n_entity"
+        ),
+        # exact DISTINCT is disallowed in observed metrics; the HLL sketch is
+        # the standard observable cardinality
+        F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+    )
     write_bucketed(out, triples_path, mode="append")
     t1 = time.monotonic()
+    metrics = {k: float(v or 0) for k, v in obs.get.items()}
 
     written = spark.read.parquet(triples_path).where(
         F.col("bucket").isin([int(b) for b in todo])
@@ -141,10 +159,11 @@ def run_with_resume(
         run_id,
         source_snapshot_id,
         counts,
-        {"build_and_write_sec": t1 - t0},
+        {"build_and_write_sec": t1 - t0, **metrics},
     )
     return {
         "written_buckets": sorted(todo),
         "skipped_buckets": sorted(done),
         "triples_written": int(sum(c for _, c in counts)),
+        "metrics": metrics,
     }

@@ -55,10 +55,14 @@ def test_lineage_rows_and_counts(spark, gazetteer, blacklist, tmp_path):
         r.bucket: r.cnt
         for r in triples.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
     }
+    total = triples.count()
     for _, row in lineage.iterrows():
         assert row.run_id == "rA" and row.source_snapshot_id == "sA"
         assert per_bucket.get(row.partition_hash, 0) == row.triple_count
         assert "build_and_write_sec" in row.stage_timings
+        # observed metrics (computed inline during the write) land in lineage
+        assert row.stage_timings["n_triples"] == total
+        assert {"n_tlink", "n_entity", "n_convs_approx"} <= set(row.stage_timings)
     assert completed_buckets(spark, os.path.join(out, "lineage"), "sA") == set(lineage.partition_hash)
     # a different snapshot id sees nothing completed
     assert completed_buckets(spark, os.path.join(out, "lineage"), "sB") == set()
