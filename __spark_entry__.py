@@ -23,7 +23,11 @@
 Column-name/type parity with the oracle is load-bearing: every computed
 column is aliased identically on both sides, float-valued comparisons are
 floor-scaled to BIGINT (floor of bit-identical doubles is deterministic;
-round() half-up/half-even differences are not).
+round() half-up/half-even differences are not). Two steps are identical
+only up to float rounding rather than op-for-op: the LSH bucket sign-dots
+(numpy matmul vs SQL SUM ordering) and tfidf's ln() (Math.log vs libm) —
+a flip needs a value within ~1e-12 of a sign/floor boundary, vanishingly
+unlikely on real data and absent on the driver corpus.
 """
 
 from __future__ import annotations
@@ -153,9 +157,19 @@ def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_CACHE: dict = {}
+
+
 def _annotations(spark: SparkSession, sf_dir: str):
-    t = derive_transcripts(spark, sf_dir)
-    return build_annotations(t, _GAZ, _BLACKLIST, _CFG)
+    """Memoized per (session, sf_dir): many queries consume the annotation
+    tables, and build_annotations persists its intermediates — reusing one
+    instance means the driver's whole query sweep computes the annotate pass
+    once and registers one set of cached plans instead of one per query."""
+    key = (id(spark), sf_dir)
+    if key not in _ANN_CACHE:
+        t = derive_transcripts(spark, sf_dir)
+        _ANN_CACHE[key] = build_annotations(t, _GAZ, _BLACKLIST, _CFG)
+    return _ANN_CACHE[key]
 
 
 def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,9 +260,10 @@ def _q_tsv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_anafora(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 Anafora XML documents (one per turn) — structure is
-    pytest-verified (well-formedness, id scheme); rows-only here. DTR /
-    conmod stages enabled so the property elements carry real labels."""
+    """S6 Anafora XML documents (one per turn). DTR / conmod stages enabled
+    so the property elements carry real labels; the DuckDB oracle rebuilds
+    the complete XML strings (ordered string_agg of the entity templates),
+    and pytest separately checks well-formedness + id scheme."""
     import dataclasses
 
     from kgpipe.anafora import anafora_documents
@@ -528,7 +543,8 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same near-dup semantics via sign-random-projection blocking (the
-    web-scale path: bucket equi-join instead of cross product) — rows-only."""
+    web-scale path: bucket equi-join instead of cross product); the oracle
+    replays the LCG hyperplanes with a recursive CTE."""
     p = embedding_dup_pairs(
         _emb_plus(spark, sf_dir), threshold=0.99, method="lsh",
         dim=64, n_bits=8, n_tables=4,
@@ -980,7 +996,7 @@ ment_c AS (
 ),
 tmx_c AS (SELECT conv_id, COUNT(*) AS n_timexes FROM tmx_ann GROUP BY conv_id)
 SELECT b.conv_id, b.n_turns, b.n_roles, b.first_date, b.last_date,
-       date_diff('day', b.first_date, b.last_date) AS span_days,
+       CAST(date_diff('day', b.first_date, b.last_date) AS INT) AS span_days,
        COALESCE(m.n_mentions, 0) AS n_mentions,
        COALESCE(m.n_entities, 0) AS n_entities,
        COALESCE(x.n_timexes, 0) AS n_timexes
@@ -1083,7 +1099,10 @@ GROUP BY c.component
 _ORACLE_SIMHASH = f"""
 WITH docs AS ({_DOCS_PLUS_SQL}),
 sh_toks AS (
-  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM docs
+  -- Python str.split() twin: any-whitespace split, empty tokens dropped
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok FROM docs
+  ) WHERE tok <> ''
 ),
 sh_hashed AS (
   SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT) AS h
@@ -1302,6 +1321,14 @@ SELECT doc_id,
        CAST(sq_mod AS VARCHAR) || ',' || CAST(strided_mod AS VARCHAR)
          AS features
 FROM stats
+UNION ALL
+-- empty/NULL text: the fake decoder substitutes b'\\x00' (one zero byte),
+-- so the row still exists with n_bytes=0 and the single-zero-byte stats
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       0 AS n_bytes, '1,0,0,0,0,0' AS features
+FROM docs WHERE text IS NULL OR length(text) = 0
 """
 
 

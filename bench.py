@@ -111,12 +111,15 @@ def run_default() -> None:
         "triples": triple_rows,
         "turns_per_sec": round(turns / fused_sec, 1),
         "cpus": CPUS,
-        # two-cluster-size evidence (north rule): measured via
-        # `python bench.py --scaling` (full protocol + table in BASELINE.md)
-        "scaling": {
+        # two-cluster-size evidence (north rule). NOT measured by this
+        # invocation: a static record of the 2026-08-16 `--scaling` run on
+        # this sandbox (full protocol + table in BASELINE.md); rerun
+        # `python bench.py --scaling` to measure on the current machine.
+        "scaling_reference": {
             "efficiency_4_to_16_cores": 0.881,
             "turns_per_sec_local4": 12040,
             "turns_per_sec_local16": 42438,
+            "measured_on": "2026-08-16 sandbox",
             "reproduce": "python bench.py --scaling",
         },
     }

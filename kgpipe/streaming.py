@@ -163,8 +163,9 @@ _STATE_OUT_SCHEMA = (
     "conv_id string, n_turns long, n_roles int, "
     "first_date date, last_date date, total_chars long"
 )
-# roles kept as a sorted comma-joined set: bounded (role vocabulary is
-# tiny), and flat state structs serialize cheaply
+# roles kept as a JSON-encoded sorted list: bounded (role vocabulary is
+# tiny), flat state structs serialize cheaply, and JSON is unambiguous for
+# empty sets / empty-string roles / separator characters inside a role
 _STATE_SCHEMA = (
     "n_turns long, roles string, first_date string, last_date string, "
     "total_chars long"
@@ -174,10 +175,12 @@ _STATE_SCHEMA = (
 def _update_conv_state(key, pdfs: Iterator[pd.DataFrame], state):
     """Custom stateful operator body: merge this micro-batch's turns for one
     conversation into the running state, emit the cumulative snapshot."""
+    import json
+
     n_turns, roles_s, first_d, last_d, total_chars = (
-        state.get if state.exists else (0, "", None, None, 0)
+        state.get if state.exists else (0, "[]", None, None, 0)
     )
-    roles = set(roles_s.split(",")) - {""}
+    roles = set(json.loads(roles_s))
     for pdf in pdfs:
         n_turns += len(pdf)
         roles |= set(pdf["role"].dropna())
@@ -187,7 +190,9 @@ def _update_conv_state(key, pdfs: Iterator[pd.DataFrame], state):
             lo, hi = dates.min(), dates.max()
             first_d = lo if first_d is None or lo < first_d else first_d
             last_d = hi if last_d is None or hi > last_d else last_d
-    state.update((n_turns, ",".join(sorted(roles)), first_d, last_d, total_chars))
+    state.update(
+        (n_turns, json.dumps(sorted(roles)), first_d, last_d, total_chars)
+    )
     yield pd.DataFrame(
         {
             "conv_id": [key[0]],
