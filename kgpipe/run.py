@@ -46,6 +46,21 @@ def main(argv=None) -> int:
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--run-id", default="run0")
     p.add_argument("--snapshot-id", default="snap0")
+    p.add_argument(
+        "--tsv", action="store_true",
+        help="also write the reference-compatible TSV projection "
+        "(unsummarized_output.tsv analog) under <output>/tsv",
+    )
+    p.add_argument(
+        "--graph", action="store_true",
+        help="also materialize cross-turn edges + canonical entity nodes "
+        "under <output>/edges and <output>/nodes",
+    )
+    p.add_argument(
+        "--anafora", action="store_true",
+        help="also write per-turn Anafora XML documents under "
+        "<output>/anafora",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -89,6 +104,50 @@ def main(argv=None) -> int:
         source_snapshot_id=args.snapshot_id,
         n_buckets=args.buckets,
     )
+    extras = {}
+    if args.tsv:
+        import os
+
+        from .pipeline import triples_output_view
+
+        triples = spark.read.parquet(os.path.join(args.output, "triples"))
+        tsv_path = os.path.join(args.output, "tsv")
+        (
+            triples_output_view(triples)
+            .write.mode("overwrite")
+            .option("sep", "\t")
+            .option("header", True)
+            .csv(tsv_path)
+        )
+        extras["tsv"] = tsv_path
+    if args.graph or args.anafora:
+        import os
+
+        from .pipeline import build_annotations
+
+        ann = build_annotations(transcripts, gaz, bl, cfg)
+        if args.graph:
+            from .canon import canonical_nodes
+            from .graph import cross_turn_event_edges
+
+            edges_path = os.path.join(args.output, "edges")
+            nodes_path = os.path.join(args.output, "nodes")
+            cross_turn_event_edges(ann["mentions_f"], cfg).write.mode(
+                "overwrite"
+            ).parquet(edges_path)
+            canonical_nodes(ann["mentions_f"]).write.mode("overwrite").parquet(
+                nodes_path
+            )
+            extras["edges"] = edges_path
+            extras["nodes"] = nodes_path
+        if args.anafora:
+            from .anafora import anafora_documents
+
+            anafora_path = os.path.join(args.output, "anafora")
+            anafora_documents(ann["mentions"], ann["timexes"]).write.mode(
+                "overwrite"
+            ).parquet(anafora_path)
+            extras["anafora"] = anafora_path
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -100,6 +159,7 @@ def main(argv=None) -> int:
                 "wall_sec": round(wall, 3),
                 "turns_per_sec": round(n_turns / wall, 1) if wall > 0 else None,
                 "fused": args.fused,
+                **extras,
             }
         )
     )
