@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "extract_media_features"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_fake_media",
+    "extract_media_features",
+    "resize_images",
+    "sample_frames",
+]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -84,6 +90,96 @@ def _decode(payload: bytes, media_type: str, fake: bool) -> np.ndarray:
         ],
         dtype=np.float64,
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),   # re-encoded resized bytes
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),   # one encoded frame
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, *, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """Image resize stage over Arrow batches of encoded payloads
+    (mapInPandas; 1 row in -> 1 row out, narrow). The codec is stubbed:
+    ``fake=True`` emits a deterministic byte-subsample of the payload sized
+    width*height (a real deployment swaps the body for PIL decode ->
+    resize -> re-encode; schema / batch shape / partitioning identical)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            rows = pdf[pdf["media_type"] == "image"]
+            payloads = []
+            for p in rows["payload"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "image codecs not available in this environment; "
+                        "use fake=True"
+                    )
+                arr = np.frombuffer(p or b"\x00", dtype=np.uint8)
+                idx = (np.arange(target) * max(1, arr.size // target)) % arr.size
+                payloads.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "media_type": rows["media_type"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Video frame-sampling stage: 1 video row in -> up to ``max_frames``
+    frame rows out (mapInPandas fan-out — the batch shape a real ffmpeg/pyav
+    sampler produces). Stubbed codec: each fake frame is a deterministic
+    byte-slice of the payload tagged with its timestamp."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf[pdf["media_type"] == "video"]
+            out = {"doc_id": [], "frame_idx": [], "frame_ms": [], "payload": []}
+            for doc_id, p, dur in zip(
+                rows["doc_id"], rows["payload"], rows["duration_ms"]
+            ):
+                if not fake:
+                    raise NotImplementedError(
+                        "video codecs not available in this environment; "
+                        "use fake=True"
+                    )
+                n = min(max_frames, max(1, int(dur or 0) // every_ms))
+                arr = np.frombuffer(p or b"\x00", dtype=np.uint8)
+                step = max(1, arr.size // max(n, 1))
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * every_ms)
+                    out["payload"].append(arr[i * step:(i + 1) * step].tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=FRAME_SCHEMA)
 
 
 def extract_media_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
