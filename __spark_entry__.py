@@ -17,7 +17,7 @@
                       recursive-CTE LCG hyperplanes (sign-projection LSH),
                       integer-exact fake codecs (multimodal), left-fold
                       double cosines (ANN re-rank), final-snapshot equality
-                      for keyed streaming state. ALL 38 queries carry an
+                      for keyed streaming state. ALL 40 queries carry an
                       exact oracle — zero rows-only checks.
 
 Column-name/type parity with the oracle is load-bearing: every computed
@@ -600,6 +600,36 @@ def _q_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage (1-in-1-out mapInPandas over encoded
+    payloads): the fake codec's byte-subsample is index arithmetic over the
+    ASCII payload, so the oracle rebuilds the resized bytes via substring +
+    ordered string_agg."""
+    from kgpipe.multimodal import attach_fake_media, resize_images
+
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") < 200)
+    r = resize_images(attach_fake_media(docs), width=8, height=4, fake=True)
+    return r.select(
+        "doc_id", "media_type", "width", "height",
+        F.decode("payload", "UTF-8").alias("payload_str"),
+    )
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video frame-sampling (1-in-N-out mapInPandas fan-out):
+    deterministic byte-slices per frame, exactly replayable in SQL."""
+    from kgpipe.multimodal import attach_fake_media, sample_frames
+
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") < 200)
+    fr = sample_frames(
+        attach_fake_media(docs), every_ms=1000, max_frames=4, fake=True
+    )
+    return fr.select(
+        "doc_id", "frame_idx", "frame_ms",
+        F.decode("payload", "UTF-8").alias("payload_str"),
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata through a
     mapInPandas feature extractor. The fake codec emits integer-exact byte
@@ -658,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_topk_ivf,
         "sim_topk_ivf_indexed": _q_topk_ivf_indexed,
         "mm_media_features": _q_media_features,
+        "mm_media_resize": _q_media_resize,
+        "mm_media_frames": _q_media_frames,
     }
 
 
@@ -1583,6 +1615,41 @@ SELECT vec_a, vec_b, CAST(FLOOR(cos_raw * 1e6) AS BIGINT) AS cosine_e6
 FROM scored WHERE cos_raw >= 0.99
 """
 
+# Resize replay: target = 8*4 = 32 bytes; source index for output byte i is
+# (i * max(1, len//32)) % len over the ASCII payload (multimodal.resize_images
+# fake codec twin). Only image rows (doc_id % 3 == 0).
+_ORACLE_MEDIA_RESIZE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+),
+bytes_out AS (
+  SELECT doc_id, i.i AS i,
+         substring(text,
+                   CAST((i.i * greatest(length(text) // 32, 1))
+                        % length(text) AS INT) + 1, 1) AS ch
+  FROM docs, LATERAL (SELECT UNNEST(generate_series(0, 31)) AS i) i
+)
+SELECT doc_id, 'image' AS media_type, 8 AS width, 4 AS height,
+       string_agg(ch, '' ORDER BY i) AS payload_str
+FROM bytes_out GROUP BY doc_id
+"""
+
+# Frame-sampling replay: videos are doc_id % 3 == 2; duration = 10*len ms;
+# n = min(4, max(1, duration // 1000)); frame i = payload[i*step:(i+1)*step]
+# with step = len // n (sample_frames fake codec twin).
+_ORACLE_MEDIA_FRAMES = """
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS len,
+         least(4, greatest(1, (length(text) * 10) // 1000)) AS n
+  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 2
+)
+SELECT doc_id, CAST(i.i AS INT) AS frame_idx,
+       CAST(i.i * 1000 AS INT) AS frame_ms,
+       substring(text, CAST(i.i * greatest(len // n, 1) AS INT) + 1,
+                 CAST(greatest(len // n, 1) AS INT)) AS payload_str
+FROM docs, LATERAL (SELECT UNNEST(generate_series(0, n - 1)) AS i) i
+"""
+
 # IVF replay: centroids = first 16 corpus vectors; assignment = argmax
 # cosine with stable centroid-id tie-break (the numpy stable argsort twin);
 # queries probe their 4 nearest lists; exact left-fold cosine re-rank.
@@ -1678,5 +1745,7 @@ FROM docs GROUP BY 1 HAVING COUNT(*) > 1
         "sim_topk_lsh": _ORACLE_TOPK_LSH,
         "dedup_embedding_lsh": _ORACLE_DEDUP_EMB_LSH,
         "mm_media_features": _ORACLE_MEDIA_FEATURES,
+        "mm_media_resize": _ORACLE_MEDIA_RESIZE,
+        "mm_media_frames": _ORACLE_MEDIA_FRAMES,
         # every queries() entry has an exact oracle — zero rows-only checks
     }
