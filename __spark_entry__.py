@@ -17,7 +17,7 @@
                       recursive-CTE LCG hyperplanes (sign-projection LSH),
                       integer-exact fake codecs (multimodal), left-fold
                       double cosines (ANN re-rank), final-snapshot equality
-                      for keyed streaming state. ALL 40 queries carry an
+                      for keyed streaming state. ALL 42 queries carry an
                       exact oracle — zero rows-only checks.
 
 Column-name/type parity with the oracle is load-bearing: every computed
@@ -404,6 +404,24 @@ def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_transitions(derive_transcripts(spark, sf_dir))
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence graph + triangle count (the classic two-self-join
+    a<b<c dataflow). One summary row: n_nodes, n_edges, n_triangles."""
+    from kgpipe.graph import cooccurrence_edges, triangle_count
+
+    m = _annotations(spark, sf_dir)["mentions_f"]
+    return triangle_count(cooccurrence_edges(m))
+
+
+def _q_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window analytics per conversation: running mention count
+    and running distinct-entity count per entity-bearing turn."""
+    from kgpipe.graph import running_entity_counts
+
+    m = _annotations(spark, sf_dir)["mentions_f"]
+    return running_entity_counts(m)
+
+
 def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sessionization via session_window (merging windows,
     streaming-capable); oracle = gaps-and-islands in SQL."""
@@ -672,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_entities": _q_top_entities,
         "kg_tool_transitions": _q_tool_transitions,
         "kg_sessions": _q_sessions,
+        "kg_triangles": _q_triangles,
+        "kg_running_counts": _q_running_counts,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -1300,6 +1320,46 @@ SELECT conv_id, MIN(ts) AS session_start,
 FROM s GROUP BY conv_id, sid
 """
 
+_ORACLE_TRIANGLES = f"""
+WITH {_MENTIONS},
+mm AS (SELECT DISTINCT conv_id, turn_idx, cui FROM ment_ann),
+e AS (
+  SELECT DISTINCT x.cui AS cui_a, y.cui AS cui_b
+  FROM mm x JOIN mm y USING (conv_id, turn_idx) WHERE x.cui < y.cui
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles FROM e e1
+  JOIN e e2 ON e2.cui_a = e1.cui_b
+  JOIN e e3 ON e3.cui_a = e1.cui_a AND e3.cui_b = e2.cui_b
+),
+nodes AS (
+  SELECT COUNT(DISTINCT n) AS n_nodes
+  FROM (SELECT cui_a AS n FROM e UNION ALL SELECT cui_b AS n FROM e)
+)
+SELECT n_nodes, (SELECT COUNT(*) FROM e) AS n_edges, n_triangles
+FROM nodes, tri
+"""
+
+_ORACLE_RUNNING_COUNTS = f"""
+WITH {_MENTIONS},
+pt AS (
+  SELECT conv_id, turn_idx, COUNT(*) AS n_mentions
+  FROM ment_ann GROUP BY conv_id, turn_idx
+),
+firsts AS (
+  SELECT conv_id, turn_idx, COUNT(*) AS n_new FROM (
+    SELECT conv_id, cui, MIN(turn_idx) AS turn_idx
+    FROM ment_ann GROUP BY conv_id, cui
+  ) GROUP BY conv_id, turn_idx
+)
+SELECT p.conv_id, p.turn_idx,
+       CAST(SUM(p.n_mentions) OVER w AS BIGINT) AS cum_mentions,
+       CAST(SUM(COALESCE(f.n_new, 0)) OVER w AS BIGINT) AS cum_entities
+FROM pt p LEFT JOIN firsts f USING (conv_id, turn_idx)
+WINDOW w AS (PARTITION BY p.conv_id ORDER BY p.turn_idx
+             ROWS UNBOUNDED PRECEDING)
+"""
+
 _ORACLE_TFIDF = """
 WITH docs AS (SELECT doc_id, text FROM documents),
 toks AS (
@@ -1725,6 +1785,8 @@ FROM t GROUP BY conv_id
         "kg_top_entities": _ORACLE_TOP_ENTITIES,
         "kg_tool_transitions": _ORACLE_TOOL_TRANSITIONS,
         "kg_sessions": _ORACLE_SESSIONS,
+        "kg_triangles": _ORACLE_TRIANGLES,
+        "kg_running_counts": _ORACLE_RUNNING_COUNTS,
         "text_tfidf": _ORACLE_TFIDF,
         "dedup_exact": f"""
 WITH docs AS ({_DOCS_PLUS_SQL})

@@ -32,6 +32,9 @@ __all__ = [
     "top_entities",
     "tool_transitions",
     "conversation_sessions",
+    "cooccurrence_edges",
+    "triangle_count",
+    "running_entity_counts",
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -267,6 +270,83 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_transitions"),
         F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+def cooccurrence_edges(mentions_f: DataFrame) -> DataFrame:
+    """Entity co-occurrence graph: distinct (cui_a < cui_b) pairs appearing
+    in the same turn, with pair frequency. Vocabulary-bounded output; the
+    self-join is keyed on (conv_id, turn_idx) — the partitioning the
+    pipeline already uses."""
+    m = mentions_f.select("conv_id", "turn_idx", "cui").distinct()
+    return (
+        m.alias("x")
+        .join(m.alias("y"), ["conv_id", "turn_idx"])
+        .where(F.col("x.cui") < F.col("y.cui"))
+        .groupBy(F.col("x.cui").alias("cui_a"), F.col("y.cui").alias("cui_b"))
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+    )
+
+
+def triangle_count(edges_ab: DataFrame) -> DataFrame:
+    """Triangle count over an undirected (cui_a < cui_b) edge list — the
+    classic two-self-join dataflow: e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with
+    a < b < c counts each triangle exactly once. Returns one row
+    (n_nodes, n_edges, n_triangles).
+
+    On a vocabulary-bounded graph this is broadcast-sized; on a corpus-
+    bounded graph the same plan shuffles on the join keys and the a<b<c
+    orientation keeps the join one-directional (no double counting, no
+    symmetric blow-up)."""
+    e = edges_ab.select("cui_a", "cui_b").distinct()
+    e1 = e.select(F.col("cui_a").alias("a"), F.col("cui_b").alias("b"))
+    e2 = e.select(F.col("cui_a").alias("b"), F.col("cui_b").alias("c"))
+    e3 = e.select(F.col("cui_a").alias("a"), F.col("cui_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = e1.select(F.col("a").alias("n")).unionByName(
+        e1.select(F.col("b").alias("n"))
+    ).distinct()
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+def running_entity_counts(mentions_f: DataFrame) -> DataFrame:
+    """Cumulative per-conversation analytics: for each entity-bearing turn,
+    the running mention count and running distinct-entity count up to that
+    turn (ORDER BY turn_idx ROWS UNBOUNDED PRECEDING window frames).
+
+    One exchange on conv_id; the running-distinct uses the first-occurrence
+    trick (rank per (conv, cui) == 1) so the frame only sums 0/1 flags —
+    no per-row set state."""
+    per_turn = mentions_f.groupBy("conv_id", "turn_idx").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.collect_set("cui").alias("cuis"),
+    )
+    w_first = Window.partitionBy("conv_id", "cui").orderBy("turn_idx")
+    firsts = (
+        mentions_f.select("conv_id", "turn_idx", "cui")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w_first))
+        .where(F.col("rnk") == 1)
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("n_new_entities"))
+    )
+    cum = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_turn.join(firsts, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id", "turn_idx",
+            F.sum("n_mentions").over(cum).alias("cum_mentions"),
+            F.sum(F.coalesce("n_new_entities", F.lit(0)))
+            .over(cum)
+            .alias("cum_entities"),
+        )
     )
 
 

@@ -159,3 +159,42 @@ def test_conversation_sessions_gap_boundary(spark):
     assert s0.session_end == on_edge + _dt.timedelta(hours=12)  # last + gap
     assert s1.session_start == past_edge
     assert s1.session_end == past_edge + _dt.timedelta(hours=12)
+
+
+def test_cooccurrence_and_triangles(spark):
+    from kgpipe.graph import cooccurrence_edges, triangle_count
+
+    m = spark.createDataFrame(
+        [
+            # turn 0 of c1 has A,B,C together -> edges AB, AC, BC -> 1 triangle
+            ("c1", 0, "A"), ("c1", 0, "B"), ("c1", 0, "C"),
+            # turn 1 repeats A,B (n_cooccur AB = 2) and adds D with A
+            ("c1", 1, "A"), ("c1", 1, "B"),
+            ("c2", 0, "A"), ("c2", 0, "D"),
+        ],
+        "conv_id string, turn_idx int, cui string",
+    )
+    e = {(r.cui_a, r.cui_b): r.n_cooccur for r in cooccurrence_edges(m).collect()}
+    assert e == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1, ("A", "D"): 1}
+    t = triangle_count(cooccurrence_edges(m)).first()
+    assert (t.n_nodes, t.n_edges, t.n_triangles) == (4, 4, 1)
+
+
+def test_running_entity_counts(spark):
+    from kgpipe.graph import running_entity_counts
+
+    m = spark.createDataFrame(
+        [
+            ("c1", 0, "A"), ("c1", 0, "A"), ("c1", 0, "B"),
+            ("c1", 2, "A"), ("c1", 2, "C"),
+            ("c2", 5, "Z"),
+        ],
+        "conv_id string, turn_idx int, cui string",
+    )
+    got = {(r.conv_id, r.turn_idx): (r.cum_mentions, r.cum_entities)
+           for r in running_entity_counts(m).collect()}
+    assert got == {
+        ("c1", 0): (3, 2),   # 3 mentions so far; A,B new
+        ("c1", 2): (5, 3),   # +2 mentions; C new, A already seen
+        ("c2", 5): (1, 1),
+    }
