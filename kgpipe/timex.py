@@ -75,9 +75,18 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "in_n",
         re.compile(rf"\bin\s+({_NUM_ALT})\s+(day|week|month|year)s?\b", re.I),
     ),
+    # quarters — the reference's timenorm emits YYYY-QN TimeML values and
+    # its W7 heuristic special-cases quarter granularity (TEP.scala:219-251)
+    (
+        "quarter_year",
+        re.compile(
+            r"\b(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)\s+quarter(?:\s+of)?)\s+(\d{4})\b",
+            re.I,
+        ),
+    ),
     (
         "rel_unit",
-        re.compile(r"\b(last|next|this)\s+(week|month|year)\b", re.I),
+        re.compile(r"\b(last|next|this)\s+(week|month|year|quarter)\b", re.I),
     ),
     (
         "rel_weekday",
@@ -115,6 +124,9 @@ _QUICK_KEYS = {
     "month_year": "digit",
     "ago": ("ago",),
     "in_n": ("in",),
+    # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
+    # extends 3 words left of its first digit
+    "quarter_year": ("quarter", "q1", "q2", "q3", "q4"),
     "rel_unit": ("last", "next", "this"),
     "rel_weekday": ("last", "next"),
     "weekday": (
@@ -268,6 +280,19 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return _fmt_month(int(m.group(2)), _MONTHS[m.group(1).lower()])
         if kind == "bare_year":
             return f"{int(s):04d}"
+        if kind == "quarter_year":
+            m = re.match(
+                r"(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)\s+quarter(?:\s+of)?)\s+(\d{4})",
+                s, re.I,
+            )
+            if not m:
+                return None
+            q = (
+                int(m.group(1))
+                if m.group(1)
+                else _QUARTER_WORDS[m.group(2).lower()]
+            )
+            return f"{int(m.group(3)):04d}-Q{q}"
         if kind == "past_ref":
             return "PAST_REF"
         if kind == "future_ref":
@@ -282,7 +307,9 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             delta = {"yesterday": -1, "today": 0, "tomorrow": 1}[w]
             return _fmt_day(anchor + dt.timedelta(days=delta))
         if kind == "rel_unit":
-            m = re.match(r"(last|next|this)\s+(week|month|year)", s, re.I)
+            m = re.match(
+                r"(last|next|this)\s+(week|month|year|quarter)", s, re.I
+            )
             direction = {"last": -1, "next": 1, "this": 0}[m.group(1).lower()]
             unit = m.group(2).lower()
             if unit == "week":
@@ -290,6 +317,9 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             if unit == "month":
                 y, mo = _shift_month(anchor.year, anchor.month, direction)
                 return _fmt_month(y, mo)
+            if unit == "quarter":
+                qi = (anchor.year * 4) + (anchor.month - 1) // 3 + direction
+                return f"{qi // 4:04d}-Q{qi % 4 + 1}"
             return f"{anchor.year + direction:04d}"
         if kind in ("ago", "in_n"):
             m = re.match(
@@ -339,7 +369,13 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
     return None
 
 
+_QUARTER_WORDS = {
+    "first": 1, "1st": 1, "second": 2, "2nd": 2,
+    "third": 3, "3rd": 3, "fourth": 4, "4th": 4,
+}
+
 _WEEK_VAL_RE = re.compile(r"^(\d{4})-W(\d{2})$")
+_QUARTER_VAL_RE = re.compile(r"^(\d{4})-Q([1-4])$")
 _MONTH_VAL_RE = re.compile(r"^(\d{4})-(\d{2})$")
 _DAY_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
 _YEAR_VAL_RE = re.compile(r"^(\d{4})$")
@@ -361,6 +397,12 @@ def timeml_interval(value: str) -> Optional[Tuple[dt.date, dt.date]]:
         y, mo = int(m.group(1)), int(m.group(2))
         y2, mo2 = _shift_month(y, mo, 1)
         return dt.date(y, mo, 1), dt.date(y2, mo2, 1) - dt.timedelta(days=1)
+    m = _QUARTER_VAL_RE.match(value)
+    if m:
+        y, q = int(m.group(1)), int(m.group(2))
+        start = dt.date(y, (q - 1) * 3 + 1, 1)
+        y2, mo2 = _shift_month(y, start.month, 3)
+        return start, dt.date(y2, mo2, 1) - dt.timedelta(days=1)
     m = _YEAR_VAL_RE.match(value)
     if m:
         y = int(m.group(1))

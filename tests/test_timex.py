@@ -121,3 +121,31 @@ def test_slash_fastpath_property(m, d, y, anchor_off):
     det = detect_timexes(s)
     assert det and det[0]["kind"] == "slash_date"
     assert normalize_timex(s, "slash_date", anchor) == f"{y:04d}-{m:02d}-{d:02d}"
+
+
+def test_quarter_detection_and_normalization():
+    import datetime as dt
+
+    from kgpipe.timex import detect_timexes, normalize_timex, timeml_interval
+
+    anchor = dt.date(2021, 5, 15)  # Q2 2021
+    cases = {
+        "q3 2021": "2021-Q3",
+        "third quarter of 2021": "2021-Q3",
+        "1st quarter 2022": "2022-Q1",
+        "this quarter": "2021-Q2",
+        "last quarter": "2021-Q1",
+        "next quarter": "2021-Q3",
+    }
+    for surface, want in cases.items():
+        found = detect_timexes(f"revenue grew in {surface} overall")
+        spans = [t for t in found if surface in t["surface"] or t["surface"] in surface]
+        assert spans, (surface, found)
+        t = spans[0]
+        assert normalize_timex(t["surface"], t["kind"], anchor) == want, surface
+    # year-boundary wraps
+    assert normalize_timex("last quarter", "rel_unit", dt.date(2021, 1, 10)) == "2020-Q4"
+    assert normalize_timex("next quarter", "rel_unit", dt.date(2021, 11, 1)) == "2022-Q1"
+    # TimeML interval: Q2 2021 = Apr 1 .. Jun 30
+    assert timeml_interval("2021-Q2") == (dt.date(2021, 4, 1), dt.date(2021, 6, 30))
+    assert timeml_interval("2021-Q4") == (dt.date(2021, 10, 1), dt.date(2021, 12, 31))
