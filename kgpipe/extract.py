@@ -29,16 +29,20 @@ from pyspark.sql import functions as F
 
 from .annotate import annotate_turn
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .schemas import ANNOTATED_SCHEMA
+from .schemas import ANNOTATED_SCHEMA, ANNOTATION_UNION_SCHEMA
+from .score import tokens_for_mode
 
 __all__ = [
     "annotate_transcripts",
+    "annotate_union",
     "tokens_table",
     "mentions_table",
     "timexes_table",
     "filter_mentions",
     "filter_timexes",
+    "filter_union",
     "assign_annotation_ids",
+    "assign_union_ids",
 ]
 
 
@@ -80,6 +84,130 @@ def annotate_transcripts(
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     return transcripts.select(*cols).mapInPandas(gen, schema=ANNOTATED_SCHEMA)
+
+
+_UNION_COLS = ANNOTATION_UNION_SCHEMA.fieldNames()
+_MENTION_FIELDS = (
+    "begin", "end", "tok_begin", "tok_end", "surface", "term", "cui", "tui",
+    "confidence", "conmod", "conmod_inst", "dtr", "dtr_inst",
+    "win_char_begin", "win_char_end",
+)
+_TIMEX_FIELDS = ("begin", "end", "tok_begin", "tok_end", "surface", "kind", "normed")
+
+
+def annotate_union(
+    transcripts: DataFrame,
+    gazetteer,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """One-pass structured annotate: emits mention rows (kind_rank 0), timex
+    rows (kind_rank 1) and one token-stream row per turn (kind_rank 2)
+    directly in the merged W1 union shape (ANNOTATION_UNION_SCHEMA).
+
+    Same narrow Arrow pass as ``annotate_transcripts``; the flat output lets
+    the whole structured triples path run with ONE exchange (the W1 window)
+    and ONE persist instead of materializing the nested annotated frame and
+    the id frame separately (measured ~1.5x wall on the structured plan at
+    sf0.1). Mentions are RAW — F1/F2/F4/F5 stay visible DataFrame operators
+    downstream (``filter_union``)."""
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast((gazetteer, blacklist, cfg))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz, _bl, c = bc.value
+        for pdf in batches:
+            out = {k: [] for k in _UNION_COLS}
+
+            def emit(conv_id, turn_idx, anchor, kind_rank, in_kind_idx, **payload):
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["anchor_date"].append(anchor)
+                out["kind_rank"].append(kind_rank)
+                out["in_kind_idx"].append(in_kind_idx)
+                for k in _UNION_COLS[5:]:
+                    out[k].append(payload.get(k))
+
+            for row in pdf.itertuples(index=False):
+                ts = None if pd.isna(row.ts) else row.ts
+                anchor, toks, ments, tmx = annotate_turn(
+                    row.conv_id, row.turn_idx, row.text, ts, gaz, _bl, c
+                )
+                for m in ments:
+                    emit(
+                        row.conv_id, row.turn_idx, anchor, 0, m["mention_idx"],
+                        **{k: m[k] for k in _MENTION_FIELDS},
+                    )
+                for t in tmx:
+                    emit(
+                        row.conv_id, row.turn_idx, anchor, 1, t["timex_idx"],
+                        **{k: t[k] for k in _TIMEX_FIELDS},
+                    )
+                emit(
+                    row.conv_id, row.turn_idx, anchor, 2, 0,
+                    tok_stream="\x1f".join(
+                        tokens_for_mode(
+                            [t["text"] for t in toks],
+                            [t["is_newline"] for t in toks],
+                            "dtr",
+                        )
+                    ),
+                )
+            yield pd.DataFrame(out)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    return transcripts.select(*cols).mapInPandas(gen, schema=ANNOTATION_UNION_SCHEMA)
+
+
+def filter_union(
+    union: DataFrame,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """F1/F2/F4 on mention rows + F5 on timex rows of the union frame; token
+    rows pass through untouched. Same predicates as ``filter_mentions`` /
+    ``filter_timexes``, guarded by kind_rank so each operator only bites its
+    own relation."""
+    spark = union.sparkSession
+    is_mention = F.col("kind_rank") == 0
+    is_timex = F.col("kind_rank") == 1
+    out = union.where(~is_mention | (F.col("tui") == F.lit(cfg.keep_tui)))
+    if blacklist:
+        bl_df = spark.createDataFrame(
+            [(t,) for t in sorted(blacklist)], "bl_term string"
+        )
+        out = out.join(
+            F.broadcast(bl_df),
+            (out["kind_rank"] == 0)
+            & (F.lower(F.trim(out["surface"])) == bl_df["bl_term"]),
+            "left_anti",
+        )
+    if cfg.use_conmod:
+        out = out.where(~is_mention | (F.col("conmod") == F.lit("ACTUAL")))
+    return out.where(~is_timex | F.col("normed").isNotNull())
+
+
+def assign_union_ids(union_f: DataFrame) -> DataFrame:
+    """W1 over the union frame: row_number per (conv_id, turn_idx) ordered by
+    (begin, kind_rank, in_kind_idx) across mention+timex rows — token rows
+    sort strictly last so they never shift a rank — formatted
+    ``{i}@e@{conv}_{turn}@system`` (NULL for token rows). Identical ids to
+    ``assign_annotation_ids``; this is the path's single exchange."""
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        (F.col("kind_rank") == 2).cast("int"), "begin", "kind_rank", "in_kind_idx"
+    )
+    return union_f.withColumn(
+        "ann_rank", F.row_number().over(w) - F.lit(1)
+    ).withColumn(
+        "annotation_id",
+        F.when(
+            F.col("kind_rank") < 2,
+            F.format_string(
+                "%d@e@%s_%d@system",
+                F.col("ann_rank"), F.col("conv_id"), F.col("turn_idx"),
+            ),
+        ),
+    )
 
 
 def _explode(annotated: DataFrame, col: str, alias: str) -> DataFrame:

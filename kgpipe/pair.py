@@ -66,44 +66,63 @@ def pair_window(
 
 def tlink_triples_from_pairs(
     pairs: DataFrame,
-    annotated: DataFrame,
+    toks: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """Pairs + turn token streams -> scored tlink triples (TRIPLE_SCHEMA).
 
-    The join to ``annotated`` is again keyed (conv_id, turn_idx); the
-    instance assembly + scoring run vectorized in Arrow batches.
+    ``toks`` is one row per turn: (conv_id, turn_idx, tok_stream) — the
+    kind_rank=2 split of the union frame; tok_stream is the turn's
+    \\x1f-joined, <newline>-substituted token stream (tokens_for_mode
+    mode="dtr", precomputed at annotate time).
+
+    Pairs are first collapsed to ONE row per (conv_id, turn_idx) — the
+    groupBy reuses the keyed exchange every upstream stage already
+    established — so the turn's token arrays are shipped through the join
+    exactly once per turn (not once per pair) and ``tokens_for_mode`` runs
+    once per turn inside the Arrow batch instead of once per pair. At p
+    pairs over a t-token turn this cuts the stage from O(p·t) to O(p + t)
+    per turn, which is what made the structured path 2.6x the fused path
+    before.
     """
-    toks = annotated.select(
-        "conv_id", "turn_idx",
-        F.col("tokens.text").alias("tok_texts"),
-        F.col("tokens.is_newline").alias("tok_newlines"),
+    pair_struct = F.struct(
+        "anchor_date",
+        "m_begin", "m_tok_begin", "m_tok_end", "m_surface", "m_annotation_id",
+        "t_begin", "t_tok_begin", "t_tok_end", "t_normed", "t_annotation_id",
     )
-    joined = pairs.join(toks, ["conv_id", "turn_idx"])
+    per_turn = pairs.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(pair_struct).alias("pairs")
+    )
+    joined = per_turn.join(
+        toks.select("conv_id", "turn_idx", "tok_stream"),
+        ["conv_id", "turn_idx"],
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in TRIPLE_SCHEMA.fieldNames()}
             for r in pdf.itertuples(index=False):
-                tokens = tokens_for_mode(list(r.tok_texts), list(r.tok_newlines), "dtr")
-                inst = get_tlink_instance(
-                    (r.m_tok_begin, r.m_tok_end + 1),
-                    (r.t_tok_begin, r.t_tok_end + 1),
-                    tokens,
-                )
-                anchor = None if pd.isna(r.anchor_date) else r.anchor_date
-                label = apply_inversion(
-                    tlink_label(r.t_normed, anchor), r.t_begin, r.m_begin
-                )
-                rows["subj"].append(r.m_annotation_id)
-                rows["pred"].append("tlink:" + label)
-                rows["obj"].append(r.t_annotation_id)
-                rows["anchor_date"].append(anchor)
-                rows["conv_id"].append(r.conv_id)
-                rows["turn_idx"].append(r.turn_idx)
-                rows["subj_text"].append(r.m_surface)
-                rows["obj_text"].append(r.t_normed)
-                rows["instance"].append(inst)
+                tokens = r.tok_stream.split("\x1f") if r.tok_stream else []
+                for p in r.pairs:
+                    inst = get_tlink_instance(
+                        (p["m_tok_begin"], p["m_tok_end"] + 1),
+                        (p["t_tok_begin"], p["t_tok_end"] + 1),
+                        tokens,
+                    )
+                    anchor = p["anchor_date"]
+                    anchor = None if pd.isna(anchor) else anchor
+                    label = apply_inversion(
+                        tlink_label(p["t_normed"], anchor), p["t_begin"], p["m_begin"]
+                    )
+                    rows["subj"].append(p["m_annotation_id"])
+                    rows["pred"].append("tlink:" + label)
+                    rows["obj"].append(p["t_annotation_id"])
+                    rows["anchor_date"].append(anchor)
+                    rows["conv_id"].append(r.conv_id)
+                    rows["turn_idx"].append(r.turn_idx)
+                    rows["subj_text"].append(p["m_surface"])
+                    rows["obj_text"].append(p["t_normed"])
+                    rows["instance"].append(inst)
             yield pd.DataFrame(rows)
 
     return joined.mapInPandas(gen, schema=TRIPLE_SCHEMA)

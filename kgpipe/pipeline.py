@@ -3,13 +3,16 @@
 Two equivalent execution plans (equality-tested):
 
 * ``build_triples(..., fused=False)`` — structured: every SURVEY.md §2
-  operator is a visible DataFrame op. Plan shape:
+  operator is a visible DataFrame op, in the one-pass union shape (the
+  annotate stage emits mention/timex/token rows directly in the merged W1
+  schema). Plan shape — ONE hash exchange total (plan-asserted in PLANS.md):
 
-      scan -> mapInPandas(annotate)                       [narrow]
-        -> explode mentions / timexes                     [narrow]
+      scan -> mapInPandas(annotate -> union rows)         [narrow]
         -> F1 predicate, F2 broadcast anti-join, F5       [narrow]
         -> W1 row_number window   ── one exchange on (conv_id, turn_idx)
-        -> J1 band join, instance/score mapInPandas       [reuses exchange]
+        -> persist; kind splits are co-partitioned views of the cache
+        -> J1 band join + pair groupBy + token join       [zero exchanges]
+        -> instance/score mapInPandas
         -> union with attribution/entity/dtr projections
 
 * ``build_triples(..., fused=True)`` — one narrow mapInPandas, zero
@@ -109,15 +112,30 @@ def build_triples(
         transcripts = spread_by_turn(transcripts, cfg.salt_partitions)
     if fused:
         return fused_triples(transcripts, gazetteer, blacklist, cfg)
-    tables = build_annotations(transcripts, gazetteer, blacklist, cfg)
-    annotated = tables["annotated"]
-    mentions_id, timexes_id = tables["mentions"], tables["timexes"]
+
+    # One-pass structured shape: annotate emits mention/timex/token rows in
+    # the merged union schema, filters (F1/F2/F4/F5) and the W1 window stay
+    # visible operators, and the path pays exactly ONE exchange (the window)
+    # and ONE persist. All downstream joins key on (conv_id, turn_idx) and
+    # read co-partitioned splits of the same cached frame, so the band join,
+    # the pair groupBy and the token join add zero exchanges.
+    from pyspark import StorageLevel
+
+    from .extract import annotate_union, assign_union_ids, filter_union
+
+    union = assign_union_ids(
+        filter_union(annotate_union(transcripts, gazetteer, blacklist, cfg),
+                     blacklist, cfg)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mentions_id = union.where(F.col("kind_rank") == 0)
+    timexes_id = union.where(F.col("kind_rank") == 1)
+    toks = union.where(F.col("kind_rank") == 2)
 
     # F3 (empty-doc skip) + O1 (entity gate on timex work) fall out of the
     # inner equi-join in pair_window: timexes of mention-less turns never
     # reach instance assembly or scoring.
     pairs = pair_window(mentions_id, timexes_id)
-    tlink = tlink_triples_from_pairs(pairs, annotated, cfg)
+    tlink = tlink_triples_from_pairs(pairs, toks, cfg)
 
     out = attribution_triples(transcripts).unionByName(
         entity_mention_triples(mentions_id)

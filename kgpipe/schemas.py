@@ -81,6 +81,46 @@ ANNOTATED_SCHEMA = T.StructType(
     ]
 )
 
+# One-pass structured path (build_triples fused=False): the annotate stage
+# emits mention rows (kind_rank 0), timex rows (kind_rank 1) and ONE
+# token-stream row per turn (kind_rank 2) directly in the merged W1 union
+# shape, so the whole path needs a single exchange and a single persist —
+# filters (F1/F2/F4/F5) and the W1 window stay visible DataFrame operators
+# over this frame. Column names match MENTION_STRUCT/TIMEX_STRUCT so the
+# splits are drop-in for the per-kind relations.
+ANNOTATION_UNION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("anchor_date", T.DateType()),
+        T.StructField("kind_rank", T.IntegerType()),    # 0 mention / 1 timex / 2 tokens
+        T.StructField("in_kind_idx", T.IntegerType()),
+        T.StructField("begin", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("tok_begin", T.IntegerType()),
+        T.StructField("tok_end", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("cui", T.StringType()),
+        T.StructField("tui", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("conmod", T.StringType()),
+        T.StructField("conmod_inst", T.StringType()),
+        T.StructField("dtr", T.StringType()),
+        T.StructField("dtr_inst", T.StringType()),
+        T.StructField("win_char_begin", T.IntegerType()),
+        T.StructField("win_char_end", T.IntegerType()),
+        T.StructField("kind", T.StringType()),          # timex kind
+        T.StructField("normed", T.StringType()),
+        # the turn's token stream, already <newline>-substituted
+        # (tokens_for_mode mode="dtr" — the only mode pair scoring uses),
+        # joined with \x1f: ONE Arrow string per turn instead of ~180
+        # per-token strings + flags, which halves the annotate stage's
+        # Arrow transfer cost at sf0.1
+        T.StructField("tok_stream", T.StringType()),
+    ]
+)
+
 TRIPLE_SCHEMA = T.StructType(
     [
         T.StructField("subj", T.StringType()),

@@ -94,12 +94,21 @@ def main() -> int:
     keyed = re.findall(r"hashpartitioning\(([^)]*?), \d+\)", p)
     for cols in keyed:
         assert "conv_id" in cols, f"exchange not keyed on conv_id: {cols}"
+    # one-pass union shape: the W1 window's exchange is the ONLY shuffle in
+    # the whole structured plan — the band join, the pair groupBy and the
+    # token join all read co-partitioned splits of the same cached frame
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", p))
+    assert n_shuffles <= 1, (
+        f"structured plan has {n_shuffles} hash exchanges; the union shape "
+        "should need exactly one (the W1 window)"
+    )
     sections.append((
         "structured extraction (build_triples fused=False)",
         p,
         [
             f"BroadcastHashJoin LeftAnti for blacklist: yes",
-            f"keyed exchanges: {len(keyed)}, all on conv_id(+turn_idx)",
+            f"hash exchanges: {n_shuffles} (W1 window only); "
+            "band join / pair groupBy / token join reuse the cached partitioning",
         ],
     ))
 
