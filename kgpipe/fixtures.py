@@ -59,6 +59,12 @@ def _timex_surfaces(anchor: dt.date, rng: random.Random) -> List[str]:
         "3 days ago", "two weeks ago", "in 5 days",
         "last monday", "next friday",
         "recently", "soon", "currently",
+        # round-2 grammar: seasons, decades, week-of, time-of-day, SET
+        f"summer {d1.year}", "last winter", "this fall",
+        "the 1990s", "the '80s",
+        f"the week of {d2.month}/{d2.day}/{d2.year}",
+        "every 2 weeks", "daily",
+        "this morning", "last night", "tomorrow evening",
         "13/45/2020",  # fails calendar validation -> silently dropped
         rng.choice(_NOISE_TIMEX),
     ]

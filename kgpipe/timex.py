@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import datetime as dt
 import re
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 __all__ = [
     "detect_timexes",
@@ -84,6 +84,54 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # "the week of <date>" — en.grammar "week of" rules; the span covers the
+    # inner date so longest-wins hands the whole phrase here
+    (
+        "week_of",
+        re.compile(
+            rf"\b(?:the\s+)?week\s+of\s+(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
+            rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}})\b",
+            re.I,
+        ),
+    ),
+    # seasons — en.grammar [TimeSpan] season rules; TimeML YYYY-SP/SU/FA/WI
+    (
+        "season_year",
+        re.compile(
+            r"\b(spring|summer|fall|autumn|winter)\s+(?:of\s+)?(\d{4})\b", re.I
+        ),
+    ),
+    (
+        "rel_season",
+        re.compile(
+            r"\b(last|next|this)\s+(spring|summer|fall|autumn|winter)\b", re.I
+        ),
+    ),
+    # decades — "the 1990s" / "the '90s" / "the 90s" -> TimeML 199X
+    # (Temporal.scala:325-355 truncated-representation analog)
+    (
+        "decade",
+        re.compile(r"\b(?:the\s+)?(?:19|20)?\d0s\b|(?:\bthe\s+)?'\d0s\b"),
+    ),
+    # times of day — TimeML YYYY-MM-DDTMO/TAF/TEV/TNI
+    (
+        "time_of_day",
+        re.compile(
+            r"\b(?:(this|tomorrow|yesterday)\s+(morning|afternoon|evening)"
+            r"|(last|tomorrow|yesterday)\s+(night)|(tonight))\b",
+            re.I,
+        ),
+    ),
+    # PeriodSet — "every week", "every 2 weeks", "daily" -> TIMEX3 SET
+    # values P{n}{U} (Temporal.scala:410-429 analog)
+    (
+        "period_set",
+        re.compile(
+            rf"\bevery\s+(?:({_NUM_ALT})\s+)?(day|week|month|year)s?\b"
+            r"|\b(daily|weekly|monthly|yearly|annually)\b",
+            re.I,
+        ),
+    ),
     (
         "rel_unit",
         re.compile(r"\b(last|next|this)\s+(week|month|year|quarter)\b", re.I),
@@ -127,6 +175,13 @@ _QUICK_KEYS = {
     # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
     # extends 3 words left of its first digit
     "quarter_year": ("quarter", "q1", "q2", "q3", "q4"),
+    "week_of": ("week",),
+    "season_year": ("spring", "summer", "fall", "autumn", "winter"),
+    "rel_season": ("spring", "summer", "fall", "autumn", "winter"),
+    "decade": ("0s",),
+    # "tonight" contains the substring "night"
+    "time_of_day": ("morning", "afternoon", "evening", "night"),
+    "period_set": ("every", "daily", "weekly", "monthly", "yearly", "annually"),
     "rel_unit": ("last", "next", "this"),
     "rel_weekday": ("last", "next"),
     "weekday": (
@@ -147,6 +202,9 @@ _QUICK_KEYS = {
 # finditer can scan just the digit region instead of the whole text.
 _DIGIT_BOUNDED = {
     "iso_date", "slash_date", "month_day_year", "month_year", "bare_year",
+    # "summer of 2019": 2 words left of first digit; "the 1990s"/"the '90s":
+    # 1 word left, trailing "s" inside the +4-char right margin
+    "season_year", "decade",
 }
 
 
@@ -293,6 +351,39 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 else _QUARTER_WORDS[m.group(2).lower()]
             )
             return f"{int(m.group(3)):04d}-Q{q}"
+        if kind == "week_of":
+            inner = _parse_inner_date(s)
+            return _fmt_week(inner) if inner else None
+        if kind == "season_year":
+            m = re.match(
+                r"(spring|summer|fall|autumn|winter)\s+(?:of\s+)?(\d{4})", s, re.I
+            )
+            return f"{int(m.group(2)):04d}-{_SEASONS[m.group(1).lower()][0]}"
+        if kind == "decade":
+            m = re.search(r"(\d+)0s", s)
+            digits = m.group(1)
+            if len(digits) == 3:          # 1990s -> 199X
+                return f"{digits}X"
+            if len(digits) == 1:          # '90s / 90s -> 199X; '20s -> 202X
+                d = int(digits)
+                return f"19{d}X" if d >= 4 else f"20{d}X"
+            return None
+        if kind == "period_set":
+            m = re.match(
+                rf"every\s+(?:({_NUM_ALT})\s+)?(day|week|month|year)s?"
+                r"|(daily|weekly|monthly|yearly|annually)",
+                s, re.I,
+            )
+            if m.group(3):
+                unit = {
+                    "daily": "D", "weekly": "W", "monthly": "M",
+                    "yearly": "Y", "annually": "Y",
+                }[m.group(3).lower()]
+                return f"P1{unit}"
+            n = _num(m.group(1)) if m.group(1) else 1
+            if n is None:
+                return None
+            return f"P{n}{m.group(2)[0].upper()}"
         if kind == "past_ref":
             return "PAST_REF"
         if kind == "future_ref":
@@ -349,21 +440,63 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 return _fmt_day(anchor - dt.timedelta(days=back))
             fwd = (target - anchor.weekday() - 1) % 7 + 1
             return _fmt_day(anchor + dt.timedelta(days=fwd))
+        if kind == "rel_season":
+            m = re.match(
+                r"(last|next|this)\s+(spring|summer|fall|autumn|winter)", s, re.I
+            )
+            code, start_month = _SEASONS[m.group(2).lower()]
+            # label year of the instance containing/nearest the anchor:
+            # Jan/Feb belong to the PREVIOUS label's winter
+            this_label = anchor.year
+            if code == "WI" and anchor.month < 3:
+                this_label -= 1
+            word = m.group(1).lower()
+            if word == "this":
+                label = this_label
+            elif word == "last":
+                # latest instance that ENDS strictly before the anchor
+                label = this_label if _season_end(this_label, code) < anchor else this_label - 1
+            else:
+                # earliest instance that STARTS strictly after the anchor
+                label = this_label if dt.date(this_label, start_month, 1) > anchor else this_label + 1
+            return f"{label:04d}-{code}"
+        if kind == "time_of_day":
+            m = re.match(
+                r"(?:(this|tomorrow|yesterday)\s+(morning|afternoon|evening)"
+                r"|(last|tomorrow|yesterday)\s+(night)|(tonight))",
+                s, re.I,
+            )
+            if m.group(5):  # tonight
+                word, part = "this", "NI"
+            elif m.group(4):
+                word = m.group(3).lower()
+                part = "NI"
+            else:
+                word = m.group(1).lower()
+                part = {"morning": "MO", "afternoon": "AF", "evening": "EV"}[
+                    m.group(2).lower()
+                ]
+            delta = {"this": 0, "tomorrow": 1, "yesterday": -1, "last": -1}[word]
+            return (anchor + dt.timedelta(days=delta)).isoformat() + "T" + part
         if kind == "weekday":
             # W7: a bare weekday parses ambiguously (previous vs next
-            # occurrence); the reference's tweaked heuristic keeps the parse
-            # whose start is nearest the anchor (TemporalExpressionParser.
-            # scala:238-243, README.md:77). Same weekday as the anchor ->
+            # occurrence); both parses go through the reference's full
+            # disambiguation heuristic (rank_parses, TEP.scala:219-251) —
+            # for two same-granularity TimeSpans this reduces to
+            # nearest-start-to-anchor. Same weekday as the anchor ->
             # distance 0 -> the anchor day itself; otherwise back+fwd = 7,
             # so the minimum is unique and deterministic.
             target = _WEEKDAYS[s.lower()]
             back = (anchor.weekday() - target) % 7
             fwd = (target - anchor.weekday()) % 7
-            candidates = sorted(
-                (anchor - dt.timedelta(days=back), anchor + dt.timedelta(days=fwd)),
-                key=lambda d: abs((d - anchor).days),
-            )
-            return _fmt_day(candidates[0])
+            parses = [
+                TimexParse(_fmt_day(d), True, d, False)
+                for d in (
+                    anchor - dt.timedelta(days=back),
+                    anchor + dt.timedelta(days=fwd),
+                )
+            ]
+            return rank_parses(parses, anchor)[0].value
     except (ValueError, KeyError, AttributeError):
         return None
     return None
@@ -374,20 +507,125 @@ _QUARTER_WORDS = {
     "third": 3, "3rd": 3, "fourth": 4, "4th": 4,
 }
 
+
+class TimexParse(NamedTuple):
+    """One candidate parse of an ambiguous surface (W7).
+
+    value        TimeML value the parse would emit
+    is_timespan  True for TimeSpan parses, False for Period/duration parses
+    start        interval start date (None for Periods)
+    is_quarter   True when the parse's granularity is quarter-years
+    """
+
+    value: str
+    is_timespan: bool
+    start: Optional[dt.date]
+    is_quarter: bool
+
+
+def rank_parses(
+    parses: List[TimexParse],
+    anchor: dt.date,
+    anchor_is_quarter: bool = False,
+) -> List[TimexParse]:
+    """W7 in full: order ambiguous parses by the reference's tweaked
+    heuristic (TemporalExpressionParser.scala:219-251):
+
+    1. any TimeSpan parse beats any Period parse;
+    2. between TimeSpans, when the ANCHOR has quarter granularity, a
+       quarter-granularity parse beats a non-quarter one;
+    3. otherwise the TimeSpan whose start is nearest the anchor wins.
+
+    In the main pipeline the anchor is always a calendar day, so branch 2 is
+    inert there; it is exercised directly by the differential tests. The
+    sort is stable, so equal-distance candidates keep input order (matching
+    Scala's sorted + fromLessThan semantics)."""
+
+    def key(p: TimexParse):
+        if not p.is_timespan:
+            return (1, 0, 0)
+        quarter_rank = (
+            0 if (anchor_is_quarter and p.is_quarter)
+            else (1 if anchor_is_quarter else 0)
+        )
+        dist = abs((p.start - anchor).days) if p.start is not None else 0
+        return (0, quarter_rank, dist)
+
+    return sorted(parses, key=key)
+
+# season -> (TimeML code, start month). Meteorological boundaries (documented
+# spec): SP Mar-May, SU Jun-Aug, FA Sep-Nov, WI Dec-Feb of the NEXT calendar
+# year (the label year is the December year, TIMEX3 convention).
+_SEASONS = {
+    "spring": ("SP", 3), "summer": ("SU", 6),
+    "fall": ("FA", 9), "autumn": ("FA", 9), "winter": ("WI", 12),
+}
+_SEASON_BOUNDS = {"SP": (3, 5), "SU": (6, 8), "FA": (9, 11), "WI": (12, 2)}
+
+
+def _season_end(label_year: int, code: str) -> dt.date:
+    """Inclusive end date of a season instance."""
+    _, end_month = _SEASON_BOUNDS[code]
+    end_year = label_year + 1 if code == "WI" else label_year
+    y2, m2 = _shift_month(end_year, end_month, 1)
+    return dt.date(y2, m2, 1) - dt.timedelta(days=1)
+
+
+_INNER_MDY_RE = re.compile(
+    rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})\s*,?\s+(\d{{4}})", re.I
+)
+_INNER_SLASH_RE = re.compile(r"(\d{1,2})/(\d{1,2})/(\d{2,4})")
+_INNER_ISO_RE = re.compile(r"(\d{4})-(\d{2})-(\d{2})")
+
+
+def _parse_inner_date(s: str) -> Optional[dt.date]:
+    """The date embedded in a 'week of <date>' phrase; slash semantics match
+    the fast path (month-first, 2-digit year + 2000)."""
+    m = _INNER_MDY_RE.search(s)
+    if m:
+        return dt.date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
+    m = _INNER_ISO_RE.search(s)
+    if m:
+        return dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    m = _INNER_SLASH_RE.search(s)
+    if m:
+        raw = m.group(3)
+        year = int(raw) + 2000 if len(raw) == 2 else int(raw)
+        return dt.date(year, int(m.group(1)), int(m.group(2)))
+    return None
+
 _WEEK_VAL_RE = re.compile(r"^(\d{4})-W(\d{2})$")
 _QUARTER_VAL_RE = re.compile(r"^(\d{4})-Q([1-4])$")
 _MONTH_VAL_RE = re.compile(r"^(\d{4})-(\d{2})$")
 _DAY_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
 _YEAR_VAL_RE = re.compile(r"^(\d{4})$")
+_SEASON_VAL_RE = re.compile(r"^(\d{4})-(SP|SU|FA|WI)$")
+_DECADE_VAL_RE = re.compile(r"^(\d{3})X$")
+_TOD_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(MO|AF|EV|NI)$")
 
 
 def timeml_interval(value: str) -> Optional[Tuple[dt.date, dt.date]]:
     """TimeML value -> inclusive [start, end] calendar interval; None for the
-    REF pseudo-values. Used by the deterministic TLINK scorer."""
+    REF pseudo-values and SET (P…) values. Used by the deterministic TLINK
+    scorer."""
     m = _DAY_VAL_RE.match(value)
     if m:
         d = dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
         return d, d
+    m = _TOD_VAL_RE.match(value)
+    if m:
+        # a time-of-day lives inside its calendar day
+        d = dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        return d, d
+    m = _SEASON_VAL_RE.match(value)
+    if m:
+        year, code = int(m.group(1)), m.group(2)
+        start = dt.date(year, _SEASON_BOUNDS[code][0], 1)
+        return start, _season_end(year, code)
+    m = _DECADE_VAL_RE.match(value)
+    if m:
+        y0 = int(m.group(1)) * 10
+        return dt.date(y0, 1, 1), dt.date(y0 + 9, 12, 31)
     m = _WEEK_VAL_RE.match(value)
     if m:
         start = dt.date.fromisocalendar(int(m.group(1)), int(m.group(2)), 1)

@@ -149,3 +149,84 @@ def test_quarter_detection_and_normalization():
     # TimeML interval: Q2 2021 = Apr 1 .. Jun 30
     assert timeml_interval("2021-Q2") == (dt.date(2021, 4, 1), dt.date(2021, 6, 30))
     assert timeml_interval("2021-Q4") == (dt.date(2021, 10, 1), dt.date(2021, 12, 31))
+
+
+# ---------------------------------------------------------------------------
+# en.grammar breadth round 2: seasons, decades, week-of, time-of-day, SET
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        ("summer 2019", "2019-SU"),
+        ("winter of 2020", "2020-WI"),
+        ("autumn 2021", "2021-FA"),
+        ("last summer", "2023-SU"),      # Mar 2024 anchor: summer 2024 not ended
+        ("next summer", "2024-SU"),      # starts after the March anchor
+        ("this spring", "2024-SP"),
+        ("this winter", "2024-WI"),      # March -> label year = anchor year
+        ("the 1990s", "199X"),
+        ("the '80s", "198X"),
+        ("the 20s", "202X"),
+        ("the week of March 3, 2021", "2021-W09"),
+        ("week of 3/4/2021", "2021-W09"),
+        ("the week of 2021-03-04", "2021-W09"),
+        ("every week", "P1W"),
+        ("every 2 weeks", "P2W"),
+        ("every three months", "P3M"),
+        ("daily", "P1D"),
+        ("annually", "P1Y"),
+        ("this morning", "2024-03-15TMO"),
+        ("tomorrow afternoon", "2024-03-16TAF"),
+        ("yesterday evening", "2024-03-14TEV"),
+        ("last night", "2024-03-14TNI"),
+        ("tonight", "2024-03-15TNI"),
+    ],
+)
+def test_round2_grammar_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_rel_season_winter_wraps_january():
+    # Jan/Feb belong to the PREVIOUS label year's winter
+    jan = dt.date(2024, 1, 15)
+    assert normalize_timex("this winter", "rel_season", jan) == "2023-WI"
+    assert normalize_timex("last winter", "rel_season", jan) == "2022-WI"
+    # after the thaw the just-finished winter is "last"
+    assert normalize_timex("last winter", "rel_season", dt.date(2024, 3, 5)) == "2023-WI"
+
+
+def test_rel_season_last_after_season_end():
+    # October anchor: summer 2024 already ended -> last summer = 2024
+    assert normalize_timex("last summer", "rel_season", dt.date(2024, 10, 1)) == "2024-SU"
+
+
+def test_round2_intervals():
+    assert timeml_interval("2019-SU") == (dt.date(2019, 6, 1), dt.date(2019, 8, 31))
+    assert timeml_interval("2023-WI") == (dt.date(2023, 12, 1), dt.date(2024, 2, 29))
+    assert timeml_interval("199X") == (dt.date(1990, 1, 1), dt.date(1999, 12, 31))
+    d = dt.date(2024, 3, 15)
+    assert timeml_interval("2024-03-15TMO") == (d, d)
+    assert timeml_interval("P2W") is None  # SET values carry no interval
+
+
+def test_rank_parses_full_heuristic():
+    """W7 complete: TimeSpan-over-Period, quarter-anchor preference, nearest
+    start (TemporalExpressionParser.scala:219-251)."""
+    from kgpipe.timex import TimexParse, rank_parses
+
+    anchor = dt.date(2024, 10, 15)
+    period = TimexParse("P1W", False, None, False)
+    near_span = TimexParse("2024-W42", True, dt.date(2024, 10, 14), False)
+    far_span = TimexParse("2024-W01", True, dt.date(2024, 1, 1), False)
+    q_span = TimexParse("2024-Q4", True, dt.date(2024, 10, 1), True)
+
+    # 1. TimeSpan beats Period regardless of distance
+    assert rank_parses([period, far_span], anchor)[0] is far_span
+    # 2. quarter-granularity anchor prefers quarter parses even when farther
+    assert rank_parses([near_span, q_span], anchor, anchor_is_quarter=True)[0] is q_span
+    # 3. day-granularity anchor (the pipeline case): nearest start wins
+    assert rank_parses([far_span, near_span, q_span], anchor)[0] is near_span
+    # stability: equal keys keep input order
+    twin = TimexParse("2024-W42b", True, dt.date(2024, 10, 14), False)
+    assert rank_parses([near_span, twin], anchor)[:2] == [near_span, twin]

@@ -43,6 +43,9 @@ _WORDS = [
     "5", "28", "2021", "1999", "12/25/2020", "2021-03-04", "x9y",
     "a", "two", "days", "months", ",", ".", "5,", "2021.", "abc123def",
     "...", "word", "this", "year", "sept.", "may",
+    # round-2 grammar: seasons/decades/week-of/ToD/SET trigger words
+    "summer", "winter", "fall", "1990s", "'90s", "the", "20s", "90s",
+    "week", "of", "every", "weekly", "morning", "night", "tonight",
 ]
 _SEPS = [" ", "  ", " \n ", "\t", "   "]
 
