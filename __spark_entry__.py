@@ -443,7 +443,13 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = ngram_jaccard_pairs(_docs_plus(spark, sf_dir), n=3, threshold=0.5)
+    # the hot-shingle candidate cut is ACTIVE here (scale path) and the
+    # result must still hash-match the full-jaccard DuckDB oracle: scores
+    # are exact by construction (re-counted over full shingle sets) and on
+    # this corpus every >=0.5 pair shares at least one df<=64 shingle
+    p = ngram_jaccard_pairs(
+        _docs_plus(spark, sf_dir), n=3, threshold=0.5, max_shingle_df=64
+    )
     return p.select(
         "doc_a", "doc_b",
         F.floor(F.col("jaccard") * 1e6).cast("bigint").alias("jaccard_e6"),
@@ -781,17 +787,74 @@ ment_ann AS MATERIALIZED (
             CAST(turn_idx AS VARCHAR) || '@system' AS annotation_id
   FROM ment_id
 ),
+-- two planted timexes per turn: the slash date after ' on ' and the round-2
+-- grammar suffix after ' revisit ' (kind = event_id % 6, fixtures.py). The
+-- extras CTE re-derives the per-turn doc stats the char/token arithmetic
+-- needs (doc_len, doc word count, kind, date string) with the same
+-- deterministic row_number keys as the main derivation.
+t_ext AS (
+  SELECT 'c' || CAST(e.user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
+         len(d.text) AS doc_len,
+         len(string_split(d.text, ' ')) AS wd_doc,
+         CAST(e.event_id % 6 AS INT) AS k,
+         strftime(e.ts, '%-m/%-d/%Y') AS datestr
+  FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
+  WHERE d.doc_id < 500
+),
+tmx2 AS (
+  SELECT w.conv_id, w.turn_idx, w.anchor_date, w.n_words, w.ts,
+         x.doc_len, x.wd_doc, x.k, x.datestr,
+         CASE x.k WHEN 0 THEN 'summer ' || CAST(year(w.ts) - 1 AS VARCHAR)
+                  WHEN 1 THEN 'the 1990s'
+                  WHEN 2 THEN 'week of ' || x.datestr
+                  WHEN 3 THEN 'every 2 weeks'
+                  WHEN 4 THEN 'this morning'
+                  ELSE 'last summer' END AS surface2
+  FROM words w JOIN t_ext x USING (conv_id, turn_idx)
+),
 tmx AS (
-  SELECT conv_id, turn_idx, anchor_date, n_words,
-         CAST(len(text) - len(strftime(ts, '%-m/%-d/%Y')) AS INT) AS t_begin,
-         CAST(len(text) AS INT) AS t_end,
-         strftime(ts, '%-m/%-d/%Y') AS surface,
+  -- timex 1: the slash date; engine tokens [wd_doc+1 .. wd_doc+5]
+  SELECT conv_id, turn_idx, anchor_date, n_words, 0 AS tseq,
+         CAST(doc_len + 4 AS INT) AS t_begin,
+         CAST(doc_len + 4 + len(datestr) AS INT) AS t_end,
+         datestr AS surface,
          strftime(ts, '%Y-%m-%d') AS normed,
-         CAST(ts AS DATE) AS normed_date
-  FROM words
+         CAST(wd_doc + 5 AS INT) AS t_tok_e,
+         CASE WHEN anchor_date < CAST(ts AS DATE) THEN 'before'
+              WHEN anchor_date > CAST(ts AS DATE) THEN 'after'
+              ELSE 'overlap' END AS lbl
+  FROM tmx2
+  UNION ALL
+  -- timex 2: the grammar suffix; ' revisit ' = 9 chars, 'revisit' is one
+  -- engine token, so the surface starts at engine token wd_doc+7
+  SELECT conv_id, turn_idx, anchor_date, n_words, 1 AS tseq,
+         CAST(doc_len + 4 + len(datestr) + 9 AS INT) AS t_begin,
+         CAST(doc_len + 4 + len(datestr) + 9 + len(surface2) AS INT) AS t_end,
+         surface2 AS surface,
+         CASE k WHEN 0 THEN CAST(year(ts) - 1 AS VARCHAR) || '-SU'
+                WHEN 1 THEN '199X'
+                WHEN 2 THEN strftime(ts, '%G-W%V')
+                WHEN 3 THEN 'P2W'
+                WHEN 4 THEN strftime(ts, '%Y-%m-%d') || 'TMO'
+                ELSE CAST(year(ts) - CASE WHEN month(ts) >= 9 THEN 0 ELSE 1 END AS VARCHAR) || '-SU'
+         END AS normed,
+         CAST(wd_doc + CASE k WHEN 2 THEN 13 WHEN 3 THEN 9 ELSE 8 END AS INT) AS t_tok_e,
+         -- tlink label vs the anchor (= date(ts)): past seasons/decades are
+         -- always 'after'; the anchor's own ISO week begins-on/ends-on/
+         -- contains it; a SET value has no interval -> 'none'; the anchor's
+         -- own morning overlaps it
+         CASE k WHEN 2 THEN (CASE isodow(CAST(ts AS DATE))
+                             WHEN 1 THEN 'begins-on'
+                             WHEN 7 THEN 'ends-on'
+                             ELSE 'contains-1' END)
+                WHEN 3 THEN 'none'
+                WHEN 4 THEN 'overlap'
+                ELSE 'after' END AS lbl
+  FROM tmx2
 ),
 tmx_ann AS (
-  SELECT x.*, CAST(COALESCE(m.n_ment, 0) AS VARCHAR) || '@e@' || x.conv_id || '_' ||
+  SELECT x.*, CAST(COALESCE(m.n_ment, 0) + x.tseq AS VARCHAR) || '@e@' || x.conv_id || '_' ||
          CAST(x.turn_idx AS VARCHAR) || '@system' AS annotation_id
   FROM tmx x LEFT JOIN (
     SELECT DISTINCT conv_id, turn_idx, n_ment FROM ment_id
@@ -799,22 +862,23 @@ tmx_ann AS (
 )
 """
 
-# J1 band join + tlink label: the timex is the last 5 engine tokens, so the
-# window test "both timex char ends inside the mention's ±60-token char
-# window" reduces to te + 60 >= n_tokens - 1 with n_tokens = n_words + 4 and
-# te = widx + extra. Label: single-day interval vs anchor (tlink_label);
-# the timex never precedes a mention, so X8 inversion is the identity here.
+# J1 band join + tlink label: both planted timexes sit at the END of the
+# turn text, so the window test "both timex char ends inside the mention's
+# ±60-token char window" reduces to the token inequality
+# te + 60 >= t_tok_e (mention te = widx + extra; the lower bound
+# t_tok_b >= tb - 60 is vacuous because every timex token index exceeds
+# every mention token index). Labels are precomputed per timex in tmx (the
+# interval-vs-anchor rules of kgpipe.score.tlink_label); the timex never
+# precedes a mention, so X8 inversion is the identity here.
 _TLINK = f"""
 tl AS (
   SELECT m.annotation_id AS subj,
-         'tlink:' || CASE WHEN m.anchor_date < x.normed_date THEN 'before'
-                          WHEN m.anchor_date > x.normed_date THEN 'after'
-                          ELSE 'overlap' END AS pred,
+         'tlink:' || x.lbl AS pred,
          x.annotation_id AS obj,
          m.anchor_date, m.conv_id, m.turn_idx,
          m.term AS subj_text, x.normed AS obj_text
   FROM ment_ann m JOIN tmx_ann x USING (conv_id, turn_idx)
-  WHERE (m.widx + m.extra) + 60 >= (m.n_words + 4) - 1
+  WHERE (m.widx + m.extra) + 60 >= x.t_tok_e
 )
 """
 

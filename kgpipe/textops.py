@@ -124,21 +124,70 @@ def minhash_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, *, n: int = 3, threshold: float = 0.8
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for all shingle-sharing pairs
-    (blocked self-join), thresholded. Columns: doc_a, doc_b, jaccard."""
+    """Exact word-n-gram Jaccard similarity for shingle-sharing pairs
+    (blocked self-join), thresholded. Columns: doc_a, doc_b, jaccard.
+
+    ``max_shingle_df`` is the 100-TB skew guard: a shingle shared by k docs
+    emits k^2 candidate rows, so common trigrams make hot blocks quadratic.
+    When set, CANDIDATE GENERATION uses only shingles with document
+    frequency <= max_shingle_df (the dropped hot-shingle count is log()'d),
+    and the jaccard itself is then re-computed EXACTLY over each candidate
+    pair's full shingle sets — so scores are never approximated; the only
+    relaxation is that a pair sharing exclusively hot shingles is not
+    discovered. Near-dup pairs above a 0.8 threshold share most of their
+    shingles, so any pair with at least one sub-threshold-frequency shingle
+    is found (pytest-property-tested; the driver query runs with the cut
+    active and still matches the full-jaccard oracle)."""
     sh = doc_shingles(documents, n=n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    if max_shingle_df is None:
+        inter = (
+            sh.alias("x")
+            .join(sh.alias("y"), "shingle")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("n_inter"))
         )
-        .agg(F.count("*").alias("n_inter"))
-    )
+    else:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        n_hot = dfreq.where(F.col("df") > max_shingle_df).count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: dropping %d hot shingles "
+                "(df > %d) from candidate generation", n_hot, max_shingle_df,
+            )
+        rare = dfreq.where(F.col("df") <= max_shingle_df).select("shingle")
+        sh_rare = sh.join(rare, "shingle")
+        cand = (
+            sh_rare.alias("x")
+            .join(sh_rare.alias("y"), "shingle")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        # exact intersection over the FULL shingle sets of each candidate
+        inter = (
+            cand.join(sh.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+            .join(
+                sh.alias("b"),
+                (F.col("doc_b") == F.col("b.doc_id"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
@@ -155,24 +204,40 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc — vectorized Arrow UDF (bit-twiddling is the
     one genuinely non-relational step; numpy over Arrow batches)."""
 
+    if bits != 64:
+        raise ValueError("simhash: only 64-bit signatures are supported")
+
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
+        # Vectorized bit accumulation: md5 once per DISTINCT token (memoized
+        # across the Arrow batch), np.unpackbits into a ±1 row of 64, count-
+        # weighted column sum, sign re-packed with np.packbits — no per-bit
+        # Python loop. unpackbits column j is bit 63-j of the big-endian
+        # 8-byte hash, and packbits inverts the same mapping, so the emitted
+        # word is bit-identical to the scalar (h >> b) & 1 formulation.
         import hashlib
+        from collections import Counter
 
+        memo: dict = {}
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in (t or "").split():
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
-                )
-                for b in range(bits):
-                    acc[b] += 1 if (h >> b) & 1 else -1
-            val = 0
-            for b in range(bits):
-                if acc[b] > 0:
-                    val |= 1 << b
-            out[i] = np.int64(np.uint64(val).astype(np.int64))
+            toks = (t or "").split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok, cnt in Counter(toks).items():
+                v = memo.get(tok)
+                if v is None:
+                    raw = np.frombuffer(
+                        hashlib.md5(tok.encode("utf-8")).digest()[:8], dtype=np.uint8
+                    )
+                    v = np.unpackbits(raw).astype(np.int64) * 2 - 1
+                    memo[tok] = v
+                acc += cnt * v
+            packed = np.packbits(acc > 0)
+            out[i] = np.int64(
+                np.uint64(int.from_bytes(packed.tobytes(), "big")).astype(np.int64)
+            )
         return pd.Series(out)
 
     return documents.select("doc_id", _simhash("text").alias("simhash"))

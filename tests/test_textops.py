@@ -107,3 +107,28 @@ def test_tfidf_top_terms(spark):
     t, v = got[(2, 1)]
     assert t == "cherry" and abs(v - 3 * math.log(1.5)) < 1e-12
     assert (2, 2) not in got
+
+
+def test_ngram_jaccard_hot_shingle_cut_property(spark):
+    """The max_shingle_df candidate cut never changes SCORES (exact
+    re-count over full shingle sets) and finds every qualifying pair that
+    shares at least one sub-threshold shingle. With a hot filler trigram in
+    every doc, the cut result equals the uncut result."""
+    filler = "x y z"  # trigram (x,y,z) appears in every doc -> hot
+    rows = [
+        (0, f"alpha beta gamma delta {filler}", "en"),
+        (1, f"alpha beta gamma delta {filler}", "en"),
+        (2, f"alpha beta gamma epsilon {filler}", "en"),
+        (3, f"zeta eta theta iota {filler}", "en"),
+        (4, f"kappa lambda mu nu {filler}", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    cut = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=3).collect()
+    }
+    assert cut == full and (0, 1) in cut
