@@ -1744,7 +1744,11 @@ FROM scored WHERE cos_raw >= 0.99
 # fake codec twin). Only image rows (doc_id % 3 == 0).
 _ORACLE_MEDIA_RESIZE = """
 WITH docs AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+  -- empty/NULL text: the fake decoder substitutes b'\\x00' (one zero
+  -- byte), mirrored here as chr(0) so the modulo arithmetic never sees a
+  -- zero length (same guard as the features oracle)
+  SELECT doc_id, COALESCE(nullif(text, ''), chr(0)) AS text
+  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
 ),
 bytes_out AS (
   SELECT doc_id, i.i AS i,
@@ -1763,8 +1767,13 @@ FROM bytes_out GROUP BY doc_id
 # with step = len // n (sample_frames fake codec twin).
 _ORACLE_MEDIA_FRAMES = """
 WITH docs AS (
-  SELECT doc_id, text, length(text) AS len,
-         least(4, greatest(1, (length(text) * 10) // 1000)) AS n
+  -- duration comes from the ORIGINAL text length (NULL -> 0 -> one frame,
+  -- the engine's NaN-duration guard); the payload source substitutes
+  -- chr(0) for empty/NULL text like the fake decoder's b'\\x00'
+  SELECT doc_id,
+         COALESCE(nullif(text, ''), chr(0)) AS text,
+         length(COALESCE(nullif(text, ''), chr(0))) AS len,
+         least(4, greatest(1, (COALESCE(length(text), 0) * 10) // 1000)) AS n
   FROM documents WHERE doc_id < 200 AND doc_id % 3 = 2
 )
 SELECT doc_id, CAST(i.i AS INT) AS frame_idx,
@@ -1779,9 +1788,61 @@ FROM docs, LATERAL (SELECT UNNEST(generate_series(0, n - 1)) AS i) i
 # queries probe their 4 nearest lists; exact left-fold cosine re-rank.
 # Assignment ranking may use any cosine formula (eps-insensitive); the
 # re-ranked output cosine must be the bit-identical fold.
-_ORACLE_TOPK_IVF = """
+# Deterministic sampled Lloyd k-means, unrolled in SQL — the exact twin of
+# kgpipe.simsearch.kmeans_centroids: coordinates quantized to
+# floor(x*1e6+0.5) BIGINT, seeds = the 16 lowest-vec_id sample vectors,
+# assignment minimizes (-2.0 * int_dot(x,s))/n + leftfold(float(s_i)^2)/(n*n)
+# (both engines compute the same IEEE expression on identical integer
+# operands, so centroids are bit-equal), emptied clusters carry forward.
+def _ivf_kmeans_cte(n_list: int = 16, iters: int = 3, sample_mod: int = 5) -> str:
+    parts = [f"""
+qv AS (
+  SELECT vec_id, list_transform(e, x -> CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS q
+  FROM (SELECT vec_id, e FROM emb WHERE vec_id % {sample_mod} = 0
+        ORDER BY vec_id LIMIT 100000)
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
+         q AS s, CAST(1 AS BIGINT) AS n
+  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {n_list})
+)"""]
+    for t in range(iters):
+        parts.append(f"""
+a{t} AS (
+  SELECT v.vec_id, v.q, c.cidx,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           (-2.0 * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(v.q) + 1), i -> v.q[i] * c.s[i])),
+              (x, y) -> x + y) AS DOUBLE)) / c.n
+           + list_reduce(list_prepend(0.0,
+              list_transform(c.s, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))),
+              (x, y) -> x + y) / (c.n * c.n)
+           ASC, c.cidx ASC) AS rnk
+  FROM qv v CROSS JOIN c{t} c
+),
+u{t} AS (
+  SELECT cidx, d.i AS i, CAST(SUM(q[d.i]) AS BIGINT) AS s_i, COUNT(*) AS cnt
+  FROM a{t}, LATERAL (SELECT UNNEST(generate_series(1, len(q))) AS i) d
+  WHERE rnk = 1 GROUP BY cidx, d.i
+),
+c{t + 1} AS (
+  SELECT p.cidx, COALESCE(nw.s, p.s) AS s, COALESCE(nw.n, p.n) AS n
+  FROM c{t} p LEFT JOIN (
+    SELECT cidx, list(s_i ORDER BY i) AS s, CAST(ANY_VALUE(cnt) AS BIGINT) AS n
+    FROM u{t} GROUP BY cidx
+  ) nw USING (cidx)
+)""")
+    parts.append(f"""
+cent AS (
+  SELECT cidx AS cid, list_transform(s, z -> CAST(z AS DOUBLE) / n / 1e6) AS ce
+  FROM c{iters}
+)""")
+    return ",".join(parts)
+
+
+_ORACLE_TOPK_IVF = f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cent AS (SELECT vec_id AS cid, e AS ce FROM emb ORDER BY vec_id LIMIT 16),
+{_ivf_kmeans_cte()},
 asn AS (
   SELECT emb.vec_id, emb.e, cent.cid,
          ROW_NUMBER() OVER (

@@ -116,6 +116,7 @@ def run_default() -> None:
         # this sandbox (full protocol + table in BASELINE.md); rerun
         # `python bench.py --scaling` to measure on the current machine.
         "scaling_reference": {
+            "measured_by_this_run": False,
             "efficiency_4_to_16_cores": 0.881,
             "turns_per_sec_local4": 12040,
             "turns_per_sec_local16": 42438,

@@ -147,8 +147,12 @@ def node_degree(edges: DataFrame) -> DataFrame:
     out/in/total degree and distinct-neighbor count.
 
     One union of two narrow projections then a single hash aggregate keyed
-    on node — partial aggregation combines map-side, so the shuffle carries
-    one row per (node) per map task regardless of edge skew.
+    on node. The count/sum metrics combine map-side to one row per node per
+    map task, but countDistinct(nbr) forces the partial aggregate to carry
+    (node, nbr) pairs through the exchange — a hub node ships its distinct
+    neighbor set, so the shuffle is bounded by distinct edges, not nodes.
+    If hub skew ever dominates, split the distinct-neighbor count into a
+    pre-distinct (node, nbr) aggregate ahead of this one.
     """
     ends = edges.select(
         F.col("src").alias("node"), F.col("dst").alias("nbr"),

@@ -5,17 +5,24 @@ The reference accumulates every output row in a Python list on one process
 and writes a single TSV at collection end (timeline_delegator.py:328,
 385-399). Here the write is distributed and incremental:
 
-* triples/nodes/edges land as parquet partitioned by ``bucket =
+* triples/nodes/edges land bucket-partitioned by ``bucket =
   pmod(xxhash64(conv_id), n_buckets)`` — the analog of Iceberg's
-  ``bucket(N, conv_id)`` partition transform. The writer targets a thin
-  abstraction: if an Iceberg catalog is configured on the session
-  (``spark.sql.catalog.*``), ``writeTo(...).append()`` is used; otherwise the
-  parquet-directory fallback keeps the identical layout and lineage logic
-  (SURVEY.md §7.3 risk 8).
+  ``bucket(N, conv_id)`` partition transform. The sink is a thin
+  abstraction (``TableSink``): when ``table_prefix`` is given AND the
+  Iceberg Spark runtime is on the classpath with a catalog configured, the
+  V2 ``writeTo(...).append()`` path is used (tables auto-created
+  partitioned by bucket); otherwise the parquet-directory fallback keeps
+  the identical layout and lineage logic (SURVEY.md §7.3 risk 8). Resume
+  behaves identically on both branches (pytest exercises the parquet
+  branch always and the Iceberg branch when the runtime jar is present).
 * after each bucket's data is committed, one lineage row records
   (run_id, source_snapshot_id, partition_hash=bucket, triple_count,
-  stage_timings, completed_at).
-* resume = anti-join the input's buckets against completed lineage rows:
+  stage_timings, completed_at). NOTE: the ``stage_timings`` map (wall
+  seconds + observed n_triples/n_tlink/... metrics) is INVOCATION-scoped —
+  every lineage row written by one run_with_resume call carries the same
+  totals for the whole invocation, not per-bucket values; per-bucket
+  cardinality lives in ``triple_count``.
+* resume = anti-join the bucket domain against completed lineage rows:
   only unfinished buckets are recomputed, finished output is untouched —
   checkpoint-resume at partition granularity (north_star).
 """
@@ -25,6 +32,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 import time
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +45,8 @@ __all__ = [
     "append_lineage",
     "completed_buckets",
     "run_with_resume",
+    "iceberg_available",
+    "TableSink",
 ]
 
 
@@ -46,15 +56,88 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class TableSink:
+    """Bucket-partitioned append sink: Iceberg ``writeTo`` when a table
+    prefix is given and the runtime is present, parquet directories
+    otherwise. Both branches expose the same append/read/exists surface so
+    the lineage + resume logic upstream is branch-agnostic."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: Optional[str] = None,
+        table_prefix: Optional[str] = None,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.table_prefix = table_prefix
+        self.iceberg = bool(table_prefix) and iceberg_available(spark)
+        if table_prefix and not self.iceberg:
+            # promised switch, honest fallback: the caller asked for a
+            # catalog table but the runtime is absent -> parquet layout
+            # under out_dir with the same names
+            if out_dir is None:
+                raise ValueError(
+                    "table_prefix given without Iceberg runtime and no "
+                    "out_dir fallback"
+                )
+
+    def _ident(self, name: str) -> str:
+        return f"{self.table_prefix}_{name}"
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def append(self, name: str, df: DataFrame, partitioned: bool = True) -> None:
+        if self.iceberg:
+            ident = self._ident(name)
+            try:
+                df.writeTo(ident).append()
+            except Exception:
+                # first write: create the table with the bucket partition
+                w = df.writeTo(ident)
+                if partitioned and "bucket" in df.columns:
+                    w = w.partitionedBy(F.col("bucket"))
+                w.create()
+            return
+        w = df.write.mode("append")
+        if partitioned and "bucket" in df.columns:
+            w = w.partitionBy("bucket")
+        w.parquet(self._path(name))
+
+    def read(self, name: str) -> Optional[DataFrame]:
+        if self.iceberg:
+            ident = self._ident(name)
+            try:
+                return self.spark.read.table(ident)
+            except Exception:
+                return None
+        p = self._path(name)
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+
 def write_bucketed(df: DataFrame, path: str, mode: str = "append") -> None:
-    """Write a bucket-partitioned table (parquet fallback layout identical to
-    an Iceberg bucket-transform table)."""
+    """Write a bucket-partitioned parquet table (fallback layout identical
+    to an Iceberg bucket-transform table). Kept for direct callers; the
+    resume path goes through TableSink."""
     df.write.mode(mode).partitionBy("bucket").parquet(path)
 
 
 def append_lineage(
-    spark: SparkSession,
-    lineage_path: str,
+    sink: TableSink,
     run_id: str,
     source_snapshot_id: str,
     bucket_counts,  # list[(bucket, triple_count)]
@@ -65,16 +148,18 @@ def append_lineage(
         (run_id, source_snapshot_id, int(b), int(c), stage_timings, now)
         for b, c in bucket_counts
     ]
-    spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
-        lineage_path
+    sink.append(
+        "lineage",
+        sink.spark.createDataFrame(rows, LINEAGE_SCHEMA),
+        partitioned=False,
     )
 
 
-def completed_buckets(spark: SparkSession, lineage_path: str, source_snapshot_id: str):
+def completed_buckets(sink: TableSink, source_snapshot_id: str):
     """Buckets already committed for this source snapshot (any run)."""
-    if not os.path.exists(lineage_path):
+    df = sink.read("lineage")
+    if df is None:
         return set()
-    df = spark.read.parquet(lineage_path)
     rows = (
         df.where(F.col("source_snapshot_id") == source_snapshot_id)
         .select("partition_hash")
@@ -87,31 +172,33 @@ def completed_buckets(spark: SparkSession, lineage_path: str, source_snapshot_id
 def run_with_resume(
     spark: SparkSession,
     transcripts: DataFrame,
-    out_dir: str,
+    out_dir: Optional[str],
     build_fn,
     *,
     run_id: str,
     source_snapshot_id: str,
     n_buckets: int = 16,
     only_buckets=None,
+    table_prefix: Optional[str] = None,
 ) -> dict:
     """Materialize ``build_fn(transcripts_subset) -> triples`` bucket-wise
     with resume.
 
     ``only_buckets`` (tests/partial runs) restricts this invocation to a
     subset of remaining buckets, simulating a crash between bucket commits.
-    Returns {'written_buckets': [...], 'skipped_buckets': [...],
+    ``table_prefix`` switches the sink to Iceberg ``writeTo`` tables
+    (``{prefix}_triples`` / ``{prefix}_lineage``) when the runtime is
+    present. Returns {'written_buckets': [...], 'skipped_buckets': [...],
     'triples_written': int}.
     """
-    triples_path = os.path.join(out_dir, "triples")
-    lineage_path = os.path.join(out_dir, "lineage")
+    sink = TableSink(spark, out_dir=out_dir, table_prefix=table_prefix)
 
-    done = completed_buckets(spark, lineage_path, source_snapshot_id)
+    done = completed_buckets(sink, source_snapshot_id)
     bucketed_in = with_bucket(transcripts, n_buckets)
-    all_buckets = set(
-        r.bucket for r in bucketed_in.select("bucket").distinct().collect()
-    )
-    todo = sorted(all_buckets - done)
+    # the bucket domain is [0, n_buckets) by construction (pmod) — no input
+    # scan needed to enumerate it; input-empty buckets simply commit zero
+    # rows and a zero-count lineage row, which resume then skips
+    todo = sorted(set(range(n_buckets)) - done)
     if only_buckets is not None:
         todo = [b for b in todo if b in set(only_buckets)]
     if not todo:
@@ -138,24 +225,25 @@ def run_with_resume(
         # the standard observable cardinality
         F.approx_count_distinct("conv_id").alias("n_convs_approx"),
     )
-    write_bucketed(out, triples_path, mode="append")
+    sink.append("triples", out)
     t1 = time.monotonic()
     metrics = {k: float(v or 0) for k, v in obs.get.items()}
 
-    written = spark.read.parquet(triples_path).where(
+    written = sink.read("triples").where(
         F.col("bucket").isin([int(b) for b in todo])
     )
     counts = [
         (r.bucket, r.cnt)
         for r in written.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
     ]
-    # buckets present in the input but yielding zero triples still get a
-    # lineage row (they are complete; resume must not redo them)
+    # buckets yielding zero triples still get a lineage row (they are
+    # complete; resume must not redo them)
     counted = {b for b, _ in counts}
     counts.extend((b, 0) for b in todo if b not in counted)
+    # stage_timings/metrics are INVOCATION-scoped (identical across this
+    # call's lineage rows); per-bucket cardinality is triple_count
     append_lineage(
-        spark,
-        lineage_path,
+        sink,
         run_id,
         source_snapshot_id,
         counts,

@@ -169,7 +169,11 @@ def sample_frames(
                         "video codecs not available in this environment; "
                         "use fake=True"
                     )
-                n = min(max_frames, max(1, int(dur or 0) // every_ms))
+                # pandas surfaces a NULL duration as NaN (truthy!): guard
+                # explicitly so a missing duration defaults to one frame
+                # instead of int(NaN) raising and failing the whole task
+                dur_ms = 0 if pd.isna(dur) else int(dur)
+                n = min(max_frames, max(1, dur_ms // every_ms))
                 arr = np.frombuffer(p or b"\x00", dtype=np.uint8)
                 step = max(1, arr.size // max(n, 1))
                 for i in range(n):

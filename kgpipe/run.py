@@ -47,6 +47,12 @@ def main(argv=None) -> int:
     p.add_argument("--run-id", default="run0")
     p.add_argument("--snapshot-id", default="snap0")
     p.add_argument(
+        "--iceberg-table-prefix",
+        help="write via Iceberg writeTo() to {prefix}_triples/{prefix}_lineage "
+        "(requires the Iceberg Spark runtime + a configured catalog; falls "
+        "back to parquet under --output when absent)",
+    )
+    p.add_argument(
         "--tsv", action="store_true",
         help="also write the reference-compatible TSV projection "
         "(unsummarized_output.tsv analog) under <output>/tsv",
@@ -103,6 +109,7 @@ def main(argv=None) -> int:
         run_id=args.run_id,
         source_snapshot_id=args.snapshot_id,
         n_buckets=args.buckets,
+        table_prefix=args.iceberg_table_prefix,
     )
     extras = {}
     if args.tsv:

@@ -39,11 +39,91 @@ __all__ = [
     "cosine_col",
     "brute_force_topk",
     "lsh_topk",
+    "kmeans_centroids",
     "ivf_topk",
     "build_ivf_index",
     "ivf_topk_indexed",
     "embedding_dup_pairs",
 ]
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_list: int = 16,
+    *,
+    iters: int = 3,
+    sample_mod: int = 5,
+    quant: float = 1e6,
+    sample_cap: int = 100_000,
+) -> np.ndarray:
+    """Deterministic sampled Lloyd k-means for the IVF coarse quantizer.
+
+    Training data is the deterministic sample ``vec_id % sample_mod == 0``
+    (capped at ``sample_cap`` rows — at 10^12 vectors raise sample_mod, the
+    collect stays bounded). All arithmetic is exactly replayable by the
+    DuckDB oracle:
+
+    * coordinates are quantized to ``floor(x * quant + 0.5)`` int64;
+    * seeds are the ``n_list`` lowest-vec_id sample vectors;
+    * assignment minimizes the euclidean score
+      ``(-2.0 * (x . s)) / n + css / (n * n)`` where ``x . s`` is an EXACT
+      integer dot against the cluster's integer coordinate sum ``s``
+      (order-independent), and ``css`` is the left-fold double sum of
+      ``float(s_i)**2`` — identical operand order in both engines, so the
+      IEEE results are bit-equal; ties break to the lower centroid index;
+    * update keeps exact integer (sum, count) per cluster; an emptied
+      cluster carries its previous state.
+
+    Returns the final double centroid matrix ``s / n / quant``
+    (n_list x dim). Unlike first-n-vector seeding, the means track the data
+    distribution, so inverted lists stay balanced on clustered corpora
+    (pytest-asserted bound)."""
+    rows = (
+        embeddings.where(F.col("vec_id") % sample_mod == 0)
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .select("embedding")
+        .collect()
+    )
+    Q = [
+        [int(np.floor(float(v) * quant + 0.5)) for v in r["embedding"]]
+        for r in rows
+    ]
+    if len(Q) < n_list:
+        raise ValueError(f"sample of {len(Q)} vectors < n_list={n_list}")
+    dim = len(Q[0])
+    s = [list(q) for q in Q[:n_list]]
+    n = [1] * n_list
+    for _ in range(iters):
+        # hoist the per-centroid constant css = sum(float(s_i)^2), left fold
+        css = []
+        for ci in range(n_list):
+            acc = 0.0
+            for v in s[ci]:
+                acc += float(v) * float(v)
+            css.append(acc)
+        sums = [[0] * dim for _ in range(n_list)]
+        counts = [0] * n_list
+        for q in Q:
+            best_f, best_ci = None, -1
+            for ci in range(n_list):
+                xs = 0
+                sc = s[ci]
+                for a, b in zip(q, sc):
+                    xs += a * b
+                f = (-2.0 * xs) / n[ci] + css[ci] / (n[ci] * n[ci])
+                if best_f is None or f < best_f:
+                    best_f, best_ci = f, ci
+            counts[best_ci] += 1
+            tgt = sums[best_ci]
+            for d, v in enumerate(q):
+                tgt[d] += v
+        for ci in range(n_list):
+            if counts[ci] > 0:
+                s[ci], n[ci] = sums[ci], counts[ci]
+    return np.array(
+        [[si / nn / quant for si in sv] for sv, nn in zip(s, n)], dtype=np.float64
+    )
 
 
 def cosine_col(a, b):
@@ -182,27 +262,24 @@ def ivf_topk(
     n_list: int = 16,
     n_probe: int = 4,
     raw: bool = False,
+    centroids="kmeans",
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_list``
     inverted lists, probe each query's ``n_probe`` nearest lists, exact
     cosine re-rank inside them.
 
-    Centroids are the first ``n_list`` corpus vectors (deterministic,
-    training-free; a production deployment would swap in offline k-means
-    centroids — the dataflow is identical). Collecting them to the driver is
-    the standard tiny-dim-table pattern (n_list rows), not a data collect.
-    Every step is deterministic (stable argmax ties on centroid id, rank
-    ties on vec_id), so the whole ANN path replays exactly in the DuckDB
-    oracle. ``raw=True`` returns the unrounded cosine for floor-scaled
-    cross-engine comparison.
+    ``centroids``: "kmeans" (default) trains the deterministic sampled
+    Lloyd quantizer (``kmeans_centroids`` — balanced lists on clustered
+    data); "first" uses the first ``n_list`` corpus vectors
+    (training-free); or pass a precomputed (n_list x dim) matrix.
+    Collecting either centroid source to the driver is the standard
+    tiny-dim-table pattern (n_list rows), not a data collect. Every step is
+    deterministic (stable argmax ties on centroid id, rank ties on vec_id),
+    so the whole ANN path replays exactly in the DuckDB oracle.
+    ``raw=True`` returns the unrounded cosine for floor-scaled cross-engine
+    comparison.
     """
-    cent_rows = (
-        embeddings.orderBy("vec_id")
-        .limit(n_list)
-        .select("embedding")
-        .collect()
-    )
-    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    centroids = _resolve_centroids(embeddings, centroids, n_list)
 
     corpus_assign = _assign_lists_udf(centroids, 1)
     query_assign = _assign_lists_udf(centroids, n_probe)
@@ -230,11 +307,26 @@ def ivf_topk(
     return ranked.select("query_id", "vec_id", cos, "rank")
 
 
+def _resolve_centroids(embeddings: DataFrame, centroids, n_list: int) -> np.ndarray:
+    """Centroid source dispatch: "kmeans" / "first" / explicit matrix."""
+    if isinstance(centroids, str):
+        if centroids == "kmeans":
+            return kmeans_centroids(embeddings, n_list)
+        if centroids == "first":
+            cent_rows = (
+                embeddings.orderBy("vec_id").limit(n_list).select("embedding").collect()
+            )
+            return np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+        raise ValueError(f"unknown centroid source {centroids!r}")
+    return np.asarray(centroids, dtype=np.float64)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
     *,
     n_list: int = 16,
+    centroids="kmeans",
 ) -> np.ndarray:
     """Materialize the IVF layout: corpus written as parquet PARTITIONED BY
     list_id (the coarse-quantizer assignment). Returns the centroid matrix
@@ -245,10 +337,7 @@ def build_ivf_index(
     partitions — partition pruning at the file-listing level, no Spark job
     touches the other (n_list - n_probe)/n_list of the data.
     """
-    cent_rows = (
-        embeddings.orderBy("vec_id").limit(n_list).select("embedding").collect()
-    )
-    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    centroids = _resolve_centroids(embeddings, centroids, n_list)
     assign = _assign_lists_udf(centroids, 1)
     (
         embeddings.select(

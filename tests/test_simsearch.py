@@ -142,3 +142,37 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     # the probe plan prunes partitions via DPP on list_id
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(list_id" in plan
+
+
+def test_kmeans_centroids_balance_and_determinism(spark):
+    """Sampled-Lloyd quantizer: on a clustered corpus the inverted lists
+    stay balanced (max list <= 3x the ideal share), unlike first-n seeding
+    which can funnel a whole cluster into one list; and training is
+    deterministic (same centroids on re-run)."""
+    import numpy as np
+
+    from kgpipe.simsearch import _assign_lists_udf, kmeans_centroids
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # 4 tight clusters of 50 vectors, dim 16
+    for c in range(4):
+        center = rng.randn(16) * 2
+        for j in range(50):
+            v = center + rng.randn(16) * 0.05
+            rows.append((c * 50 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents1 = kmeans_centroids(emb, n_list=4, sample_mod=2)
+    cents2 = kmeans_centroids(emb, n_list=4, sample_mod=2)
+    assert np.array_equal(cents1, cents2)
+
+    assign = _assign_lists_udf(cents1, 1)
+    lists = (
+        emb.select((assign("embedding")[0]).alias("list_id"))
+        .groupBy("list_id").count().collect()
+    )
+    sizes = {r.list_id: r["count"] for r in lists}
+    assert max(sizes.values()) <= 3 * (200 / 4), sizes
+    # every cluster of the data landed in SOME list, none starved to zero
+    assert len(sizes) == 4
