@@ -210,6 +210,54 @@ def _q_tlink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples.where(F.col("pred").startswith("tlink:")).select(*_TRIPLE_COLS)
 
 
+def _q_event_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: within-turn event-event TLINKs — deleted-neighborhood pairing
+    (timeline_delegator.py:283-288) clamped by the subject's ±60-token
+    window, each side anchored to its nearest in-window timex (W7), labels
+    from the interval algebra over the two anchors."""
+    from kgpipe.pair import event_event_triples
+
+    ann = _annotations(spark, sf_dir)
+    ee = event_event_triples(ann["mentions"], ann["timexes"])
+    return ee.select(
+        "subj", "pred", "obj", "anchor_date", "conv_id", "turn_idx",
+        "subj_text", "obj_text",
+    )
+
+
+def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9c watermarked tumbling-window aggregation, driven end-to-end as a
+    real stream: the derived corpus lands as batch 1, then a single
+    far-future sentinel turn (max ts + 10 days) pushes the watermark past
+    every real window so append mode finalizes and emits them all; the
+    sentinel's own window stays open and is never emitted. The result is
+    exactly the batch day-window rollup of the corpus — the oracle's
+    GROUP BY date_trunc twin."""
+    import datetime as _dt
+    import tempfile
+
+    from kgpipe.schemas import TRANSCRIPTS_SCHEMA
+    from kgpipe.streaming import run_windowed_stream
+
+    t = derive_transcripts(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kg_wincounts_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    t.write.mode("append").parquet(in_dir)
+    run_windowed_stream(spark, in_dir, out_dir, ckpt, timeout_sec=300.0)
+    max_ts = t.agg(F.max("ts")).collect()[0][0]
+    sentinel = [
+        ("__sentinel__", 0, "user", "x", None, max_ts + _dt.timedelta(days=10))
+    ]
+    spark.createDataFrame(sentinel, TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_windowed_stream(spark, in_dir, out_dir, ckpt, timeout_sec=300.0)
+    return spark.read.parquet(out_dir).select(
+        "window_start", "window_end", "conv_id",
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+    )
+
+
 def _q_triples_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 end-to-end: the full structured plan (scan → annotate → filters →
     W1 window → J1 band join → score → union of all predicates)."""
@@ -679,10 +727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _q_mentions,
         "kg_timexes": _q_timexes,
         "kg_tlink": _q_tlink,
+        "kg_event_event": _q_event_event,
         "kg_triples_all": _q_triples_all,
         "kg_triples_fused": _q_triples_fused,
         "kg_streaming_ingest": _q_streaming_ingest,
         "kg_streaming_state": _q_streaming_state,
+        "kg_windowed_counts": _q_windowed_counts,
         "kg_dtr": _q_dtr,
         "kg_confidence": _q_confidence,
         "kg_tsv_view": _q_tsv_view,
@@ -1885,6 +1935,26 @@ def oracle_sql() -> dict[str, str]:
         "surface, normed, annotation_id FROM tmx_ann",
         "kg_tlink": f"WITH {_MENTIONS}, {_TLINK} "
         "SELECT subj, pred, obj, anchor_date, conv_id, turn_idx, subj_text, obj_text FROM tl",
+        # J6: deleted-neighborhood pairs, subject = textually-first mention,
+        # both sides anchored to the slash date when it is in their window
+        # (the nearer of the two planted timexes) -> identical single-day
+        # intervals -> 'overlap'; an unanchored side -> 'none'
+        "kg_event_event": f"""
+WITH {_MENTIONS}
+SELECT a.annotation_id AS subj,
+       'ee-tlink:' || CASE WHEN (x.wd_doc + 5 <= a.widx + a.extra + 60)
+                            AND (x.wd_doc + 5 <= b.widx + b.extra + 60)
+                       THEN 'overlap' ELSE 'none' END AS pred,
+       b.annotation_id AS obj,
+       a.anchor_date, a.conv_id, a.turn_idx,
+       a.term AS subj_text, b.term AS obj_text
+FROM ment_ann a
+JOIN ment_ann b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+ AND a.begin_c < b.begin_c
+ AND b.widx >= a.widx - 60
+ AND b.widx + b.extra <= a.widx + a.extra + 60
+JOIN t_ext x ON x.conv_id = a.conv_id AND x.turn_idx = a.turn_idx
+""",
         "kg_triples_all": _ORACLE_TRIPLES_ALL,
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
         "kg_streaming_ingest": _ORACLE_TRIPLES_ALL,
@@ -1896,6 +1966,13 @@ SELECT conv_id, COUNT(*) AS n_turns,
        MAX(CAST(ts AS DATE)) AS last_date,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM t GROUP BY conv_id
+""",
+        "kg_windowed_counts": f"""
+WITH t AS ({_T})
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       conv_id, COUNT(*) AS n_turns
+FROM t WHERE ts IS NOT NULL GROUP BY 1, 2, 3
 """,
         "kg_dtr": _ORACLE_DTR,
         "kg_conmod": _ORACLE_CONMOD,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Iterator, List
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .annotate import annotate_turn
@@ -32,7 +32,13 @@ from .config import DEFAULT_CONFIG, PipelineConfig
 from .schemas import TRIPLE_SCHEMA
 from .score import apply_inversion, get_tlink_instance, tlink_label, tokens_for_mode
 
-__all__ = ["pair_window", "tlink_triples_from_pairs", "turn_triples"]
+__all__ = [
+    "pair_window",
+    "tlink_triples_from_pairs",
+    "nearest_anchor_timex",
+    "event_event_triples",
+    "turn_triples",
+]
 
 
 def pair_window(
@@ -126,6 +132,126 @@ def tlink_triples_from_pairs(
             yield pd.DataFrame(rows)
 
     return joined.mapInPandas(gen, schema=TRIPLE_SCHEMA)
+
+
+def nearest_anchor_timex(mentions_f: DataFrame, timexes_f: DataFrame) -> DataFrame:
+    """Per mention, the nearest normalized timex inside its ±60-token char
+    window (W7 nearest-anchor applied to in-window candidates): smallest
+    |timex.begin - mention.begin|, ties to the earlier timex then the lower
+    timex_idx. Returns (conv_id, turn_idx, annotation_id, anchor_normed) —
+    one row per mention that HAS an in-window timex."""
+    m = mentions_f.select(
+        "conv_id", "turn_idx",
+        F.col("begin").alias("m_begin"),
+        "annotation_id", "win_char_begin", "win_char_end",
+    )
+    t = timexes_f.select(
+        "conv_id", "turn_idx",
+        F.col("begin").alias("t_begin"), F.col("end").alias("t_end"),
+        F.col("timex_idx").alias("t_idx"),
+        F.col("normed").alias("anchor_normed"),
+    )
+    j = m.join(t, ["conv_id", "turn_idx"]).where(
+        F.col("t_begin").between(F.col("win_char_begin"), F.col("win_char_end"))
+        & F.col("t_end").between(F.col("win_char_begin"), F.col("win_char_end"))
+    )
+    w = Window.partitionBy("conv_id", "turn_idx", "annotation_id").orderBy(
+        F.abs(F.col("t_begin") - F.col("m_begin")), "t_begin", "t_idx"
+    )
+    return (
+        j.withColumn("nr", F.row_number().over(w))
+        .where(F.col("nr") == 1)
+        .select("conv_id", "turn_idx", "annotation_id", "anchor_normed")
+    )
+
+
+def _ee_label_udf():
+    """Interval-algebra label between two TimeML values (the event-event
+    analog of the U1 scorer; documented spec, shared with the oracle):
+    either side unparseable/missing -> 'none'; disjoint -> 'before'/'after'
+    by order; identical -> 'overlap'; one containing the other ->
+    'contains' / 'contains-1'; partial overlap -> 'overlap'."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    from .timex import timeml_interval
+
+    @F.pandas_udf("string")
+    def ee_label(na: pd.Series, nb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(na, nb):
+            ia = timeml_interval(x) if isinstance(x, str) else None
+            ib = timeml_interval(y) if isinstance(y, str) else None
+            if ia is None or ib is None:
+                out.append("none")
+                continue
+            s1, e1 = ia
+            s2, e2 = ib
+            if e1 < s2:
+                out.append("before")
+            elif s1 > e2:
+                out.append("after")
+            elif (s1, e1) == (s2, e2):
+                out.append("overlap")
+            elif s1 <= s2 and e1 >= e2:
+                out.append("contains")
+            elif s2 <= s1 and e2 >= e1:
+                out.append("contains-1")
+            else:
+                out.append("overlap")
+        return pd.Series(out)
+
+    return ee_label
+
+
+def event_event_triples(
+    mentions_id: DataFrame, timexes_id: DataFrame
+) -> DataFrame:
+    """J6: within-turn event-event TLINKs.
+
+    Deleted-neighborhood pairing (timeline_delegator.py:283-288 — every
+    OTHER mention of the turn) clamped by the subject's ±60-token char
+    window (O4, same clamp as J1): the pair (a, b) is emitted once with
+    a = the textually-first mention (mention_idx order, which IS the
+    (begin, end) sort), b fully inside a's window. Each side is anchored to
+    its nearest in-window timex (W7 nearest-anchor), and the label compares
+    the two anchors' TimeML intervals with the interval algebra; the
+    subject is textually first, so X8 inversion is the identity by
+    construction. All joins key on (conv_id, turn_idx) — the same exchange
+    every other stage uses."""
+    anchors = nearest_anchor_timex(mentions_id, timexes_id)
+    m = mentions_id.join(
+        anchors, ["conv_id", "turn_idx", "annotation_id"], "left"
+    ).select(
+        "conv_id", "turn_idx", "annotation_id", "anchor_date",
+        "mention_idx", "begin", "end", "surface",
+        "win_char_begin", "win_char_end", "anchor_normed",
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = a.join(b, ["conv_id", "turn_idx"]).where(
+        (F.col("a.mention_idx") < F.col("b.mention_idx"))
+        & F.col("b.begin").between(
+            F.col("a.win_char_begin"), F.col("a.win_char_end")
+        )
+        & F.col("b.end").between(
+            F.col("a.win_char_begin"), F.col("a.win_char_end")
+        )
+    )
+    label = _ee_label_udf()
+    out = pairs.select(
+        F.col("a.annotation_id").alias("subj"),
+        F.concat(
+            F.lit("ee-tlink:"),
+            label(F.col("a.anchor_normed"), F.col("b.anchor_normed")),
+        ).alias("pred"),
+        F.col("b.annotation_id").alias("obj"),
+        F.col("a.anchor_date").alias("anchor_date"),
+        "conv_id", "turn_idx",
+        F.col("a.surface").alias("subj_text"),
+        F.col("b.surface").alias("obj_text"),
+        F.lit(None).cast("string").alias("instance"),
+    )
+    return out
 
 
 # --------------------------------------------------------------------------
