@@ -847,21 +847,42 @@ t_ext AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
          len(d.text) AS doc_len,
          len(string_split(d.text, ' ')) AS wd_doc,
-         CAST(e.event_id % 6 AS INT) AS k,
+         CAST(e.event_id % 8 AS INT) AS k,
          strftime(e.ts, '%-m/%-d/%Y') AS datestr
   FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
   WHERE d.doc_id < 500
 ),
 tmx2 AS (
-  SELECT w.conv_id, w.turn_idx, w.anchor_date, w.n_words, w.ts,
-         x.doc_len, x.wd_doc, x.k, x.datestr,
-         CASE x.k WHEN 0 THEN 'summer ' || CAST(year(w.ts) - 1 AS VARCHAR)
-                  WHEN 1 THEN 'the 1990s'
-                  WHEN 2 THEN 'week of ' || x.datestr
-                  WHEN 3 THEN 'every 2 weeks'
-                  WHEN 4 THEN 'this morning'
-                  ELSE 'last summer' END AS surface2
-  FROM words w JOIN t_ext x USING (conv_id, turn_idx)
+  -- nearest-anniversary picks (W7 nearest-year, ties to the earlier year
+  -- exactly like rank_parses' stable sort over (y-1, y, y+1) candidates)
+  SELECT *,
+         CASE WHEN abs(date_diff('day', anchor_date, md1)) <= abs(date_diff('day', anchor_date, md2))
+               AND abs(date_diff('day', anchor_date, md1)) <= abs(date_diff('day', anchor_date, md3)) THEN md1
+              WHEN abs(date_diff('day', anchor_date, md2)) <= abs(date_diff('day', anchor_date, md3)) THEN md2
+              ELSE md3 END AS md_pick,
+         CASE WHEN abs(date_diff('day', anchor_date, hd1)) <= abs(date_diff('day', anchor_date, hd2))
+               AND abs(date_diff('day', anchor_date, hd1)) <= abs(date_diff('day', anchor_date, hd3)) THEN hd1
+              WHEN abs(date_diff('day', anchor_date, hd2)) <= abs(date_diff('day', anchor_date, hd3)) THEN hd2
+              ELSE hd3 END AS hd_pick
+  FROM (
+    SELECT w.conv_id, w.turn_idx, w.anchor_date, w.n_words, w.ts,
+           x.doc_len, x.wd_doc, x.k, x.datestr,
+           CASE x.k WHEN 0 THEN 'summer ' || CAST(year(w.ts) - 1 AS VARCHAR)
+                    WHEN 1 THEN 'the 1990s'
+                    WHEN 2 THEN 'week of ' || x.datestr
+                    WHEN 3 THEN 'every 2 weeks'
+                    WHEN 4 THEN 'this morning'
+                    WHEN 5 THEN 'last summer'
+                    WHEN 6 THEN 'march 5'
+                    ELSE 'christmas' END AS surface2,
+           make_date(year(w.ts) - 1, 3, 5) AS md1,
+           make_date(year(w.ts), 3, 5) AS md2,
+           make_date(year(w.ts) + 1, 3, 5) AS md3,
+           make_date(year(w.ts) - 1, 12, 25) AS hd1,
+           make_date(year(w.ts), 12, 25) AS hd2,
+           make_date(year(w.ts) + 1, 12, 25) AS hd3
+    FROM words w JOIN t_ext x USING (conv_id, turn_idx)
+  )
 ),
 tmx AS (
   -- timex 1: the slash date; engine tokens [wd_doc+1 .. wd_doc+5]
@@ -887,19 +908,28 @@ tmx AS (
                 WHEN 2 THEN strftime(ts, '%G-W%V')
                 WHEN 3 THEN 'P2W'
                 WHEN 4 THEN strftime(ts, '%Y-%m-%d') || 'TMO'
-                ELSE CAST(year(ts) - CASE WHEN month(ts) >= 9 THEN 0 ELSE 1 END AS VARCHAR) || '-SU'
+                WHEN 5 THEN CAST(year(ts) - CASE WHEN month(ts) >= 9 THEN 0 ELSE 1 END AS VARCHAR) || '-SU'
+                WHEN 6 THEN strftime(md_pick, '%Y-%m-%d')
+                ELSE strftime(hd_pick, '%Y-%m-%d')
          END AS normed,
-         CAST(wd_doc + CASE k WHEN 2 THEN 13 WHEN 3 THEN 9 ELSE 8 END AS INT) AS t_tok_e,
+         CAST(wd_doc + CASE k WHEN 2 THEN 13 WHEN 3 THEN 9 WHEN 7 THEN 7 ELSE 8 END AS INT) AS t_tok_e,
          -- tlink label vs the anchor (= date(ts)): past seasons/decades are
          -- always 'after'; the anchor's own ISO week begins-on/ends-on/
          -- contains it; a SET value has no interval -> 'none'; the anchor's
-         -- own morning overlaps it
+         -- own morning overlaps it; the nearest-anniversary day compares
+         -- directly
          CASE k WHEN 2 THEN (CASE isodow(CAST(ts AS DATE))
                              WHEN 1 THEN 'begins-on'
                              WHEN 7 THEN 'ends-on'
                              ELSE 'contains-1' END)
                 WHEN 3 THEN 'none'
                 WHEN 4 THEN 'overlap'
+                WHEN 6 THEN (CASE WHEN anchor_date < md_pick THEN 'before'
+                                  WHEN anchor_date > md_pick THEN 'after'
+                                  ELSE 'overlap' END)
+                WHEN 7 THEN (CASE WHEN anchor_date < hd_pick THEN 'before'
+                                  WHEN anchor_date > hd_pick THEN 'after'
+                                  ELSE 'overlap' END)
                 ELSE 'after' END AS lbl
   FROM tmx2
 ),

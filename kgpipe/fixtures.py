@@ -168,7 +168,9 @@ def synthetic_transcripts_df(
 # role from event_type, tool only for error events, text = document text plus
 # a planted slash date ("on M/D/YYYY") for the timex fast path AND a second
 # planted timex cycling through the round-2 grammar kinds (seasons, decades,
-# week-of, period sets, times of day) keyed on event_id % 6 — every kind
+# week-of, period sets, times of day, year-less month-day, holidays — the
+# last two exercising W7 nearest-year resolution) keyed on event_id % 8 —
+# every kind
 # gets driver-corpus coverage with DuckDB-replayable normalization. All
 # suffix words are outside the gazetteer and the DTR/conmod marker sets, so
 # mention extraction and the marker scorers are unaffected.
@@ -184,13 +186,15 @@ SELECT
     ELSE 'tool'
   END AS role,
   d.text || ' on ' || {date_expr} ||
-  CASE CAST(e.event_id % 6 AS INT)
+  CASE CAST(e.event_id % 8 AS INT)
     WHEN 0 THEN ' revisit summer ' || CAST(year(e.ts) - 1 AS {str_type})
     WHEN 1 THEN ' revisit the 1990s'
     WHEN 2 THEN ' revisit week of ' || {date_expr}
     WHEN 3 THEN ' revisit every 2 weeks'
     WHEN 4 THEN ' revisit this morning'
-    ELSE ' revisit last summer'
+    WHEN 5 THEN ' revisit last summer'
+    WHEN 6 THEN ' revisit march 5'
+    ELSE ' revisit christmas'
   END AS text,
   CASE WHEN e.event_type = 'error' THEN 'logger' ELSE NULL END AS tool,
   e.ts AS ts

@@ -67,6 +67,25 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         re.compile(rf"\b({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}\b", re.I),
     ),
     ("month_year", re.compile(rf"\b({_MONTH_ALT})\.?\s+\d{{4}}\b", re.I)),
+    # year-less month-day ("March 5", "March 5th") — the canonical W7 case:
+    # three candidate years (anchor-1, anchor, anchor+1) ranked by
+    # rank_parses nearest-start (TEP.scala:238-243)
+    (
+        "month_day",
+        re.compile(
+            rf"\b({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?\b", re.I
+        ),
+    ),
+    # holidays — en.grammar [TimeSpan] holiday rules; with an explicit year
+    # or W7-resolved against the anchor
+    (
+        "holiday",
+        re.compile(
+            r"\b(christmas|xmas|halloween|thanksgiving|new\s+year'?s?(?:\s+day)?)"
+            r"(?:\s+(?:of\s+)?(\d{4}))?\b",
+            re.I,
+        ),
+    ),
     (
         "ago",
         re.compile(rf"\b({_NUM_ALT})\s+(day|week|month|year)s?\s+ago\b", re.I),
@@ -170,6 +189,8 @@ _QUICK_KEYS = {
     "slash_date": ("/",),
     "month_day_year": "digit",
     "month_year": "digit",
+    "month_day": "digit",
+    "holiday": ("christmas", "xmas", "halloween", "thanksgiving", "new year"),
     "ago": ("ago",),
     "in_n": ("in",),
     # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
@@ -203,8 +224,9 @@ _QUICK_KEYS = {
 _DIGIT_BOUNDED = {
     "iso_date", "slash_date", "month_day_year", "month_year", "bare_year",
     # "summer of 2019": 2 words left of first digit; "the 1990s"/"the '90s":
-    # 1 word left, trailing "s" inside the +4-char right margin
-    "season_year", "decade",
+    # 1 word left, trailing "s" inside the +4-char right margin;
+    # "March 5(th)": 1 word left, ordinal suffix inside the right margin
+    "season_year", "decade", "month_day",
 }
 
 
@@ -384,6 +406,23 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             if n is None:
                 return None
             return f"P{n}{m.group(2)[0].upper()}"
+        if kind == "holiday":
+            m = re.match(
+                r"(christmas|xmas|halloween|thanksgiving|new\s+year'?s?(?:\s+day)?)"
+                r"(?:\s+(?:of\s+)?(\d{4}))?",
+                s, re.I,
+            )
+            name = re.sub(r"\s+", " ", m.group(1).lower())
+            if m.group(2):
+                return _fmt_day(_holiday_date(name, int(m.group(2))))
+            if anchor is None:
+                return None
+            parses = [
+                TimexParse(_fmt_day(d), True, d, False)
+                for y in (anchor.year - 1, anchor.year, anchor.year + 1)
+                for d in (_holiday_date(name, y),)
+            ]
+            return rank_parses(parses, anchor)[0].value
         if kind == "past_ref":
             return "PAST_REF"
         if kind == "future_ref":
@@ -440,6 +479,24 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 return _fmt_day(anchor - dt.timedelta(days=back))
             fwd = (target - anchor.weekday() - 1) % 7 + 1
             return _fmt_day(anchor + dt.timedelta(days=fwd))
+        if kind == "month_day":
+            # W7 proper: three candidate years, nearest start to the anchor
+            # wins (TEP.scala:238-243); invalid dates (Feb 29 off-leap)
+            # drop out of the candidate set
+            m = re.match(
+                rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?", s, re.I
+            )
+            month, day = _MONTHS[m.group(1).lower()], int(m.group(2))
+            parses = []
+            for y in (anchor.year - 1, anchor.year, anchor.year + 1):
+                try:
+                    d = dt.date(y, month, day)
+                except ValueError:
+                    continue
+                parses.append(TimexParse(_fmt_day(d), True, d, False))
+            if not parses:
+                return None
+            return rank_parses(parses, anchor)[0].value
         if kind == "rel_season":
             m = re.match(
                 r"(last|next|this)\s+(spring|summer|fall|autumn|winter)", s, re.I
@@ -561,6 +618,19 @@ _SEASONS = {
     "fall": ("FA", 9), "autumn": ("FA", 9), "winter": ("WI", 12),
 }
 _SEASON_BOUNDS = {"SP": (3, 5), "SU": (6, 8), "FA": (9, 11), "WI": (12, 2)}
+
+
+def _holiday_date(name: str, year: int) -> dt.date:
+    """Fixed-date holidays + thanksgiving (4th Thursday of November)."""
+    if name in ("christmas", "xmas"):
+        return dt.date(year, 12, 25)
+    if name == "halloween":
+        return dt.date(year, 10, 31)
+    if name.startswith("new year"):
+        return dt.date(year, 1, 1)
+    # thanksgiving: Nov 1 weekday (Mon=0); first Thursday = 1 + (3 - wd) % 7
+    first_thu = 1 + (3 - dt.date(year, 11, 1).weekday()) % 7
+    return dt.date(year, 11, first_thu + 21)
 
 
 def _season_end(label_year: int, code: str) -> dt.date:

@@ -230,3 +230,37 @@ def test_rank_parses_full_heuristic():
     # stability: equal keys keep input order
     twin = TimexParse("2024-W42b", True, dt.date(2024, 10, 14), False)
     assert rank_parses([near_span, twin], anchor)[:2] == [near_span, twin]
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        ("March 5", "2024-03-05"),        # W7 nearest year: 10 days back
+        ("sept. 30th", "2023-09-30"),     # nearest is last year's Sep 30
+        ("feb 29", "2024-02-29"),         # off-leap years drop out
+        ("christmas", "2023-12-25"),      # nearest christmas to mid-March
+        ("christmas 2020", "2020-12-25"),
+        ("thanksgiving", "2023-11-23"),   # 4th Thursday of November
+        ("halloween 2022", "2022-10-31"),
+        ("new year's day", "2024-01-01"),
+    ],
+)
+def test_month_day_and_holiday_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_month_day_nearest_year_flips_with_anchor():
+    import datetime as _dt
+
+    from kgpipe.timex import normalize_timex
+
+    # late-year anchor: "January 10" is nearer NEXT year
+    assert (
+        normalize_timex("January 10", "month_day", _dt.date(2024, 11, 1))
+        == "2025-01-10"
+    )
+    # early-year anchor: same surface resolves to the current year
+    assert (
+        normalize_timex("January 10", "month_day", _dt.date(2024, 2, 1))
+        == "2024-01-10"
+    )

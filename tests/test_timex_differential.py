@@ -46,6 +46,7 @@ _WORDS = [
     # round-2 grammar: seasons/decades/week-of/ToD/SET trigger words
     "summer", "winter", "fall", "1990s", "'90s", "the", "20s", "90s",
     "week", "of", "every", "weekly", "morning", "night", "tonight",
+    "christmas", "thanksgiving", "march", "5th", "29",
 ]
 _SEPS = [" ", "  ", " \n ", "\t", "   "]
 
