@@ -332,6 +332,17 @@ def _q_cross_turn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the cross-turn event graph in integer
+    fixed-point (kgpipe.graph.pagerank): exact engine-independent
+    arithmetic, 3 iterations, dangling mass dropped by spec."""
+    from kgpipe.graph import pagerank
+
+    mentions = _annotations(spark, sf_dir)["mentions_f"]
+    edges = cross_turn_event_edges(mentions, _CFG)
+    return pagerank(edges).select("node", F.col("pr_int").cast("bigint").alias("pr_int"))
+
+
 def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 under Structured Streaming: the same fused extraction run via
     readStream (file source) -> availableNow trigger -> exactly-once parquet
@@ -702,6 +713,29 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (redact_pii): planted emails/URLs/IPs/phones cycling on
+    doc_id % 4, scrubbed to <KIND> tokens with per-category counts — pure
+    JVM regexp algebra, zero shuffles, exactly replayed in RE2 by the
+    oracle (patterns restricted to the Java-RE2-identical subset)."""
+    from kgpipe.textops import redact_pii
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                """CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN ' mail bob@example.com now'
+                     WHEN 1 THEN ' see https://ex.com/a?b=1 and 10.0.0.1'
+                     WHEN 2 THEN ' call 555-123-4567 or 555.987.6543'
+                     ELSE ' clean text only' END"""
+            ),
+        ),
+    )
+    return redact_pii(docs)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata through a
     mapInPandas feature extractor. The fake codec emits integer-exact byte
@@ -742,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cross_turn_edges": _q_cross_turn_edges,
         "kg_canon_nodes": _q_canon_nodes,
         "kg_node_degree": _q_node_degree,
+        "kg_pagerank": _q_pagerank,
         "kg_conv_stats": _q_conv_stats,
         "kg_top_entities": _q_top_entities,
         "kg_tool_transitions": _q_tool_transitions,
@@ -759,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
         "text_tfidf": _q_tfidf,
+        "text_redact": _q_text_redact,
         "sim_topk_bruteforce": _q_topk_bruteforce,
         "sim_topk_lsh": _q_topk_lsh,
         "sim_topk_ivf": _q_topk_ivf,
@@ -1163,6 +1199,45 @@ SELECT src_cui || '@' || conv_id || '_' || CAST(turn_idx AS VARCHAR) AS src,
        conv_id, turn_idx, CAST(1.0 AS DOUBLE) AS weight
 FROM e2
 """
+
+# Integer fixed-point PageRank twin (kgpipe.graph.pagerank): all arithmetic
+# BIGINT floor, so iteration results are bit-equal regardless of summation
+# order; 3 unrolled iterations over the distinct directed cross-turn edges.
+def _pagerank_oracle(iters: int = 3, damping_pct: int = 85, scale: int = 10**12) -> str:
+    head = f"""
+WITH edges AS ({_ORACLE_CROSS_EDGES}),
+eg AS (SELECT DISTINCT src, dst FROM edges),
+pnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM eg UNION ALL SELECT dst AS node FROM eg
+  )
+),
+nn AS (SELECT COUNT(*) AS n FROM pnodes),
+odeg AS (SELECT src, COUNT(*) AS outdeg FROM eg GROUP BY src),
+pr0 AS (
+  SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS pr_int
+  FROM pnodes
+)"""
+    parts = [head]
+    for t in range(iters):
+        parts.append(f""",
+c{t} AS (
+  SELECT e.dst,
+         SUM((p.pr_int * {damping_pct}) // (100 * o.outdeg)) AS contrib
+  FROM eg e
+  JOIN pr{t} p ON p.node = e.src
+  JOIN odeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+pr{t + 1} AS (
+  SELECT nd.node,
+         CAST(({scale} * {100 - damping_pct}) // (100 * (SELECT n FROM nn))
+              + COALESCE(c.contrib, 0) AS BIGINT) AS pr_int
+  FROM pnodes nd LEFT JOIN c{t} c ON c.dst = nd.node
+)""")
+    parts.append(f"\nSELECT node, pr_int FROM pr{iters}")
+    return "".join(parts)
+
 
 _ORACLE_NODE_DEGREE = f"""
 WITH edges AS ({_ORACLE_CROSS_EDGES}),
@@ -2013,6 +2088,7 @@ FROM t WHERE ts IS NOT NULL GROUP BY 1, 2, 3
         "kg_cross_turn_edges": _ORACLE_CROSS_EDGES,
         "kg_canon_nodes": _ORACLE_CANON_NODES,
         "kg_node_degree": _ORACLE_NODE_DEGREE,
+        "kg_pagerank": _pagerank_oracle(),
         "kg_conv_stats": _ORACLE_CONV_STATS,
         "kg_top_entities": _ORACLE_TOP_ENTITIES,
         "kg_tool_transitions": _ORACLE_TOOL_TRANSITIONS,
@@ -2024,6 +2100,43 @@ FROM t WHERE ts IS NOT NULL GROUP BY 1, 2, 3
 WITH docs AS ({_DOCS_PLUS_SQL})
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
 FROM docs GROUP BY 1 HAVING COUNT(*) > 1
+""",
+        "text_redact": r"""
+WITH docs AS (
+  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+     WHEN 0 THEN ' mail bob@example.com now'
+     WHEN 1 THEN ' see https://ex.com/a?b=1 and 10.0.0.1'
+     WHEN 2 THEN ' call 555-123-4567 or 555.987.6543'
+     ELSE ' clean text only' END AS text
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_url,
+         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS text
+  FROM docs
+),
+r2 AS (
+  SELECT doc_id, n_url,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+  FROM r1
+),
+r3 AS (
+  SELECT doc_id, n_url, n_email,
+         CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+         regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS text
+  FROM r2
+),
+r4 AS (
+  SELECT doc_id, n_url, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+         regexp_replace(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text
+  FROM r3
+)
+SELECT doc_id, text AS redacted, n_url, n_email, n_ipv4, n_phone,
+       CAST(n_url + n_email + n_ipv4 + n_phone AS INT) AS n_redacted
+FROM r4
 """,
         "dedup_minhash": _ORACLE_MINHASH,
         "dedup_jaccard": _ORACLE_JACCARD,

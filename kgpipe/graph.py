@@ -26,6 +26,7 @@ __all__ = [
     "entity_mention_triples",
     "dtr_triples",
     "cross_turn_event_edges",
+    "pagerank",
     "entity_timeline_summary",
     "node_degree",
     "conversation_stats",
@@ -352,6 +353,72 @@ def running_entity_counts(mentions_f: DataFrame) -> DataFrame:
             .alias("cum_entities"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integer fixed-point PageRank over an EDGE_SCHEMA-shaped edge list
+    (distinct directed (src, dst) pairs; parallel edges collapse).
+
+    The classic iterative graph operator, made exactly replayable: ranks
+    live in ``scale`` fixed-point units and every step is integer floor
+    arithmetic —
+
+        contrib(v) = Σ_{(u,v)}  (pr(u) * damping_pct) DIV (100 * outdeg(u))
+        pr'(v)     = (scale * (100 - damping_pct)) DIV (100 * N) + contrib(v)
+
+    so the result is bit-equal in any engine regardless of summation order
+    (integer addition commutes; float PageRank would not replay). Dangling
+    mass is dropped, floor rounding loses at most outdeg units per node per
+    iteration — both documented spec, not approximation error. Per
+    iteration: one groupBy(src) join + one groupBy(dst) aggregate, both
+    keyed on node ids — the standard Pregel-free DataFrame PageRank shape
+    that scales with the edge partitioning.
+
+    Returns (node, pr_int) — fixed-point ranks summing to ~scale.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("pr_int", F.lit(0).cast("long"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = int(scale * (100 - damping_pct)) // (100 * n_nodes)
+    pr = nodes.withColumn("pr_int", F.lit(int(scale) // n_nodes).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                F.expr(f"(pr_int * {damping_pct}) DIV (100 * outdeg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("long")
+                .alias("pr_int"),
+            )
+        )
+        # pin the lineage per iteration: 3 unrolled self-joins otherwise
+        # compound into one enormous plan (and Catalyst re-derives the
+        # whole prefix per iteration)
+        pr = pr.localCheckpoint(eager=True)
+    return pr
 
 
 def cross_turn_event_edges(

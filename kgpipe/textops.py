@@ -38,6 +38,7 @@ __all__ = [
     "token_stats",
     "doc_fingerprint",
     "tfidf_top_terms",
+    "redact_pii",
 ]
 
 
@@ -410,4 +411,47 @@ def doc_fingerprint(documents: DataFrame, *, n: int = 3, keep: int = 4) -> DataF
     return sh.groupBy("doc_id").agg(
         F.slice(F.sort_array(F.collect_list("h")), 1, keep).alias("fingerprint"),
         F.min("h").alias("min_hash"),
+    )
+
+
+# PII scrubbing — the redaction pass every LLM-training-data pipeline runs
+# before tokenization. Patterns are deliberately in the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate identically, so the operator replays
+# exactly in the oracle. Order matters and is part of the spec: URLs are
+# scrubbed FIRST so an email or IP inside a URL is not double-counted.
+REDACT_PATTERNS = [
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+]
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails/URLs/IPv4s/phone numbers to <KIND> tokens, counting each
+    category as it is removed (counts evaluated on the progressively
+    redacted text, so nested matches count once under the outermost kind).
+
+    Pure JVM column algebra — regexp_count + regexp_replace chained per
+    pattern, whole-stage-codegen'd, zero shuffles: the 100-TB shape is a
+    narrow map over the corpus scan.
+
+    Returns (doc_id, redacted, n_url, n_email, n_ipv4, n_phone, n_redacted).
+    """
+    cur = F.col(text_col)
+    out = documents.select("doc_id", F.col(text_col))
+    count_cols = []
+    for name, pat in REDACT_PATTERNS:
+        cnt = f"n_{name}"
+        out = out.withColumn(cnt, F.regexp_count(cur, F.lit(pat)).cast("int"))
+        out = out.withColumn(text_col, F.regexp_replace(cur, pat, f"<{name.upper()}>"))
+        count_cols.append(cnt)
+    total = None
+    for c in count_cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    return out.select(
+        "doc_id",
+        F.col(text_col).alias("redacted"),
+        *count_cols,
+        total.cast("int").alias("n_redacted"),
     )

@@ -198,3 +198,26 @@ def test_running_entity_counts(spark):
         ("c1", 2): (5, 3),   # +2 mentions; C new, A already seen
         ("c2", 5): (1, 1),
     }
+
+
+def test_pagerank_integer_fixed_point(spark):
+    """Integer PageRank: hub gets the highest rank; result is deterministic
+    and bounded by the fixed-point scale; isolated behavior of dangling
+    nodes (mass dropped) documented by the sum bound."""
+    from kgpipe.graph import pagerank
+
+    rows = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "a"),
+    ]
+    edges = spark.createDataFrame(
+        [(s, d, "p", "c0", 0, 1.0) for s, d in rows],
+        "src string, dst string, pred string, conv_id string, turn_idx int, weight double",
+    )
+    pr1 = {r.node: r.pr_int for r in pagerank(edges).collect()}
+    pr2 = {r.node: r.pr_int for r in pagerank(edges).collect()}
+    assert pr1 == pr2  # deterministic
+    assert max(pr1, key=pr1.get) == "c"  # everyone links to c
+    assert pr1["c"] > pr1["a"] > pr1["b"]  # c feeds a its whole rank
+    total = sum(pr1.values())
+    assert total <= 10**12  # floor rounding + no dangling mass re-injection
+    assert total > 10**12 * 0.5

@@ -132,3 +132,22 @@ def test_ngram_jaccard_hot_shingle_cut_property(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=3).collect()
     }
     assert cut == full and (0, 1) in cut
+
+
+def test_redact_pii_order_and_counts(spark):
+    from kgpipe.textops import redact_pii
+
+    rows = [
+        (0, "mail bob@x.com or visit https://a.io/u?e=bob@x.com now", "en"),
+        (1, "server 192.168.0.1 phone 555-123-4567", "en"),
+        (2, "clean document", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = {x.doc_id: x for x in redact_pii(docs).collect()}
+    # the email inside the URL is scrubbed as part of the URL (order spec)
+    assert r[0].n_url == 1 and r[0].n_email == 1 and r[0].n_redacted == 2
+    assert "<URL>" in r[0].redacted and "<EMAIL>" in r[0].redacted
+    assert "bob@x.com" not in r[0].redacted
+    assert r[1].n_ipv4 == 1 and r[1].n_phone == 1
+    assert r[1].redacted == "server <IPV4> phone <PHONE>"
+    assert r[2].n_redacted == 0 and r[2].redacted == "clean document"
