@@ -258,6 +258,27 @@ def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prompt_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join driven end-to-end: user turns
+    joined to assistant turns within 12h, drained availableNow in a single
+    batch so the inner join's eager emission equals the batch join (the
+    oracle's SQL twin). Fourth streaming shape after ingest / custom state
+    / watermarked window."""
+    import tempfile
+
+    from kgpipe.streaming import run_join_stream
+
+    t = derive_transcripts(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kg_ssjoin_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    t.write.mode("append").parquet(in_dir)
+    run_join_stream(spark, in_dir, out_dir, ckpt, timeout_sec=300.0)
+    return spark.read.parquet(out_dir).select(
+        "conv_id", "user_turn", "assistant_turn", "user_ts", "assistant_ts",
+        F.col("gap_minutes").cast("bigint").alias("gap_minutes"),
+    )
+
+
 def _q_triples_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 end-to-end: the full structured plan (scan → annotate → filters →
     W1 window → J1 band join → score → union of all predicates)."""
@@ -767,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_streaming_ingest": _q_streaming_ingest,
         "kg_streaming_state": _q_streaming_state,
         "kg_windowed_counts": _q_windowed_counts,
+        "kg_prompt_response": _q_prompt_response,
         "kg_dtr": _q_dtr,
         "kg_confidence": _q_confidence,
         "kg_tsv_view": _q_tsv_view,
@@ -2078,6 +2100,16 @@ SELECT date_trunc('day', ts) AS window_start,
        date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
        conv_id, COUNT(*) AS n_turns
 FROM t WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+""",
+        "kg_prompt_response": f"""
+WITH t AS ({_T})
+SELECT u.conv_id, u.turn_idx AS user_turn, a.turn_idx AS assistant_turn,
+       u.ts AS user_ts, a.ts AS assistant_ts,
+       CAST(date_diff('second', u.ts, a.ts) // 60 AS BIGINT) AS gap_minutes
+FROM t u JOIN t a ON a.conv_id = u.conv_id
+ AND a.ts >= u.ts AND a.ts <= u.ts + INTERVAL 12 HOUR
+WHERE u.role = 'user' AND a.role = 'assistant'
+  AND u.ts IS NOT NULL AND a.ts IS NOT NULL
 """,
         "kg_dtr": _ORACLE_DTR,
         "kg_conmod": _ORACLE_CONMOD,

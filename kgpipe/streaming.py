@@ -42,6 +42,8 @@ __all__ = [
     "run_stateful_stream",
     "windowed_turn_counts",
     "run_windowed_stream",
+    "prompt_response_pairs",
+    "run_join_stream",
 ]
 
 
@@ -251,6 +253,96 @@ def run_stateful_stream(
     snaps = stateful_conversation_stats(spark, input_dir, max_files_per_trigger)
     query = (
         snaps.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query
+
+
+def prompt_response_pairs(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    max_gap_hours: int = 12,
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream event-time interval join — the fourth streaming shape
+    next to stateless ingest, keyed custom state, and the watermarked
+    window: user turns joined to the assistant turns that answer them
+    within ``max_gap_hours`` of event time, both sides watermarked so the
+    join state is evicted once the other side can no longer match
+    (Spark buffers each side keyed by conv_id; the range condition plus the
+    watermarks bound retention — the state-cleanup contract a forever-
+    running 10^12-turn deployment needs).
+
+    Inner stream-stream joins emit eagerly, so the drained output equals
+    the batch join exactly (pytest + kg_prompt_response oracle)."""
+    def side(role: str, prefix: str):
+        reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        from pyspark.sql import functions as F
+
+        return (
+            reader.parquet(input_dir)
+            .where((F.col("role") == role) & F.col("ts").isNotNull())
+            .select(
+                F.col("conv_id").alias(f"{prefix}_conv"),
+                F.col("turn_idx").alias(f"{prefix}_turn"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    from pyspark.sql import functions as F
+
+    u = side("user", "u")
+    a = side("assistant", "a")
+    j = u.join(
+        a,
+        F.expr(
+            f"u_conv = a_conv AND a_ts >= u_ts "
+            f"AND a_ts <= u_ts + interval {max_gap_hours} hours"
+        ),
+        "inner",
+    )
+    return j.select(
+        F.col("u_conv").alias("conv_id"),
+        F.col("u_turn").alias("user_turn"),
+        F.col("a_turn").alias("assistant_turn"),
+        F.col("u_ts").alias("user_ts"),
+        F.col("a_ts").alias("assistant_ts"),
+        (
+            (F.unix_timestamp("a_ts") - F.unix_timestamp("u_ts")) / 60
+        ).cast("bigint").alias("gap_minutes"),
+    )
+
+
+def run_join_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_gap_hours: int = 12,
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float | None = 300.0,
+):
+    """Drain the stream-stream join into a parquet append sink
+    (availableNow; exactly-once via the checkpoint)."""
+    pairs = prompt_response_pairs(
+        spark, input_dir,
+        max_gap_hours=max_gap_hours, watermark=watermark,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    query = (
+        pairs.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

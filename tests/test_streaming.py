@@ -149,3 +149,58 @@ def test_watermarked_window_finalize_and_late_drop(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got2 == got
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (user turn -> assistant responses within
+    12h): the drained availableNow output equals the batch join exactly,
+    across multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.streaming import run_join_stream
+
+    in_dir = str(tmp_path / "jin")
+    out_dir = str(tmp_path / "jout")
+    ckpt = str(tmp_path / "jckpt")
+    t = synthetic_transcripts_df(spark, n_conv=6, turns_per_conv=8, seed=11,
+                                 hot_conv_factor=1)
+    t.repartition(3).write.mode("append").parquet(in_dir)
+
+    # equality needs a watermark covering the corpus's event-time span:
+    # the synthetic corpus spans ~300 days and file batches are NOT
+    # time-ordered, so a tight watermark legitimately drops late rows
+    # (asserted separately below)
+    q = run_join_stream(spark, in_dir, out_dir, ckpt, watermark="400 days",
+                        max_files_per_trigger=1, timeout_sec=180.0)
+    assert not q.isActive
+    got = spark.read.parquet(out_dir)
+
+    u = t.where((F.col("role") == "user") & F.col("ts").isNotNull()).select(
+        F.col("conv_id"), F.col("turn_idx").alias("user_turn"),
+        F.col("ts").alias("user_ts"))
+    a = t.where((F.col("role") == "assistant") & F.col("ts").isNotNull()).select(
+        F.col("conv_id").alias("a_conv"), F.col("turn_idx").alias("assistant_turn"),
+        F.col("ts").alias("assistant_ts"))
+    want = u.join(
+        a,
+        (F.col("conv_id") == F.col("a_conv"))
+        & (F.col("assistant_ts") >= F.col("user_ts"))
+        & (F.col("assistant_ts") <= F.col("user_ts") + F.expr("interval 12 hours")),
+    ).select(
+        "conv_id", "user_turn", "assistant_turn", "user_ts", "assistant_ts",
+        ((F.unix_timestamp("assistant_ts") - F.unix_timestamp("user_ts")) / 60)
+        .cast("bigint").alias("gap_minutes"),
+    )
+    cols = ["conv_id", "user_turn", "assistant_turn"]
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    w = sorted(map(tuple, want.select(*cols).collect()))
+    assert g == w and len(g) > 0
+
+    # tight watermark: rows older than (max seen ts - 1 day) at their
+    # processing batch are dropped from the join state -> output is a
+    # strict subset of the batch join (the state-cleanup contract)
+    out2, ckpt2 = str(tmp_path / "jout2"), str(tmp_path / "jckpt2")
+    run_join_stream(spark, in_dir, out2, ckpt2, watermark="1 day",
+                    max_files_per_trigger=1, timeout_sec=180.0)
+    g2 = sorted(map(tuple, spark.read.parquet(out2).select(*cols).collect()))
+    assert set(g2) <= set(w) and len(g2) < len(w)

@@ -160,6 +160,39 @@ def main() -> int:
          " partitions, the rest of the corpus is never listed"],
     ))
 
+    # 6. PII redaction: narrow regexp chain, zero exchanges --------------------
+    from kgpipe.textops import redact_pii
+
+    p = plan_of(redact_pii(docs))
+    assert "Exchange" not in p, "redact_pii must be a narrow map"
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, (
+        "redact_pii must stay JVM-side (no Python eval node)"
+    )
+    sections.append((
+        "PII redaction (redact_pii)",
+        p,
+        ["Exchange nodes: 0; no Python eval — whole-stage regexp chain "
+         "over the scan"],
+    ))
+
+    # 7. event-event pairing (J6): all exchanges keyed on conv_id --------------
+    from kgpipe.fixtures import derive_transcripts as _dt_
+    from kgpipe.pair import event_event_triples
+    from kgpipe.pipeline import build_annotations
+
+    ann = build_annotations(t, E._GAZ, E._BLACKLIST, DEFAULT_CONFIG, persist=False)
+    ee = event_event_triples(ann["mentions"], ann["timexes"])
+    p = plan_of(ee)
+    keyed = re.findall(r"hashpartitioning\(([^)]*?), \d+\)", p)
+    for cols in keyed:
+        assert "conv_id" in cols, f"J6 exchange not keyed on conv_id: {cols}"
+    sections.append((
+        "event-event pairing (J6, event_event_triples)",
+        p,
+        [f"keyed exchanges: {len(keyed)}, all on conv_id(+turn_idx) — "
+         "self-join + nearest-anchor window reuse the turn partitioning"],
+    ))
+
     print("ALL PLAN ASSERTIONS PASS")
     if write:
         out = ["# PLANS — physical-plan audit (tools/explain_plans.py)\n"]
