@@ -65,6 +65,9 @@ def _timex_surfaces(anchor: dt.date, rng: random.Random) -> List[str]:
         f"the week of {d2.month}/{d2.day}/{d2.year}",
         "every 2 weeks", "daily",
         "this morning", "last night", "tomorrow evening",
+        "at 3 pm", "10:30 am",
+        "the day before yesterday", "day after tomorrow",
+        "2 decades ago", f"march {d2.day}", "christmas",
         "13/45/2020",  # fails calendar validation -> silently dropped
         rng.choice(_NOISE_TIMEX),
     ]

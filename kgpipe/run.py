@@ -18,6 +18,7 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .config import PipelineConfig
 from .materialize import run_with_resume
@@ -119,9 +120,16 @@ def main(argv=None) -> int:
 
         triples = spark.read.parquet(os.path.join(args.output, "triples"))
         tsv_path = os.path.join(args.output, "tsv")
+        # one TSV directory per patient/conversation id — the reference's
+        # output contract is "one tsv file per patient identifier"
+        # (/root/reference/README.md:19,48); partitioning the write by
+        # patient_id reproduces that layout distributed (each partition
+        # directory holds that patient's rows only)
         (
             triples_output_view(triples)
+            .withColumn("pid", F.col("patient_id"))
             .write.mode("overwrite")
+            .partitionBy("pid")
             .option("sep", "\t")
             .option("header", True)
             .csv(tsv_path)

@@ -88,11 +88,32 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ),
     (
         "ago",
-        re.compile(rf"\b({_NUM_ALT})\s+(day|week|month|year)s?\s+ago\b", re.I),
+        re.compile(
+            rf"\b({_NUM_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\s+ago\b",
+            re.I,
+        ),
     ),
     (
         "in_n",
-        re.compile(rf"\bin\s+({_NUM_ALT})\s+(day|week|month|year)s?\b", re.I),
+        re.compile(
+            rf"\bin\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\b",
+            re.I,
+        ),
+    ),
+    # "the day before yesterday" / "the day after tomorrow" — en.grammar
+    # compound offsets; listed before rel_day (longest span wins anyway)
+    (
+        "day_offset",
+        re.compile(
+            r"\b(?:the\s+)?day\s+(before|after)\s+(yesterday|tomorrow)\b", re.I
+        ),
+    ),
+    # clock times — "3 pm", "10:30 am", "at 7:45pm" -> YYYY-MM-DDTHH:MM
+    (
+        "clock_time",
+        re.compile(
+            r"\b(?:at\s+)?(\d{1,2})(?::(\d{2}))?\s*([ap])\.?m\.?\b", re.I
+        ),
     ),
     # quarters — the reference's timenorm emits YYYY-QN TimeML values and
     # its W7 heuristic special-cases quarter granularity (TEP.scala:219-251)
@@ -193,6 +214,8 @@ _QUICK_KEYS = {
     "holiday": ("christmas", "xmas", "halloween", "thanksgiving", "new year"),
     "ago": ("ago",),
     "in_n": ("in",),
+    "day_offset": ("day before", "day after"),
+    "clock_time": "digit",
     # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
     # extends 3 words left of its first digit
     "quarter_year": ("quarter", "q1", "q2", "q3", "q4"),
@@ -453,7 +476,8 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"{anchor.year + direction:04d}"
         if kind in ("ago", "in_n"):
             m = re.match(
-                rf"(?:in\s+)?({_NUM_ALT})\s+(day|week|month|year)s?(?:\s+ago)?",
+                rf"(?:in\s+)?({_NUM_ALT})\s+"
+                r"(days?|weeks?|months?|years?|decades?|century|centuries)(?:\s+ago)?",
                 s,
                 re.I,
             )
@@ -461,7 +485,7 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             if n is None:
                 return None
             sign = -1 if kind == "ago" else 1
-            unit = m.group(2).lower()
+            unit = m.group(2).lower().rstrip("s")
             if unit == "day":
                 return _fmt_day(anchor + dt.timedelta(days=sign * n))
             if unit == "week":
@@ -469,7 +493,31 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             if unit == "month":
                 y, mo = _shift_month(anchor.year, anchor.month, sign * n)
                 return _fmt_month(y, mo)
+            if unit == "decade":
+                return f"{anchor.year + sign * 10 * n:04d}"
+            if unit in ("century", "centurie"):  # 'centuries'.rstrip('s')
+                return f"{anchor.year + sign * 100 * n:04d}"
             return f"{anchor.year + sign * n:04d}"
+        if kind == "day_offset":
+            m = re.match(
+                r"(?:the\s+)?day\s+(before|after)\s+(yesterday|tomorrow)", s, re.I
+            )
+            base = {"yesterday": -1, "tomorrow": 1}[m.group(2).lower()]
+            shift = {"before": -1, "after": 1}[m.group(1).lower()]
+            return _fmt_day(anchor + dt.timedelta(days=base + shift))
+        if kind == "clock_time":
+            m = re.match(
+                r"(?:at\s+)?(\d{1,2})(?::(\d{2}))?\s*([ap])\.?m\.?", s, re.I
+            )
+            hour = int(m.group(1))
+            minute = int(m.group(2) or 0)
+            if not (1 <= hour <= 12) or minute > 59:
+                return None
+            if m.group(3).lower() == "p":
+                h24 = 12 if hour == 12 else hour + 12
+            else:
+                h24 = 0 if hour == 12 else hour
+            return f"{anchor.isoformat()}T{h24:02d}:{minute:02d}"
         if kind == "rel_weekday":
             m = re.match(rf"(last|next)\s+({_WEEKDAY_ALT})", s, re.I)
             target = _WEEKDAYS[m.group(2).lower()]
@@ -672,6 +720,7 @@ _YEAR_VAL_RE = re.compile(r"^(\d{4})$")
 _SEASON_VAL_RE = re.compile(r"^(\d{4})-(SP|SU|FA|WI)$")
 _DECADE_VAL_RE = re.compile(r"^(\d{3})X$")
 _TOD_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(MO|AF|EV|NI)$")
+_CLOCK_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2})$")
 
 
 def timeml_interval(value: str) -> Optional[Tuple[dt.date, dt.date]]:
@@ -682,9 +731,9 @@ def timeml_interval(value: str) -> Optional[Tuple[dt.date, dt.date]]:
     if m:
         d = dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
         return d, d
-    m = _TOD_VAL_RE.match(value)
+    m = _TOD_VAL_RE.match(value) or _CLOCK_VAL_RE.match(value)
     if m:
-        # a time-of-day lives inside its calendar day
+        # a time-of-day / clock time lives inside its calendar day
         d = dt.date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
         return d, d
     m = _SEASON_VAL_RE.match(value)

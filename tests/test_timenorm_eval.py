@@ -25,7 +25,7 @@ def test_accuracy_report(tmp_path):
         "bare_year", "quarter_year", "rel_unit", "rel_weekday", "weekday",
         "rel_day", "ago", "in_n", "past_ref", "future_ref", "present_ref",
         "season_year", "rel_season", "decade", "week_of", "time_of_day",
-        "period_set", "month_day", "holiday",
+        "period_set", "month_day", "holiday", "day_offset", "clock_time",
     } <= kinds, kinds
 
     out = tmp_path / "acc.json"

@@ -264,3 +264,32 @@ def test_month_day_nearest_year_flips_with_anchor():
         normalize_timex("January 10", "month_day", _dt.date(2024, 2, 1))
         == "2024-01-10"
     )
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        ("the day before yesterday", "2024-03-13"),
+        ("day after tomorrow", "2024-03-17"),
+        ("at 3 pm", "2024-03-15T15:00"),
+        ("10:30 am", "2024-03-15T10:30"),
+        ("at 12 pm", "2024-03-15T12:00"),   # noon
+        ("12 am", "2024-03-15T00:00"),      # midnight
+        ("7:45pm", "2024-03-15T19:45"),
+        ("a decade ago", "2014"),
+        ("2 decades ago", "2004"),
+        ("a century ago", "1924"),
+        ("in 3 decades", "2054"),
+    ],
+)
+def test_clock_dayoffset_decade_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_clock_time_invalid_hours_drop():
+    import datetime as _dt
+
+    from kgpipe.timex import normalize_timex
+
+    assert normalize_timex("13 pm", "clock_time", _dt.date(2024, 3, 15)) is None
+    assert normalize_timex("0 am", "clock_time", _dt.date(2024, 3, 15)) is None

@@ -47,6 +47,7 @@ _WORDS = [
     "summer", "winter", "fall", "1990s", "'90s", "the", "20s", "90s",
     "week", "of", "every", "weekly", "morning", "night", "tonight",
     "christmas", "thanksgiving", "march", "5th", "29",
+    "pm", "am", "3", "10:30", "day", "before", "after", "decades",
 ]
 _SEPS = [" ", "  ", " \n ", "\t", "   "]
 
