@@ -117,7 +117,7 @@ def run_default() -> None:
     # best-of-N per query: this sandbox's wall clock swings 2-4x with
     # co-tenant load (BASELINE.md "VM noise"); the minimum over repeats is
     # the stable engine-cost estimate a judge should compare across rounds
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = _session(f"local[{CPUS}]", CPUS)
     t = _inputs(spark)
     turns = t.count()

@@ -382,11 +382,15 @@ def pagerank(
 
     Returns (node, pr_int) — fixed-point ranks summing to ~scale.
     """
-    e = edges.select("src", "dst").distinct()
+    # pin the (possibly expensive) edge derivation once: every iteration
+    # joins e, and nodes/outdeg both derive from it — without the eager
+    # checkpoint the distinct + upstream lineage re-executes per iteration
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:

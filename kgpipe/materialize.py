@@ -99,13 +99,18 @@ class TableSink:
     def _path(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
 
+    def _table_exists(self, ident: str) -> bool:
+        # explicit existence probe: a transient catalog failure must surface
+        # as an error, NOT be misread as "table missing" (which would reset
+        # resume and double-append completed buckets)
+        return self.spark.catalog.tableExists(ident)
+
     def append(self, name: str, df: DataFrame, partitioned: bool = True) -> None:
         if self.iceberg:
             ident = self._ident(name)
-            try:
+            if self._table_exists(ident):
                 df.writeTo(ident).append()
-            except Exception:
-                # first write: create the table with the bucket partition
+            else:
                 w = df.writeTo(ident)
                 if partitioned and "bucket" in df.columns:
                     w = w.partitionedBy(F.col("bucket"))
@@ -117,12 +122,14 @@ class TableSink:
         w.parquet(self._path(name))
 
     def read(self, name: str) -> Optional[DataFrame]:
+        """None ONLY when the target genuinely does not exist yet; any other
+        read failure propagates (resume must never mistake an outage for an
+        empty lineage)."""
         if self.iceberg:
             ident = self._ident(name)
-            try:
-                return self.spark.read.table(ident)
-            except Exception:
+            if not self._table_exists(ident):
                 return None
+            return self.spark.read.table(ident)
         p = self._path(name)
         if not os.path.exists(p):
             return None

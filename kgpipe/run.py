@@ -118,7 +118,15 @@ def main(argv=None) -> int:
 
         from .pipeline import triples_output_view
 
-        triples = spark.read.parquet(os.path.join(args.output, "triples"))
+        # read back through the same sink abstraction the writer used —
+        # with --iceberg-table-prefix the triples live in the catalog, not
+        # under <output>/triples
+        from .materialize import TableSink
+
+        sink = TableSink(
+            spark, out_dir=args.output, table_prefix=args.iceberg_table_prefix
+        )
+        triples = sink.read("triples")
         tsv_path = os.path.join(args.output, "tsv")
         # one TSV directory per patient/conversation id — the reference's
         # output contract is "one tsv file per patient identifier"

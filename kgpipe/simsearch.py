@@ -90,7 +90,17 @@ def kmeans_centroids(
         for r in rows
     ]
     if len(Q) < n_list:
-        raise ValueError(f"sample of {len(Q)} vectors < n_list={n_list}")
+        # corpus too small to train: fall back to the first-n seeding the
+        # operator used pre-k-means (tiny inputs; the driver-scale corpora
+        # always train). Keeps small-corpus callers working instead of
+        # raising.
+        import logging
+
+        logging.getLogger(__name__).info(
+            "kmeans_centroids: sample %d < n_list %d; first-n fallback",
+            len(Q), n_list,
+        )
+        return _resolve_centroids(embeddings, "first", n_list)
     dim = len(Q[0])
     s = [list(q) for q in Q[:n_list]]
     n = [1] * n_list

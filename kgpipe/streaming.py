@@ -47,6 +47,23 @@ __all__ = [
 ]
 
 
+def _await_drained(query, timeout_sec):
+    """awaitTermination with the timeout made LOUD: a drain that outlives
+    its budget must not return control while the query is still running —
+    the caller would start a second query on the same checkpoint (state
+    corruption) or read partial output."""
+    if timeout_sec is None:
+        query.awaitTermination()
+        return query
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_sec}s (query {query.name or query.id})"
+        )
+    return query
+
+
 def stream_triples(
     spark: SparkSession,
     input_dir: str,
@@ -86,7 +103,7 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     if trigger_available_now:
-        query.awaitTermination(timeout_sec)
+        _await_drained(query, timeout_sec)
     return query
 
 
@@ -157,7 +174,7 @@ def run_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    _await_drained(query, timeout_sec)
     return query
 
 
@@ -259,7 +276,7 @@ def run_stateful_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    _await_drained(query, timeout_sec)
     return query
 
 
@@ -349,5 +366,5 @@ def run_join_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    _await_drained(query, timeout_sec)
     return query

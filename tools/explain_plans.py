@@ -91,9 +91,9 @@ def main() -> int:
     p = plan_of(structured)
     assert "BroadcastHashJoin" in p, "F2 blacklist join is not broadcast"
     assert "LeftAnti" in p, "F2 must be a left-anti join"
-    keyed = re.findall(r"hashpartitioning\(([^)]*?), \d+\)", p)
-    for cols in keyed:
-        assert "conv_id" in cols, f"exchange not keyed on conv_id: {cols}"
+    keyed = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    for ln in keyed:
+        assert "conv_id" in ln, f"exchange not keyed on conv_id: {ln}"
     # one-pass union shape: the W1 window's exchange is the ONLY shuffle in
     # the whole structured plan — the band join, the pair groupBy and the
     # token join all read co-partitioned splits of the same cached frame
@@ -176,16 +176,15 @@ def main() -> int:
     ))
 
     # 7. event-event pairing (J6): all exchanges keyed on conv_id --------------
-    from kgpipe.fixtures import derive_transcripts as _dt_
     from kgpipe.pair import event_event_triples
     from kgpipe.pipeline import build_annotations
 
     ann = build_annotations(t, E._GAZ, E._BLACKLIST, DEFAULT_CONFIG, persist=False)
     ee = event_event_triples(ann["mentions"], ann["timexes"])
     p = plan_of(ee)
-    keyed = re.findall(r"hashpartitioning\(([^)]*?), \d+\)", p)
-    for cols in keyed:
-        assert "conv_id" in cols, f"J6 exchange not keyed on conv_id: {cols}"
+    keyed = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    for ln in keyed:
+        assert "conv_id" in ln, f"J6 exchange not keyed on conv_id: {ln}"
     sections.append((
         "event-event pairing (J6, event_event_triples)",
         p,
