@@ -68,6 +68,12 @@ def main(argv=None) -> int:
         help="also write per-turn Anafora XML documents under "
         "<output>/anafora",
     )
+    p.add_argument(
+        "--no-input-count", action="store_true",
+        help="skip the upfront transcripts count() (an extra full input "
+        "scan at 100-TB scale; turns/turns_per_sec become null in the "
+        "metrics line)",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -101,7 +107,7 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(use_dtr=args.use_dtr, use_conmod=args.use_conmod)
 
     t0 = time.monotonic()
-    n_turns = transcripts.count()
+    n_turns = None if args.no_input_count else transcripts.count()
     result = run_with_resume(
         spark,
         transcripts,
@@ -180,7 +186,8 @@ def main(argv=None) -> int:
                 "written_buckets": len(result["written_buckets"]),
                 "skipped_buckets": len(result["skipped_buckets"]),
                 "wall_sec": round(wall, 3),
-                "turns_per_sec": round(n_turns / wall, 1) if wall > 0 else None,
+                "turns_per_sec": round(n_turns / wall, 1)
+                if (n_turns is not None and wall > 0) else None,
                 "fused": args.fused,
                 **extras,
             }
