@@ -150,14 +150,11 @@ def run_default() -> None:
         # `python bench.py --scaling` to measure on the current machine.
         "scaling_reference": {
             "measured_by_this_run": False,
-            # two sandbox measurements (protocol in BASELINE.md): a quiet-VM
-            # run gave 0.881; a loaded-VM run gave 1.163 (co-tenant noise
-            # inflated the 4-core wall -> super-linear ratio). Both clear
-            # the >= 0.8 gate; 0.881 is the conservative figure.
-            "efficiency_4_to_16_cores": 0.881,
-            "efficiency_4_to_16_cores_r2_loaded_vm": 1.163,
-            "turns_per_sec_local4": 12040,
-            "turns_per_sec_local16": 42438,
+            # round-2 measurement (protocol + r1 figures in BASELINE.md)
+            "efficiency_4_to_16_cores": 0.906,
+            "efficiency_4_to_16_cores_round1": 0.881,
+            "turns_per_sec_local4": 10711,
+            "turns_per_sec_local16": 38812,
             "measured_on": "2026-08-16 sandbox",
             "reproduce": "python bench.py --scaling",
         },
