@@ -766,6 +766,16 @@ def _q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+def _q_text_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation composite (curate_corpus): exact dedup ->
+    MinHash near-dup -> language gate -> quality gate, with the PII-scrub
+    count carried per doc. Runs over the dup-seeded corpus so every stage
+    actually fires; the oracle composes the per-stage SQL twins."""
+    from kgpipe.textops import curate_corpus
+
+    return curate_corpus(_docs_plus(spark, sf_dir))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata through a
     mapInPandas feature extractor. The fake codec emits integer-exact byte
@@ -826,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_tfidf": _q_tfidf,
         "text_redact": _q_text_redact,
+        "text_curate": _q_text_curate,
         "sim_topk_bruteforce": _q_topk_bruteforce,
         "sim_topk_lsh": _q_topk_lsh,
         "sim_topk_ivf": _q_topk_ivf,
@@ -2178,6 +2189,98 @@ r4 AS (
 SELECT doc_id, text AS redacted, n_url, n_email, n_ipv4, n_phone,
        CAST(n_url + n_email + n_ipv4 + n_phone AS INT) AS n_redacted
 FROM r4
+""",
+        "text_curate": f"""
+WITH {_SHINGLES}, {_MINHASH_SIGS}, {_BANDS},
+hx AS (SELECT doc_id, md5(text) AS h FROM docs),
+keepx AS (SELECT h, MIN(doc_id) AS keep_id FROM hx GROUP BY h),
+exactx AS (
+  SELECT hx.doc_id, hx.doc_id <> k.keep_id AS is_exact FROM hx JOIN keepx k USING (h)
+),
+nearx AS (
+  SELECT DISTINCT r.doc_id AS doc_id
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id HAVING COUNT(*) >= 2
+),
+lq AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM docs),
+lh AS (
+  SELECT doc_id,
+         CAST(len(list_filter(ws, x -> x = 'der')) + len(list_filter(ws, x -> x = 'die')) + len(list_filter(ws, x -> x = 'und')) AS INT) AS de_h,
+         CAST(len(list_filter(ws, x -> x = 'the')) + len(list_filter(ws, x -> x = 'and')) + len(list_filter(ws, x -> x = 'of')) AS INT) AS en_h,
+         CAST(len(list_filter(ws, x -> x = 'el')) + len(list_filter(ws, x -> x = 'la')) + len(list_filter(ws, x -> x = 'los')) AS INT) AS es_h,
+         CAST(len(list_filter(ws, x -> x = 'le')) + len(list_filter(ws, x -> x = 'les')) + len(list_filter(ws, x -> x = 'des')) AS INT) AS fr_h
+  FROM lq
+),
+lm AS (SELECT *, greatest(de_h, en_h, es_h, fr_h) AS mx FROM lh),
+langx AS (
+  SELECT doc_id,
+         CASE WHEN mx = 0 THEN 'und'
+              WHEN fr_h = mx THEN 'fr' WHEN es_h = mx THEN 'es'
+              WHEN en_h = mx THEN 'en' ELSE 'de' END AS lang_guess
+  FROM lm
+),
+qq AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM docs
+),
+qualx AS (
+  SELECT doc_id,
+         CAST(FLOOR((least(n_tok / 50.0, 1.0) * 0.3
+            + least(len(list_distinct(ws)) / CAST(n_tok AS DOUBLE) * 2, 1.0) * 0.3
+            + least(len(list_filter(ws, x -> x IN {_STOPWORDS_SQL})) / CAST(n_tok AS DOUBLE) * 5, 1.0) * 0.2
+            + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(len(text) AS DOUBLE) * 10, 1.0)) * 0.2) * 1e6) AS BIGINT) AS quality_e6
+  FROM qq
+),
+red1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_url,
+         regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS text
+  FROM docs
+),
+red2 AS (
+  SELECT doc_id, n_url,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS text
+  FROM red1
+),
+red3 AS (
+  SELECT doc_id, n_url, n_email,
+         CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ipv4,
+         regexp_replace(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g') AS text
+  FROM red2
+),
+redx AS (
+  -- the same PROGRESSIVE scrub chain as redact_pii: each count runs on the
+  -- text with earlier kinds already replaced (nested matches count once)
+  SELECT doc_id,
+         CAST(n_url + n_email + n_ipv4
+            + len(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS INT) AS n_redacted
+  FROM red3
+),
+asm AS (
+  SELECT d.doc_id, e.is_exact,
+         n.doc_id IS NOT NULL AS is_near,
+         l.lang_guess, q.quality_e6, r.n_redacted
+  FROM docs d
+  JOIN exactx e USING (doc_id)
+  LEFT JOIN nearx n USING (doc_id)
+  JOIN langx l USING (doc_id)
+  JOIN qualx q USING (doc_id)
+  JOIN redx r USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN is_exact THEN 'exact_dup'
+            WHEN is_near THEN 'near_dup'
+            WHEN lang_guess NOT IN ('en') THEN 'lang'
+            WHEN quality_e6 < 650000 THEN 'quality' END AS drop_reason,
+       (CASE WHEN is_exact THEN 'exact_dup'
+             WHEN is_near THEN 'near_dup'
+             WHEN lang_guess NOT IN ('en') THEN 'lang'
+             WHEN quality_e6 < 650000 THEN 'quality' END) IS NULL AS kept,
+       lang_guess, quality_e6, n_redacted
+FROM asm
 """,
         "dedup_minhash": _ORACLE_MINHASH,
         "dedup_jaccard": _ORACLE_JACCARD,

@@ -39,6 +39,7 @@ __all__ = [
     "doc_fingerprint",
     "tfidf_top_terms",
     "redact_pii",
+    "curate_corpus",
 ]
 
 
@@ -454,4 +455,71 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.col(text_col).alias("redacted"),
         *count_cols,
         total.cast("int").alias("n_redacted"),
+    )
+
+
+def curate_corpus(
+    documents: DataFrame,
+    *,
+    langs=("en",),
+    min_quality_e6: int = 650_000,
+    nb_bands: int = 2,
+) -> DataFrame:
+    """End-to-end corpus curation — the composite pass a training-data
+    pipeline runs before tokenization, as ONE operator over the existing
+    primitives. Per doc, the first failing stage (precedence order) becomes
+    its drop_reason:
+
+      exact_dup  not the lowest doc_id of an identical-text cluster
+      near_dup   the higher doc_id of a MinHash pair with >= nb_bands band
+                 collisions (the survivor is the lower id)
+      lang       language_id guess not in ``langs``
+      quality    floor(quality_score * 1e6) < min_quality_e6 (integer
+                 compare so the decision replays exactly cross-engine)
+
+    Returns (doc_id, kept, drop_reason, lang_guess, quality_e6,
+    n_redacted) — n_redacted from the PII scrub, reported for every doc.
+    Every stage is an existing scale-safe operator (hash groupBys, banded
+    LSH equi-join, narrow column algebra); the assembly is doc_id equi-joins
+    that AQE broadcasts once the flag sides collapse."""
+    docs = documents.select("doc_id", "text")
+    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    keep = hashes.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact_flag = hashes.join(keep, "h").select(
+        "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup")
+    )
+    near_ids = (
+        minhash_dup_pairs(documents)
+        .where(F.col("n_bands_hit") >= nb_bands)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    lang = language_id(documents).select("doc_id", "lang_guess")
+    qual = quality_scores(documents, raw=True).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 1e6).cast("bigint").alias("quality_e6"),
+    )
+    red = redact_pii(documents).select("doc_id", "n_redacted")
+    out = (
+        docs.select("doc_id")
+        .join(exact_flag, "doc_id")
+        .join(near_ids, "doc_id", "left")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(red, "doc_id")
+    )
+    reason = (
+        F.when(F.col("is_exact_dup"), "exact_dup")
+        .when(F.coalesce(F.col("is_near_dup"), F.lit(False)), "near_dup")
+        .when(~F.col("lang_guess").isin(*langs), "lang")
+        .when(F.col("quality_e6") < min_quality_e6, "quality")
+    )
+    return out.select(
+        "doc_id",
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+        "lang_guess",
+        "quality_e6",
+        "n_redacted",
     )

@@ -151,3 +151,27 @@ def test_redact_pii_order_and_counts(spark):
     assert r[1].n_ipv4 == 1 and r[1].n_phone == 1
     assert r[1].redacted == "server <IPV4> phone <PHONE>"
     assert r[2].n_redacted == 0 and r[2].redacted == "clean document"
+
+
+def test_curate_corpus_reason_precedence(spark):
+    from kgpipe.textops import curate_corpus
+
+    base = ["the", "and", "of"] + [f"w{i}" for i in range(57)]
+    good = " ".join(base)
+    near = list(base)
+    near[30] = "z0"  # one word changed in 60 -> >=2 MinHash bands collide
+    rows = [
+        (0, good, "en"),
+        (1, good, "en"),                        # exact dup of 0 -> dropped
+        (2, " ".join(near), "en"),              # near-dup of 0 (higher id)
+        (3, "el la los el la los perro gato", "es"),   # lang != en
+        (4, "the and of !!!! @@@@ #### $$$$", "en"),   # en but junk -> quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = {x.doc_id: x for x in curate_corpus(docs).collect()}
+    assert r[0].kept and r[0].drop_reason is None
+    assert r[1].drop_reason == "exact_dup"
+    assert r[2].drop_reason == "near_dup"
+    assert r[3].drop_reason == "lang"
+    assert r[4].drop_reason == "quality"
+    assert all(x.n_redacted == 0 for x in r.values())
