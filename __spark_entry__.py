@@ -373,6 +373,20 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select("node", F.col("pr_int").cast("bigint").alias("pr_int"))
 
 
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components of the cross-turn event graph
+    (kgpipe.graph.connected_components): min-label propagation with pointer
+    doubling, 6 compound rounds — labels are node-id strings so every round
+    replays bit-equal in the unrolled SQL oracle."""
+    from kgpipe.graph import connected_components
+
+    mentions = _annotations(spark, sf_dir)["mentions_f"]
+    edges = cross_turn_event_edges(mentions, _CFG)
+    return connected_components(edges).select(
+        "node", "component", F.col("component_size").cast("bigint").alias("component_size")
+    )
+
+
 def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 under Structured Streaming: the same fused extraction run via
     readStream (file source) -> availableNow trigger -> exactly-once parquet
@@ -818,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canon_nodes": _q_canon_nodes,
         "kg_node_degree": _q_node_degree,
         "kg_pagerank": _q_pagerank,
+        "kg_components": _q_components,
         "kg_conv_stats": _q_conv_stats,
         "kg_top_entities": _q_top_entities,
         "kg_tool_transitions": _q_tool_transitions,
@@ -915,8 +930,8 @@ ment_ann AS MATERIALIZED (
             CAST(turn_idx AS VARCHAR) || '@system' AS annotation_id
   FROM ment_id
 ),
--- two planted timexes per turn: the slash date after ' on ' and the round-2
--- grammar suffix after ' revisit ' (kind = event_id % 6, fixtures.py). The
+-- two planted timexes per turn: the slash date after ' on ' and the round-2/3
+-- grammar suffix after ' revisit ' (kind = event_id % 11, fixtures.py). The
 -- extras CTE re-derives the per-turn doc stats the char/token arithmetic
 -- needs (doc_len, doc word count, kind, date string) with the same
 -- deterministic row_number keys as the main derivation.
@@ -925,7 +940,7 @@ t_ext AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
          len(d.text) AS doc_len,
          len(string_split(d.text, ' ')) AS wd_doc,
-         CAST(e.event_id % 8 AS INT) AS k,
+         CAST(e.event_id % 11 AS INT) AS k,
          strftime(e.ts, '%-m/%-d/%Y') AS datestr
   FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
   WHERE d.doc_id < 500
@@ -952,7 +967,11 @@ tmx2 AS (
                     WHEN 4 THEN 'this morning'
                     WHEN 5 THEN 'last summer'
                     WHEN 6 THEN 'march 5'
-                    ELSE 'christmas' END AS surface2,
+                    WHEN 7 THEN 'christmas'
+                    WHEN 8 THEN 'the 19th century'
+                    WHEN 9 THEN 'next weekend'
+                    ELSE 'early ' || CAST(year(w.ts) - 1 AS VARCHAR)
+           END AS surface2,
            make_date(year(w.ts) - 1, 3, 5) AS md1,
            make_date(year(w.ts), 3, 5) AS md2,
            make_date(year(w.ts) + 1, 3, 5) AS md3,
@@ -988,14 +1007,19 @@ tmx AS (
                 WHEN 4 THEN strftime(ts, '%Y-%m-%d') || 'TMO'
                 WHEN 5 THEN CAST(year(ts) - CASE WHEN month(ts) >= 9 THEN 0 ELSE 1 END AS VARCHAR) || '-SU'
                 WHEN 6 THEN strftime(md_pick, '%Y-%m-%d')
-                ELSE strftime(hd_pick, '%Y-%m-%d')
+                WHEN 7 THEN strftime(hd_pick, '%Y-%m-%d')
+                WHEN 8 THEN '18'
+                WHEN 9 THEN strftime(CAST(ts AS DATE) + 7, '%G-W%V') || '-WE'
+                ELSE CAST(year(ts) - 1 AS VARCHAR)
          END AS normed,
-         CAST(wd_doc + CASE k WHEN 2 THEN 13 WHEN 3 THEN 9 WHEN 7 THEN 7 ELSE 8 END AS INT) AS t_tok_e,
-         -- tlink label vs the anchor (= date(ts)): past seasons/decades are
-         -- always 'after'; the anchor's own ISO week begins-on/ends-on/
-         -- contains it; a SET value has no interval -> 'none'; the anchor's
-         -- own morning overlaps it; the nearest-anniversary day compares
-         -- directly
+         CAST(wd_doc + CASE k WHEN 2 THEN 13 WHEN 3 THEN 9 WHEN 7 THEN 7
+                              WHEN 8 THEN 9 ELSE 8 END AS INT) AS t_tok_e,
+         -- tlink label vs the anchor (= date(ts)): past seasons/decades/
+         -- centuries/years are always 'after'; the anchor's own ISO week
+         -- begins-on/ends-on/contains it; a SET value has no interval ->
+         -- 'none'; the anchor's own morning overlaps it; the nearest-
+         -- anniversary day compares directly; next weekend (Sat/Sun of ISO
+         -- week + 1) starts strictly after any anchor day -> 'before'
          CASE k WHEN 2 THEN (CASE isodow(CAST(ts AS DATE))
                              WHEN 1 THEN 'begins-on'
                              WHEN 7 THEN 'ends-on'
@@ -1008,6 +1032,7 @@ tmx AS (
                 WHEN 7 THEN (CASE WHEN anchor_date < hd_pick THEN 'before'
                                   WHEN anchor_date > hd_pick THEN 'after'
                                   ELSE 'overlap' END)
+                WHEN 9 THEN 'before'
                 ELSE 'after' END AS lbl
   FROM tmx2
 ),
@@ -1278,6 +1303,47 @@ pr{t + 1} AS (
   FROM pnodes nd LEFT JOIN c{t} c ON c.dst = nd.node
 )""")
     parts.append(f"\nSELECT node, pr_int FROM pr{iters}")
+    return "".join(parts)
+
+
+# Connected-components twin (kgpipe.graph.connected_components): 6 unrolled
+# compound rounds of min-label propagate + pointer-doubling shortcut over the
+# symmetric closure of the distinct cross-turn edges. Labels are node-id
+# strings; min/least is byte-wise string comparison in both engines.
+def _components_oracle(rounds: int = 6) -> str:
+    # every CTE that is referenced more than once is MATERIALIZED — without
+    # the hint DuckDB inlines CTE references, and the round-over-round
+    # self-references would expand the base scan exponentially (~4^rounds)
+    head = f"""
+WITH edges AS ({_ORACLE_CROSS_EDGES}),
+eg AS (SELECT DISTINCT src, dst FROM edges),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM eg UNION ALL SELECT dst AS src, src AS dst FROM eg
+  )
+),
+cnodes AS (SELECT DISTINCT src AS node FROM und),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM cnodes)"""
+    parts = [head]
+    for t in range(rounds):
+        parts.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT l.node, least(l.label, COALESCE(m.mn, l.label)) AS label
+  FROM l{t} l LEFT JOIN (
+    SELECT u.src, MIN(x.label) AS mn
+    FROM und u JOIN l{t} x ON x.node = u.dst
+    GROUP BY u.src
+  ) m ON m.src = l.node
+),
+l{t + 1} AS MATERIALIZED (
+  SELECT a.node, least(a.label, COALESCE(b.label, a.label)) AS label
+  FROM p{t} a LEFT JOIN p{t} b ON b.node = a.label
+)""")
+    parts.append(f"""
+SELECT l.node, l.label AS component, s.component_size
+FROM l{rounds} l JOIN (
+  SELECT label, COUNT(*) AS component_size FROM l{rounds} GROUP BY label
+) s ON s.label = l.label""")
     return "".join(parts)
 
 
@@ -2141,6 +2207,7 @@ WHERE u.role = 'user' AND a.role = 'assistant'
         "kg_canon_nodes": _ORACLE_CANON_NODES,
         "kg_node_degree": _ORACLE_NODE_DEGREE,
         "kg_pagerank": _pagerank_oracle(),
+        "kg_components": _components_oracle(),
         "kg_conv_stats": _ORACLE_CONV_STATS,
         "kg_top_entities": _ORACLE_TOP_ENTITIES,
         "kg_tool_transitions": _ORACLE_TOOL_TRANSITIONS,

@@ -68,6 +68,10 @@ def _timex_surfaces(anchor: dt.date, rng: random.Random) -> List[str]:
         "at 3 pm", "10:30 am",
         "the day before yesterday", "day after tomorrow",
         "2 decades ago", f"march {d2.day}", "christmas",
+        # round-3 grammar: centuries, weekends, WithModifier prefixes
+        "the 19th century", "next weekend", "last weekend",
+        f"early {d1.year}", "the mid 1990s", "late last year",
+        f"around {d2.strftime('%B')} {d2.year}",
         "13/45/2020",  # fails calendar validation -> silently dropped
         rng.choice(_NOISE_TIMEX),
     ]
@@ -170,9 +174,10 @@ def synthetic_transcripts_df(
 
 # role from event_type, tool only for error events, text = document text plus
 # a planted slash date ("on M/D/YYYY") for the timex fast path AND a second
-# planted timex cycling through the round-2 grammar kinds (seasons, decades,
-# week-of, period sets, times of day, year-less month-day, holidays — the
-# last two exercising W7 nearest-year resolution) keyed on event_id % 8 —
+# planted timex cycling through the round-2/3 grammar kinds (seasons,
+# decades, week-of, period sets, times of day, year-less month-day, holidays
+# — the last two exercising W7 nearest-year resolution — plus round 3's
+# centuries, weekends and WithModifier prefixes) keyed on event_id % 11 —
 # every kind
 # gets driver-corpus coverage with DuckDB-replayable normalization. All
 # suffix words are outside the gazetteer and the DTR/conmod marker sets, so
@@ -189,7 +194,7 @@ SELECT
     ELSE 'tool'
   END AS role,
   d.text || ' on ' || {date_expr} ||
-  CASE CAST(e.event_id % 8 AS INT)
+  CASE CAST(e.event_id % 11 AS INT)
     WHEN 0 THEN ' revisit summer ' || CAST(year(e.ts) - 1 AS {str_type})
     WHEN 1 THEN ' revisit the 1990s'
     WHEN 2 THEN ' revisit week of ' || {date_expr}
@@ -197,7 +202,10 @@ SELECT
     WHEN 4 THEN ' revisit this morning'
     WHEN 5 THEN ' revisit last summer'
     WHEN 6 THEN ' revisit march 5'
-    ELSE ' revisit christmas'
+    WHEN 7 THEN ' revisit christmas'
+    WHEN 8 THEN ' revisit the 19th century'
+    WHEN 9 THEN ' revisit next weekend'
+    ELSE ' revisit early ' || CAST(year(e.ts) - 1 AS {str_type})
   END AS text,
   CASE WHEN e.event_type = 'error' THEN 'logger' ELSE NULL END AS tool,
   e.ts AS ts

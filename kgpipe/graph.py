@@ -36,6 +36,7 @@ __all__ = [
     "cooccurrence_edges",
     "triangle_count",
     "running_entity_counts",
+    "connected_components",
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -423,6 +424,87 @@ def pagerank(
         # whole prefix per iteration)
         pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def connected_components(edges: DataFrame, *, rounds: int = 6) -> DataFrame:
+    """Weakly connected components over an EDGE_SCHEMA-shaped edge list via
+    deterministic min-label propagation with pointer doubling (the
+    "hash-to-min" dataflow CC — the general-graph version of canon.py's
+    vocabulary-bounded bounded-CC).
+
+    Each round does two label updates:
+      propagate   l(v) <- min(l(v), min over neighbors u of l(u))
+      shortcut    l(v) <- l(l(v))          (label ids ARE node ids)
+    Labels are node-id strings; `min` is byte-wise string comparison, so
+    every step replays bit-equal in any engine. The shortcut step halves
+    the distance to the component minimum each round, so ``rounds`` = r
+    converges every component of min-label eccentricity <= ~2^r (r=6 covers
+    any graph this pipeline builds; convergence is pytest-asserted on chain
+    fixtures). Result is well-defined for any graph as "labels after r
+    compound rounds" — same spec in the SQL oracle.
+
+    Scale shape: per round, one shuffle keyed on node for the neighbor-min
+    aggregate and one self-join on the label — the standard distributed CC;
+    no driver-side state, no collect. localCheckpoint per round keeps the
+    unrolled plan linear (same rationale as pagerank).
+
+    Returns (node, component, component_size).
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # symmetric closure: neighbors in either direction
+    und = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    lab = nodes.withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        nbr_min = (
+            und.join(
+                lab.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        prop = (
+            lab.join(nbr_min, lab["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # shortcut: l(l(v)); l(v) is always a node id and labels only
+        # decrease, so the lookup hits and b.label <= a.label
+        lab = (
+            prop.alias("a")
+            .join(
+                prop.select(
+                    F.col("node").alias("lnode"), F.col("label").alias("llabel")
+                ).alias("b"),
+                F.col("a.label") == F.col("lnode"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.label"), F.coalesce("llabel", F.col("a.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        lab.join(sizes, "label")
+        .select("node", F.col("label").alias("component"), "component_size")
+    )
 
 
 def cross_turn_event_edges(

@@ -153,6 +153,36 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "decade",
         re.compile(r"\b(?:the\s+)?(?:19|20)?\d0s\b|(?:\bthe\s+)?'\d0s\b"),
     ),
+    # centuries — "the 19th century" -> TimeML "18" (en.grammar:370-374:
+    # "19th century" = CENTURY 18, i.e. the value is centuryIndex - 1)
+    (
+        "century",
+        re.compile(r"\b(?:the\s+)?\d{1,2}(?:st|nd|rd|th)\s+century\b", re.I),
+    ),
+    # weekends — en.grammar:149-151 WEEKEND_OF_WEEK; TimeML YYYY-Www-WE
+    (
+        "weekend",
+        re.compile(r"\b(?:(?:last|next|this)\s+weekend|the\s+weekend)\b", re.I),
+    ),
+    # modifier prefixes — en.grammar:489-498 WithModifier (EARLY/MID/LATE/
+    # APPROX). TimeML keeps the VALUE of the inner expression and carries the
+    # modifier in a separate `mod` attribute the output schema does not
+    # include, so normalization = inner value; detection widens the span to
+    # cover the modifier (longest-span-wins hands the whole phrase here).
+    # The inner alternation is the closed set of kinds a modifier can
+    # grammatically scope over in our rule library.
+    (
+        "modified",
+        re.compile(
+            r"\b(?:the\s+)?(?:early|mid|late|middle\s+of|about|around|almost)\s+"
+            r"(?:(?:the\s+)?(?:19|20)?\d0s|'\d0s"          # decade
+            rf"|(?:{_MONTH_ALT})\.?\s+\d{{4}}"             # month-year
+            r"|(?:19|20)\d{2}"                             # bare year
+            r"|(?:spring|summer|fall|autumn|winter)\s+(?:of\s+)?\d{4}"
+            r"|(?:last|next|this)\s+(?:week|month|year|quarter))\b",
+            re.I,
+        ),
+    ),
     # times of day — TimeML YYYY-MM-DDTMO/TAF/TEV/TNI
     (
         "time_of_day",
@@ -223,6 +253,12 @@ _QUICK_KEYS = {
     "season_year": ("spring", "summer", "fall", "autumn", "winter"),
     "rel_season": ("spring", "summer", "fall", "autumn", "winter"),
     "decade": ("0s",),
+    "century": ("century",),
+    "weekend": ("weekend",),
+    # prefilter only — "mid" also hits "midnight" etc.; the regex decides
+    "modified": (
+        "early", "mid", "late", "middle of", "about", "around", "almost",
+    ),
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
     "period_set": ("every", "daily", "weekly", "monthly", "yearly", "annually"),
@@ -413,6 +449,24 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 d = int(digits)
                 return f"19{d}X" if d >= 4 else f"20{d}X"
             return None
+        if kind == "century":
+            # "19th century" -> "18" (years 1801-1900), en.grammar:370-374
+            m = re.search(r"(\d{1,2})(?:st|nd|rd|th)", s)
+            c = int(m.group(1))
+            if not (1 <= c <= 99):
+                return None
+            return f"{c - 1:02d}"
+        if kind == "modified":
+            # strip the modifier, re-detect the inner expression, emit its
+            # value (the TimeML `mod` attribute is outside our schema)
+            m = re.match(
+                r"(?:the\s+)?(early|mid|late|middle\s+of|about|around|almost)\s+(.*)$",
+                s, re.I,
+            )
+            inner = detect_timexes(m.group(2))
+            if not inner:
+                return None
+            return normalize_timex(inner[0]["surface"], inner[0]["kind"], anchor)
         if kind == "period_set":
             m = re.match(
                 rf"every\s+(?:({_NUM_ALT})\s+)?(day|week|month|year)s?"
@@ -459,6 +513,13 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             w = s.lower()
             delta = {"yesterday": -1, "today": 0, "tomorrow": 1}[w]
             return _fmt_day(anchor + dt.timedelta(days=delta))
+        if kind == "weekend":
+            # weekend of the anchor's week, shifted by last/next; bare
+            # "the weekend" = the enclosing week's weekend (en.grammar:381
+            # FindEnclosing-PRESENT analog)
+            m = re.match(r"(last|next|this|the)\s+weekend", s, re.I)
+            delta = {"last": -1, "next": 1, "this": 0, "the": 0}[m.group(1).lower()]
+            return _fmt_week(anchor + dt.timedelta(days=7 * delta)) + "-WE"
         if kind == "rel_unit":
             m = re.match(
                 r"(last|next|this)\s+(week|month|year|quarter)", s, re.I
@@ -719,6 +780,8 @@ _DAY_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
 _YEAR_VAL_RE = re.compile(r"^(\d{4})$")
 _SEASON_VAL_RE = re.compile(r"^(\d{4})-(SP|SU|FA|WI)$")
 _DECADE_VAL_RE = re.compile(r"^(\d{3})X$")
+_CENTURY_VAL_RE = re.compile(r"^(\d{2})$")
+_WEEKEND_VAL_RE = re.compile(r"^(\d{4})-W(\d{2})-WE$")
 _TOD_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(MO|AF|EV|NI)$")
 _CLOCK_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2})$")
 
@@ -745,6 +808,18 @@ def timeml_interval(value: str) -> Optional[Tuple[dt.date, dt.date]]:
     if m:
         y0 = int(m.group(1)) * 10
         return dt.date(y0, 1, 1), dt.date(y0 + 9, 12, 31)
+    m = _CENTURY_VAL_RE.match(value)
+    if m:
+        # "18" = the 19th century = years 1801..1900
+        c = int(m.group(1))
+        return dt.date(c * 100 + 1, 1, 1), dt.date((c + 1) * 100, 12, 31)
+    m = _WEEKEND_VAL_RE.match(value)
+    if m:
+        y, w = int(m.group(1)), int(m.group(2))
+        return (
+            dt.date.fromisocalendar(y, w, 6),
+            dt.date.fromisocalendar(y, w, 7),
+        )
     m = _WEEK_VAL_RE.match(value)
     if m:
         start = dt.date.fromisocalendar(int(m.group(1)), int(m.group(2)), 1)

@@ -221,3 +221,49 @@ def test_pagerank_integer_fixed_point(spark):
     total = sum(pr1.values())
     assert total <= 10**12  # floor rounding + no dangling mass re-injection
     assert total > 10**12 * 0.5
+
+
+# ---------------------------------------------------------------------------
+# connected components (hash-to-min with pointer doubling)
+# ---------------------------------------------------------------------------
+
+def _cc(spark, edge_pairs, rounds=6):
+    from kgpipe.graph import connected_components
+
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs], "src string, dst string"
+    )
+    return {
+        r.node: (r.component, r.component_size)
+        for r in connected_components(e, rounds=rounds).collect()
+    }
+
+
+def test_components_two_islands(spark):
+    got = _cc(spark, [("b", "a"), ("b", "c"), ("x", "y")])
+    assert got == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "x": ("x", 2), "y": ("x", 2),
+    }
+
+
+def test_components_direction_ignored(spark):
+    # weakly connected: a->b and c->b land in one component
+    got = _cc(spark, [("a", "b"), ("c", "b")])
+    assert {v[0] for v in got.values()} == {"a"}
+    assert all(v[1] == 3 for v in got.values())
+
+
+def test_components_chain_converges_past_naive_reach(spark):
+    # a 40-node chain needs 40 rounds of naive propagation but only
+    # ~log2(40) pointer-doubling rounds; 6 compound rounds must converge
+    names = [f"n{i:02d}" for i in range(40)]
+    got = _cc(spark, list(zip(names, names[1:])))
+    assert {v[0] for v in got.values()} == {"n00"}
+    assert all(v[1] == 40 for v in got.values())
+
+
+def test_components_self_loop_singleton(spark):
+    got = _cc(spark, [("a", "a"), ("b", "c")])
+    assert got["a"] == ("a", 1)
+    assert got["b"] == ("b", 2) and got["c"] == ("b", 2)

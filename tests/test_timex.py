@@ -293,3 +293,61 @@ def test_clock_time_invalid_hours_drop():
 
     assert normalize_timex("13 pm", "clock_time", _dt.date(2024, 3, 15)) is None
     assert normalize_timex("0 am", "clock_time", _dt.date(2024, 3, 15)) is None
+
+
+# ---------------------------------------------------------------------------
+# en.grammar breadth round 3: centuries, weekends, WithModifier prefixes
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # "19th century" = CENTURY 18 (en.grammar:370-374)
+        ("the 19th century", "18"),
+        ("21st century", "20"),
+        ("the 3rd century", "02"),
+        # anchor 2024-03-15 is a Friday in ISO week 2024-W11
+        ("this weekend", "2024-W11-WE"),
+        ("the weekend", "2024-W11-WE"),
+        ("last weekend", "2024-W10-WE"),
+        ("next weekend", "2024-W12-WE"),
+        # WithModifier: value = inner value, mod dropped (en.grammar:489-498)
+        ("early 2019", "2019"),
+        ("late 2019", "2019"),
+        ("mid June 2024", "2024-06"),
+        ("the mid 1990s", "199X"),
+        ("middle of 2021", "2021"),
+        ("around March 2020", "2020-03"),
+        ("about summer 2019", "2019-SU"),
+        ("early last year", "2023"),
+        ("late this quarter", "2024-Q1"),
+    ],
+)
+def test_round3_grammar_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_round3_intervals():
+    # "18" = the 19th century = 1801..1900
+    assert timeml_interval("18") == (dt.date(1801, 1, 1), dt.date(1900, 12, 31))
+    assert timeml_interval("20") == (dt.date(2001, 1, 1), dt.date(2100, 12, 31))
+    # weekend = Sat+Sun of the ISO week
+    assert timeml_interval("2024-W11-WE") == (dt.date(2024, 3, 16), dt.date(2024, 3, 17))
+    # plain week value still excludes the -WE form
+    assert timeml_interval("2024-W11") == (dt.date(2024, 3, 11), dt.date(2024, 3, 17))
+
+
+def test_century_out_of_range_drops():
+    assert normalize_timex("the 0th century", "century", ANCHOR) is None
+
+
+def test_modifier_span_beats_inner():
+    # longest-span-wins: "early 2019" must be ONE span, not a bare_year
+    det = detect_timexes("we met early 2019 there")
+    assert [(d["kind"], d["surface"]) for d in det] == [("modified", "early 2019")]
+
+
+def test_modifier_without_inner_timex_not_detected():
+    # "early bird" has no inner expression -> no span at all
+    det = detect_timexes("the early bird gets the worm")
+    assert det == []
