@@ -610,6 +610,38 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (textops.stratified_sample): keep
+    50% of 'en', 20% of everything else, by portable-hash thresholding on
+    doc_id — a pure map-side filter, replayed exactly by the oracle."""
+    from kgpipe.textops import stratified_sample
+
+    return stratified_sample(
+        _documents(spark, sf_dir), {"en": 500}, seed=7, default_permille=200
+    )
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank length percentiles per lang
+    (textops.length_quantiles) — integer arithmetic only."""
+    from kgpipe.textops import length_quantiles
+
+    q = length_quantiles(_documents(spark, sf_dir), qs=(25, 50, 75, 90))
+    return q.select(
+        "lang", "q", "n_docs", F.col("value").cast("bigint").alias("value")
+    )
+
+
+def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges (graph.cooccurrence_edges): distinct
+    same-turn (cui_a < cui_b) pairs with frequency — the 'related-to' edge
+    layer of the KG."""
+    from kgpipe.graph import cooccurrence_edges
+
+    mentions = _annotations(spark, sf_dir)["mentions_f"]
+    return cooccurrence_edges(mentions)
+
+
 def _q_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: JVM higher-order functions (zip_with/aggregate)
     for the dot product, window row_number for top-k. Embeddings cast to
@@ -849,6 +881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
+        "text_sample_stratified": _q_text_sample,
+        "text_length_quantiles": _q_length_quantiles,
+        "kg_cooccur": _q_cooccur,
         "text_tfidf": _q_tfidf,
         "text_redact": _q_text_redact,
         "text_curate": _q_text_curate,
@@ -2357,6 +2392,43 @@ FROM asm
         "text_langid": _langid_oracle(),
         "text_token_stats": _ORACLE_TOKEN_STATS,
         "text_fingerprint": _ORACLE_FINGERPRINT,
+        # stratified sampling: the same md5-prefix hash threshold, en=500‰,
+        # default 200‰ (textops.stratified_sample twin)
+        "text_sample_stratified": f"""
+WITH b AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST({_ph("CAST(doc_id AS VARCHAR)", 7)} % 1000 AS INT) AS sample_bucket
+  FROM documents
+)
+SELECT * FROM b
+WHERE sample_bucket < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+""",
+        # nearest-rank percentiles over (lang, n_chars) counts — integer
+        # rank arithmetic, no interpolation (textops.length_quantiles twin)
+        "text_length_quantiles": """
+WITH counts AS (
+  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+  FROM counts
+),
+tot AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+qs AS (SELECT UNNEST([25, 50, 75, 90]) AS q)
+SELECT c.lang, q.q AS q, t.n_docs, CAST(MIN(c.n_chars) AS BIGINT) AS value
+FROM cum c JOIN tot t USING (lang) CROSS JOIN qs q
+WHERE c.cum >= (q.q * t.n_docs + 99) // 100
+GROUP BY c.lang, q.q, t.n_docs
+""",
+        # same-turn entity co-occurrence pairs (graph.cooccurrence_edges twin)
+        "kg_cooccur": f"""
+WITH {_MENTIONS},
+m AS (SELECT DISTINCT conv_id, turn_idx, cui FROM ment_ann)
+SELECT x.cui AS cui_a, y.cui AS cui_b, COUNT(*) AS n_cooccur
+FROM m x JOIN m y
+  ON x.conv_id = y.conv_id AND x.turn_idx = y.turn_idx AND x.cui < y.cui
+GROUP BY x.cui, y.cui
+""",
         "sim_topk_bruteforce": _ORACLE_TOPK,
         "sim_topk_ivf": _ORACLE_TOPK_IVF,
         "sim_topk_ivf_indexed": _ORACLE_TOPK_IVF,

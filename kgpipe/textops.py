@@ -37,6 +37,8 @@ __all__ = [
     "quality_scores",
     "token_stats",
     "doc_fingerprint",
+    "stratified_sample",
+    "length_quantiles",
     "tfidf_top_terms",
     "redact_pii",
     "curate_corpus",
@@ -400,6 +402,80 @@ def token_stats(documents: DataFrame) -> DataFrame:
             "bpe_ish_tokens"
         ),
         F.length("text").alias("n_chars"),
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates_permille: dict,
+    *,
+    seed: int = 7,
+    default_permille: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the corpus-mixing
+    primitive of a training-data pipeline ("keep 50% of English, 20% of the
+    rest"). A doc is kept iff ``portable_hash(doc_id # seed) % 1000 <
+    rate_permille[lang]``: the decision is a pure function of (doc_id, seed),
+    so samples are stable across runs, engines (the DuckDB oracle replays
+    the md5-prefix hash bit-for-bit), and cluster sizes — no ``rand()``, no
+    seed-per-partition coupling.
+
+    Scale: a map-side filter fused into the scan (zero shuffles); raising a
+    stratum's rate later yields a SUPERSET of the earlier sample (hash
+    thresholding), which is what incremental corpus growth wants.
+
+    Returns the kept rows (doc_id, lang, source, n_chars, sample_bucket).
+    """
+    rate = F.lit(default_permille)
+    for lang, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    bucket = _portable_hash(F.col("doc_id").cast("string"), seed) % 1000
+    return (
+        documents.withColumn("sample_bucket", bucket.cast("int"))
+        .where(F.col("sample_bucket") < rate)
+        .select("doc_id", "lang", "source", "n_chars", "sample_bucket")
+    )
+
+
+def length_quantiles(documents: DataFrame, qs=(25, 50, 75, 90)) -> DataFrame:
+    """Exact nearest-rank percentiles of document length per lang: the value
+    at 1-based rank ceil(q*n/100) of n_chars ascending. Nearest-rank (not
+    interpolated) keeps every number an integer, so the result is bit-equal
+    in any engine — interpolating quantiles (percentile_cont) are float
+    expressions whose rounding differs across engines.
+
+    Scale: pre-aggregates to (lang, n_chars) counts first — the cumulative
+    window then runs over DISTINCT length values per lang (bounded by max
+    doc length, not corpus size), never over raw rows; a naive per-lang
+    row_number over documents would put a whole stratum in one task.
+
+    Returns (lang, q, n_docs, value).
+    """
+    counts = documents.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    totals = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    qdf = cum.join(totals, "lang").crossJoin(
+        F.broadcast(
+            documents.sparkSession.createDataFrame(
+                [(int(q),) for q in qs], "q int"
+            )
+        )
+    )
+    # nearest-rank: smallest n_chars whose cumulative count reaches
+    # ceil(q*n/100) = (q*n + 99) DIV 100 in integer arithmetic
+    return (
+        qdf.where(F.col("cum") >= F.expr("(q * n_docs + 99) DIV 100"))
+        .groupBy("lang", "q", "n_docs")
+        .agg(F.min("n_chars").alias("value"))
     )
 
 

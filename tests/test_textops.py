@@ -175,3 +175,62 @@ def test_curate_corpus_reason_precedence(spark):
     assert r[3].drop_reason == "lang"
     assert r[4].drop_reason == "quality"
     assert all(x.n_redacted == 0 for x in r.values())
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling + nearest-rank quantiles
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from kgpipe.textops import stratified_sample
+
+    rows = [
+        (i, f"text {i}", "en" if i % 3 else "es", "s", 10 + i)
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    a = {r.doc_id for r in stratified_sample(docs, {"en": 300}, seed=7).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, {"en": 300}, seed=7).collect()}
+    assert a == b  # pure function of (doc_id, seed)
+    # raising a rate yields a superset (hash thresholding)
+    c = {r.doc_id for r in stratified_sample(docs, {"en": 600}, seed=7).collect()}
+    assert a <= c and len(c) > len(a)
+    # default_permille=0 drops the other stratum entirely
+    langs = {r.lang for r in stratified_sample(docs, {"en": 600}, seed=7).collect()}
+    assert langs == {"en"}
+    # rough rate sanity on the kept stratum (binomial, wide tolerance)
+    n_en = sum(1 for i in range(300) if i % 3)
+    assert 0.4 * n_en < len(c) < 0.8 * n_en
+
+
+def test_stratified_sample_is_scan_side(spark):
+    from kgpipe.textops import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plan = stratified_sample(docs, {"en": 500})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle: filter fused into the scan
+
+
+def test_length_quantiles_nearest_rank(spark):
+    from kgpipe.textops import length_quantiles
+
+    # en lengths 1..10 -> q25 -> rank ceil(2.5)=3 -> 3; q50 -> 5; q90 -> 9
+    rows = [(i, "x", "en", "s", i) for i in range(1, 11)]
+    rows += [(100 + i, "x", "es", "s", 7) for i in range(3)]  # all-equal stratum
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.lang, r.q): (r.n_docs, r.value)
+        for r in length_quantiles(docs, qs=(25, 50, 90, 100)).collect()
+    }
+    assert got[("en", 25)] == (10, 3)
+    assert got[("en", 50)] == (10, 5)
+    assert got[("en", 90)] == (10, 9)
+    assert got[("en", 100)] == (10, 10)
+    assert all(got[("es", q)] == (3, 7) for q in (25, 50, 90, 100))
