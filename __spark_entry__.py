@@ -373,6 +373,35 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select("node", F.col("pr_int").cast("bigint").alias("pr_int"))
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark): the corpus is
+    written as several files, then HALF the turns are appended again as a
+    redelivery file; maxFilesPerTrigger=1 replays one file per micro-batch,
+    so the redeliveries hit the dedup state from earlier batches and the
+    sink must contain the corpus EXACTLY ONCE (= the batch oracle). The
+    watermark is set far above the corpus ts span so no genuine row is
+    late-dropped here — the tight-watermark late/eviction contract is
+    pinned by tests/test_streaming.py instead."""
+    import os
+    import tempfile
+
+    from kgpipe.streaming import run_dedup_stream
+
+    base = tempfile.mkdtemp(prefix="kg_sdedup_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    t = derive_transcripts(spark, sf_dir)
+    t.coalesce(4).write.mode("overwrite").parquet(in_dir)
+    t.where(F.expr("turn_idx % 2 = 0")).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_dedup_stream(spark, in_dir, out_dir, ckpt, watermark="3650 days")
+    return spark.read.parquet(out_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly connected components of the cross-turn event graph
     (kgpipe.graph.connected_components): min-label propagation with pointer
@@ -853,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_streaming_ingest": _q_streaming_ingest,
         "kg_streaming_state": _q_streaming_state,
         "kg_windowed_counts": _q_windowed_counts,
+        "kg_stream_dedup": _q_stream_dedup,
         "kg_prompt_response": _q_prompt_response,
         "kg_dtr": _q_dtr,
         "kg_confidence": _q_confidence,
@@ -2221,6 +2251,12 @@ SELECT date_trunc('day', ts) AS window_start,
        date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
        conv_id, COUNT(*) AS n_turns
 FROM t WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+""",
+        # the dedup stream must reproduce the corpus exactly once despite
+        # the planted redelivery file
+        "kg_stream_dedup": f"""
+WITH t AS ({_T})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
 """,
         "kg_prompt_response": f"""
 WITH t AS ({_T})

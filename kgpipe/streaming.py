@@ -44,6 +44,8 @@ __all__ = [
     "run_windowed_stream",
     "prompt_response_pairs",
     "run_join_stream",
+    "dedup_turns",
+    "run_dedup_stream",
 ]
 
 
@@ -168,6 +170,67 @@ def run_windowed_stream(
     )
     query = (
         counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(query, timeout_sec)
+    return query
+
+
+def dedup_turns(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exactly-once-ification of an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` on the turn key (conv_id, turn_idx).
+
+    File/queue sources redeliver on retry; this operator makes the triple
+    factory idempotent to that by keeping per-key dedup state whose
+    lifetime is bounded by the event-time watermark — a redelivery within
+    the watermark window is dropped even when it lands in a LATER
+    micro-batch (the cross-batch case the pytest pins); state for keys
+    older than the watermark is evicted, so state size tracks the
+    watermark-window key count, not the stream's history. This is the
+    fourth streaming shape next to stateless ingest, keyed custom state,
+    and the watermarked windowed aggregate (SURVEY.md §2.9)."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    t = reader.parquet(input_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        t.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: float | None = 300.0,
+):
+    """Drain the dedup stream into an exactly-once parquet sink. The default
+    maxFilesPerTrigger=1 forces one micro-batch per input file so
+    redeliveries in later files exercise the cross-batch dedup state."""
+    deduped = dedup_turns(
+        spark, input_dir,
+        watermark=watermark, max_files_per_trigger=max_files_per_trigger,
+    )
+    query = (
+        deduped.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

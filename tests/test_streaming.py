@@ -196,11 +196,99 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     w = sorted(map(tuple, want.select(*cols).collect()))
     assert g == w and len(g) > 0
 
-    # tight watermark: rows older than (max seen ts - 1 day) at their
-    # processing batch are dropped from the join state -> output is a
-    # strict subset of the batch join (the state-cleanup contract)
+    # tight watermark on a CONSTRUCTED sequence (corpus-independent): once
+    # the watermark passes a day, that day's join state is evicted and a
+    # late pair that batch mode would match is dropped instead of emitted
+    import datetime as _dt
+
+    in2 = str(tmp_path / "jin2")
     out2, ckpt2 = str(tmp_path / "jout2"), str(tmp_path / "jckpt2")
-    run_join_stream(spark, in_dir, out2, ckpt2, watermark="1 day",
+    day = lambda d, h=0: _dt.datetime(2021, 1, d, h)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in2)
+
+    # batch 1: an in-window pair on day 1 -> emitted
+    land([("c1", 0, "user", "q", None, day(1, 1)),
+          ("c1", 1, "assistant", "a", None, day(1, 2))])
+    run_join_stream(spark, in2, out2, ckpt2, watermark="1 day",
                     max_files_per_trigger=1, timeout_sec=180.0)
+    # batch 2: far-future rows advance the watermark past day 1 on BOTH
+    # sides (the join watermark is the min over the two role-filtered
+    # inputs); different conv_ids so they add no pair themselves
+    land([("c8", 0, "user", "z", None, day(30)),
+          ("c9", 1, "assistant", "z", None, day(30))])
+    run_join_stream(spark, in2, out2, ckpt2, watermark="1 day",
+                    max_files_per_trigger=1, timeout_sec=180.0)
+    # batch 3: a day-1 pair that batch mode would match -> late, dropped
+    land([("c1", 2, "user", "q2", None, day(1, 3)),
+          ("c1", 3, "assistant", "a2", None, day(1, 4))])
+    q2 = run_join_stream(spark, in2, out2, ckpt2, watermark="1 day",
+                         max_files_per_trigger=1, timeout_sec=180.0)
     g2 = sorted(map(tuple, spark.read.parquet(out2).select(*cols).collect()))
-    assert set(g2) <= set(w) and len(g2) < len(w)
+    assert g2 == [("c1", 0, 1)]
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for op in (q2.lastProgress or {}).get("stateOperators", [])
+    )
+    assert dropped == 2
+
+
+def test_stream_dedup_cross_batch_and_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivery landing in a LATER
+    micro-batch is dropped by the dedup state; keys older than the
+    watermark are evicted (redelivery past the watermark is late-dropped,
+    not re-emitted)."""
+    import datetime as _dt
+
+    from kgpipe.streaming import run_dedup_stream
+
+    in_dir = str(tmp_path / "dd")
+    out_dir = str(tmp_path / "ddout")
+    ckpt = str(tmp_path / "ddckpt")
+    day = lambda d, h=0: _dt.datetime(2021, 1, d, h)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # file 1: three distinct turns (one internal duplicate pair)
+    land([("c1", 0, "user", "a", None, day(1)),
+          ("c1", 0, "user", "a", None, day(1)),      # same-batch duplicate
+          ("c1", 1, "user", "b", None, day(1, 2)),
+          ("c2", 0, "user", "c", None, day(1, 3))])
+    # file 2: redelivery of (c1, 1) within the watermark + one new turn
+    land([("c1", 1, "user", "b", None, day(1, 2)),   # cross-batch duplicate
+          ("c2", 1, "user", "d", None, day(1, 4))])
+    run_dedup_stream(spark, in_dir, out_dir, ckpt,
+                     watermark="1 day", timeout_sec=120.0)
+    got = sorted(
+        (r.conv_id, r.turn_idx) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1)]
+
+    # file 3: a far-future row advances the watermark past day 1, then a
+    # redelivery of (c1, 0) is LATE (its state was evicted) -> the
+    # operator drops it as late data rather than re-emitting it
+    land([("c9", 0, "user", "z", None, day(30))])
+    run_dedup_stream(spark, in_dir, out_dir, ckpt,
+                     watermark="1 day", timeout_sec=120.0)
+    land([("c1", 0, "user", "a", None, day(1))])
+    q = run_dedup_stream(spark, in_dir, out_dir, ckpt,
+                         watermark="1 day", timeout_sec=120.0)
+    dropped = sum(
+        op["numRowsDroppedByWatermark"]
+        for op in (q.lastProgress or {}).get("stateOperators", [])
+    )
+    assert dropped == 1
+    counts = (
+        spark.read.parquet(out_dir).groupBy("conv_id", "turn_idx").count()
+    )
+    assert counts.where("count > 1").count() == 0  # still exactly-once
