@@ -44,6 +44,23 @@ def count(pattern: str, plan: str) -> int:
     return len(re.findall(pattern, plan))
 
 
+def keyed_exchange_args(plan: str) -> list[str]:
+    """The hashpartitioning argument list of every shuffle Exchange, in both
+    plan formats: simple mode prints 'Exchange hashpartitioning(...)' inline;
+    formatted mode prints an '(N) Exchange' block whose Arguments: line
+    carries the partitioning."""
+    out = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    for m in re.finditer(
+        r"^\(\d+\) Exchange[^\n]*\n(?:[^\n]*\n)*?Arguments: (hashpartitioning\([^\n]*)",
+        plan, re.M,
+    ):
+        out.append(m.group(1))
+    return out
+
+
 def main() -> int:
     write = "--write" in sys.argv
 
@@ -91,24 +108,32 @@ def main() -> int:
     p = plan_of(structured)
     assert "BroadcastHashJoin" in p, "F2 blacklist join is not broadcast"
     assert "LeftAnti" in p, "F2 must be a left-anti join"
-    keyed = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    keyed = keyed_exchange_args(p)
     for ln in keyed:
         assert "conv_id" in ln, f"exchange not keyed on conv_id: {ln}"
-    # one-pass union shape: the W1 window's exchange is the ONLY shuffle in
-    # the whole structured plan — the band join, the pair groupBy and the
-    # token join all read co-partitioned splits of the same cached frame
-    n_shuffles = len(re.findall(r"Exchange hashpartitioning", p))
-    assert n_shuffles <= 1, (
+    # one-pass union shape: exactly TWO keyed shuffles, both on
+    # (conv_id, turn_idx) — (a) the W1 window exchange inside the annotate
+    # cache (runs once at materialization; the band join / token join /
+    # mention-timex branches all read the cached result), and (b) the pair
+    # rollup's exchange after it: an AQE-wrapped cached plan reports
+    # UnknownPartitioning to consumers, so Catalyst cannot prove the cache
+    # is already clustered on the key (Spark cache+AQE behavior). The pair
+    # rollup shuffle moves partially-aggregated pair rows, not turns.
+    n_shuffles = len(keyed)
+    assert n_shuffles <= 2, (
         f"structured plan has {n_shuffles} hash exchanges; the union shape "
-        "should need exactly one (the W1 window)"
+        "needs at most two (cache W1 window + pair rollup)"
     )
     sections.append((
         "structured extraction (build_triples fused=False)",
         p,
         [
-            f"BroadcastHashJoin LeftAnti for blacklist: yes",
-            f"hash exchanges: {n_shuffles} (W1 window only); "
-            "band join / pair groupBy / token join reuse the cached partitioning",
+            "BroadcastHashJoin LeftAnti for blacklist: yes",
+            f"hash exchanges: {n_shuffles}, all keyed on (conv_id, turn_idx) "
+            "— one materializes the annotate cache (W1 window), one is the "
+            "pair rollup over map-side partially-aggregated rows (the "
+            "AQE-wrapped cache hides its partitioning from consumers, so "
+            "this exchange cannot be elided by Catalyst)",
         ],
     ))
 
@@ -182,7 +207,7 @@ def main() -> int:
     ann = build_annotations(t, E._GAZ, E._BLACKLIST, DEFAULT_CONFIG, persist=False)
     ee = event_event_triples(ann["mentions"], ann["timexes"])
     p = plan_of(ee)
-    keyed = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    keyed = keyed_exchange_args(p)
     for ln in keyed:
         assert "conv_id" in ln, f"J6 exchange not keyed on conv_id: {ln}"
     sections.append((
@@ -190,6 +215,38 @@ def main() -> int:
         p,
         [f"keyed exchanges: {len(keyed)}, all on conv_id(+turn_idx) — "
          "self-join + nearest-anchor window reuse the turn partitioning"],
+    ))
+
+    # 8. stratified sampling: map-side filter fused into the scan --------------
+    from kgpipe.textops import length_quantiles, stratified_sample
+
+    p = plan_of(stratified_sample(docs, {"en": 500}, default_permille=200))
+    assert "Exchange" not in p, "stratified_sample must be a narrow map"
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, (
+        "stratified_sample must stay JVM-side"
+    )
+    sections.append((
+        "stratified sampling (stratified_sample)",
+        p,
+        ["Exchange nodes: 0; no Python eval — md5-threshold filter fused "
+         "into the scan, sampling scales with input splits"],
+    ))
+
+    # 9. length quantiles: every shuffle keyed on lang, over pre-aggregates ----
+    p = plan_of(length_quantiles(docs))
+    keyed = keyed_exchange_args(p)
+    assert keyed, "length_quantiles should aggregate by lang"
+    for ln in keyed:
+        assert "lang" in ln, f"quantile exchange not keyed on lang: {ln}"
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p, (
+        "the quantile-points dim table should be broadcast"
+    )
+    sections.append((
+        "length quantiles (length_quantiles)",
+        p,
+        [f"hash exchanges: {len(keyed)}, all keyed on lang — the cumulative "
+         "window runs over (lang, n_chars) pre-aggregated counts, never raw "
+         "rows; the q-points dim is broadcast"],
     ))
 
     print("ALL PLAN ASSERTIONS PASS")
