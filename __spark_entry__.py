@@ -639,6 +639,20 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering (textops.dedup_clusters): MinHash
+    candidate pairs -> connected components -> per-doc cluster id +
+    canonical flag; singletons are their own cluster."""
+    from kgpipe.textops import dedup_clusters
+
+    c = dedup_clusters(_docs_plus(spark, sf_dir), n=3, k=8, bands=4)
+    return c.select(
+        "doc_id", "cluster",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("is_canonical").cast("int").alias("is_canonical"),
+    )
+
+
 def _q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (textops.stratified_sample): keep
     50% of 'en', 20% of everything else, by portable-hash thresholding on
@@ -905,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_quality": _q_text_quality,
@@ -1371,25 +1386,24 @@ pr{t + 1} AS (
     return "".join(parts)
 
 
-# Connected-components twin (kgpipe.graph.connected_components): 6 unrolled
+# Connected-components twin (kgpipe.graph.connected_components): unrolled
 # compound rounds of min-label propagate + pointer-doubling shortcut over the
-# symmetric closure of the distinct cross-turn edges. Labels are node-id
-# strings; min/least is byte-wise string comparison in both engines.
-def _components_oracle(rounds: int = 6) -> str:
-    # every CTE that is referenced more than once is MATERIALIZED — without
-    # the hint DuckDB inlines CTE references, and the round-over-round
-    # self-references would expand the base scan exponentially (~4^rounds)
-    head = f"""
-WITH edges AS ({_ORACLE_CROSS_EDGES}),
-eg AS (SELECT DISTINCT src, dst FROM edges),
+# symmetric closure of a distinct edge CTE. least/MIN on the node-id type
+# (byte-wise for strings, numeric for bigints) match Spark's semantics.
+def _cc_rounds_sql(rounds: int = 6) -> str:
+    """CTE chain from an existing ``eg(src, dst)`` CTE to
+    ``l{rounds}(node, label)``. Every multiply-referenced CTE is
+    MATERIALIZED — without the hint DuckDB inlines references, and the
+    round-over-round self-references would expand the base scan
+    exponentially (~4^rounds)."""
+    parts = ["""
 und AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM eg UNION ALL SELECT dst AS src, src AS dst FROM eg
   )
 ),
 cnodes AS (SELECT DISTINCT src AS node FROM und),
-l0 AS MATERIALIZED (SELECT node, node AS label FROM cnodes)"""
-    parts = [head]
+l0 AS MATERIALIZED (SELECT node, node AS label FROM cnodes)"""]
     for t in range(rounds):
         parts.append(f""",
 p{t} AS MATERIALIZED (
@@ -1404,12 +1418,17 @@ l{t + 1} AS MATERIALIZED (
   SELECT a.node, least(a.label, COALESCE(b.label, a.label)) AS label
   FROM p{t} a LEFT JOIN p{t} b ON b.node = a.label
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _components_oracle(rounds: int = 6) -> str:
+    return f"""
+WITH edges AS ({_ORACLE_CROSS_EDGES}),
+eg AS (SELECT DISTINCT src, dst FROM edges),{_cc_rounds_sql(rounds)}
 SELECT l.node, l.label AS component, s.component_size
 FROM l{rounds} l JOIN (
   SELECT label, COUNT(*) AS component_size FROM l{rounds} GROUP BY label
-) s ON s.label = l.label""")
-    return "".join(parts)
+) s ON s.label = l.label"""
 
 
 _ORACLE_NODE_DEGREE = f"""
@@ -2421,6 +2440,24 @@ SELECT doc_id,
 FROM asm
 """,
         "dedup_minhash": _ORACLE_MINHASH,
+        # transitive closure of the minhash pairs via the shared CC chain;
+        # docs with no candidate pair are their own singleton cluster
+        "dedup_clusters": f"""
+WITH {_SHINGLES}, {_MINHASH_SIGS}, {_BANDS},
+eg AS (
+  SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),{_cc_rounds_sql()},
+sizes AS (SELECT label, COUNT(*) AS component_size FROM l6 GROUP BY label)
+SELECT d.doc_id,
+       COALESCE(l.label, d.doc_id) AS cluster,
+       COALESCE(s.component_size, 1) AS cluster_size,
+       CAST(COALESCE(l.label, d.doc_id) = d.doc_id AS INT) AS is_canonical
+FROM docs d
+LEFT JOIN l6 l ON l.node = d.doc_id
+LEFT JOIN sizes s ON s.label = l.label
+""",
         "dedup_jaccard": _ORACLE_JACCARD,
         "dedup_simhash": _ORACLE_SIMHASH,
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,

@@ -37,6 +37,7 @@ __all__ = [
     "quality_scores",
     "token_stats",
     "doc_fingerprint",
+    "dedup_clusters",
     "stratified_sample",
     "length_quantiles",
     "tfidf_top_terms",
@@ -402,6 +403,51 @@ def token_stats(documents: DataFrame) -> DataFrame:
             "bpe_ish_tokens"
         ),
         F.length("text").alias("n_chars"),
+    )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rounds: int = 6,
+) -> DataFrame:
+    """Transitive near-duplicate clustering — the step real curation
+    pipelines need AFTER pairwise candidate generation: near-dup is not
+    transitive pairwise (A~B, B~C but A!~C), yet a keep-one-per-group
+    policy needs GROUPS, so the MinHash candidate pairs become an edge
+    list and connected components assign every doc a cluster id (the
+    numeric-min doc_id of its component — the canonical survivor).
+
+    Composition of two scale-audited operators: banded MinHash equi-join
+    (never all-pairs) -> hash-to-min CC (log-diameter rounds); dup
+    clusters are tiny, so CC converges far inside ``rounds``.
+
+    Returns (doc_id, cluster, cluster_size, is_canonical) for EVERY doc —
+    singletons are their own canonical cluster of size 1.
+    """
+    from .graph import connected_components
+
+    pairs = minhash_dup_pairs(documents, n=n, k=k, bands=bands)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges, rounds=rounds)
+    d = documents.select("doc_id")
+    return (
+        d.join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster"),
+            F.coalesce("component_size", F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+            (
+                F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+            ).alias("is_canonical"),
+        )
     )
 
 

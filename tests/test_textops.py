@@ -234,3 +234,19 @@ def test_length_quantiles_nearest_rank(spark):
     assert got[("en", 90)] == (10, 9)
     assert got[("en", 100)] == (10, 10)
     assert all(got[("es", q)] == (3, 7) for q in (25, 50, 90, 100))
+
+
+def test_dedup_clusters_transitive_and_singletons(docs, spark):
+    from kgpipe.textops import dedup_clusters
+
+    got = {
+        r.doc_id: (r.cluster, r.cluster_size, r.is_canonical)
+        for r in dedup_clusters(docs.select("doc_id", "text")).collect()
+    }
+    # docs 0/1 exact dup, 2 near dup -> one cluster canonicalized at min id
+    assert got[0] == (0, 3, True)
+    assert got[1] == (0, 3, False)
+    assert got[2] == (0, 3, False)
+    # unrelated docs are their own singleton canonical cluster
+    assert got[3] == (3, 1, True)
+    assert got[4] == (4, 1, True)
