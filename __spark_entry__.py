@@ -302,6 +302,20 @@ def _q_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True).select(*_TRIPLE_COLS)
 
 
+def _q_triple_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (materialize.triple_delta): 'old' = triples extracted
+    from the even turns, 'new' = triples from turns not divisible by 3 —
+    the delta carries both added and removed keys, the incremental-
+    maintenance shape for re-extraction after a grammar/gazetteer change."""
+    from kgpipe.materialize import triple_delta
+
+    t = derive_transcripts(spark, sf_dir)
+    all_t = build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True)
+    old = all_t.where(F.col("turn_idx") % 2 == 0)
+    new = all_t.where(F.col("turn_idx") % 3 != 0)
+    return triple_delta(old, new)
+
+
 def _q_dtr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 doc-time-rel classifier stage (--use_dtr analog): deterministic
     marker scorer over the ±10-token context window (W3)."""
@@ -893,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_event_event": _q_event_event,
         "kg_triples_all": _q_triples_all,
         "kg_triples_fused": _q_triples_fused,
+        "kg_triple_delta": _q_triple_delta,
         "kg_streaming_ingest": _q_streaming_ingest,
         "kg_streaming_state": _q_streaming_state,
         "kg_windowed_counts": _q_windowed_counts,
@@ -2254,6 +2269,31 @@ JOIN t_ext x ON x.conv_id = a.conv_id AND x.turn_idx = a.turn_idx
 """,
         "kg_triples_all": _ORACLE_TRIPLES_ALL,
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
+        # snapshot diff (materialize.triple_delta twin): per-key occurrence
+        # counts on each side, full-outer join, differing keys only
+        "kg_triple_delta": f"""
+WITH {_MENTIONS}, {_TLINK}, {_ATTRIB}, {_ENTITY},
+allt AS MATERIALIZED (
+  SELECT subj, pred, obj, conv_id, turn_idx FROM attrib
+  UNION ALL SELECT subj, pred, obj, conv_id, turn_idx FROM entity
+  UNION ALL SELECT subj, pred, obj, conv_id, turn_idx FROM tl
+),
+o AS (
+  SELECT subj, pred, obj, conv_id, turn_idx, COUNT(*) AS n_old
+  FROM allt WHERE turn_idx % 2 = 0 GROUP BY ALL
+),
+nn AS (
+  SELECT subj, pred, obj, conv_id, turn_idx, COUNT(*) AS n_new
+  FROM allt WHERE turn_idx % 3 <> 0 GROUP BY ALL
+)
+SELECT subj, pred, obj, conv_id, turn_idx,
+       COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+       CASE WHEN COALESCE(n_old, 0) = 0 THEN 'added'
+            WHEN COALESCE(n_new, 0) = 0 THEN 'removed'
+            ELSE 'count_changed' END AS change
+FROM o FULL JOIN nn USING (subj, pred, obj, conv_id, turn_idx)
+WHERE COALESCE(n_old, 0) <> COALESCE(n_new, 0)
+""",
         "kg_streaming_ingest": _ORACLE_TRIPLES_ALL,
         "kg_streaming_state": f"""
 WITH t AS ({_T})

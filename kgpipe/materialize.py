@@ -47,7 +47,44 @@ __all__ = [
     "run_with_resume",
     "iceberg_available",
     "TableSink",
+    "triple_delta",
 ]
+
+
+def triple_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols=("subj", "pred", "obj", "conv_id", "turn_idx"),
+) -> DataFrame:
+    """Snapshot diff between two triple tables — the incremental-maintenance
+    primitive: after re-extracting a corpus (new gazetteer, new grammar,
+    changed turns), emit exactly what changed instead of rewriting the
+    graph. Multiset semantics: each side is aggregated to per-key
+    occurrence counts, so duplicate triples diff correctly.
+
+    Returns only differing keys: (*key_cols, n_old, n_new, change) with
+    change ∈ {'added', 'removed', 'count_changed'}.
+
+    Scale shape: one keyed aggregate per side (map-side combine) + one
+    full-outer sort-merge join, all on the triple key — no broadcast of
+    either snapshot, no driver state; AQE skew-join covers hot keys.
+    """
+    keys = list(key_cols)
+    o = old.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_old"))
+    n = new.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_new"))
+    j = o.join(n, keys, "full")
+    n_old = F.coalesce("n_old", F.lit(0).cast("long"))
+    n_new = F.coalesce("n_new", F.lit(0).cast("long"))
+    change = (
+        F.when(n_old == 0, F.lit("added"))
+        .when(n_new == 0, F.lit("removed"))
+        .otherwise(F.lit("count_changed"))
+    )
+    return (
+        j.where(n_old != n_new)
+        .select(*keys, n_old.alias("n_old"), n_new.alias("n_new"),
+                change.alias("change"))
+    )
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:

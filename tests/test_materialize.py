@@ -120,3 +120,32 @@ def test_table_sink_fallback_requires_out_dir(spark):
 
     with pytest.raises(ValueError):
         TableSink(spark, out_dir=None, table_prefix="cat.db.kg")
+
+
+def test_triple_delta_multiset_semantics(spark):
+    from kgpipe.materialize import triple_delta
+
+    schema = "subj string, pred string, obj string, conv_id string, turn_idx int"
+    old = spark.createDataFrame(
+        [
+            ("a", "p", "x", "c1", 0),               # unchanged
+            ("b", "p", "x", "c1", 1),               # removed
+            ("d", "p", "x", "c1", 3),               # count 2 -> 1
+            ("d", "p", "x", "c1", 3),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", "p", "x", "c1", 0),               # unchanged
+            ("c", "p", "x", "c1", 2),               # added
+            ("d", "p", "x", "c1", 3),               # count 2 -> 1
+        ],
+        schema,
+    )
+    got = {r.subj: (r.n_old, r.n_new, r.change) for r in triple_delta(old, new).collect()}
+    assert got == {
+        "b": (1, 0, "removed"),
+        "c": (0, 1, "added"),
+        "d": (2, 1, "count_changed"),
+    }
