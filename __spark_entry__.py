@@ -302,6 +302,18 @@ def _q_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True).select(*_TRIPLE_COLS)
 
 
+def _q_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's end product: deduplicated per-patient
+    (chemo, tlink, normed_timex) timeline tuples with evidence counts
+    (pipeline.summarized_timelines)."""
+    from kgpipe.pipeline import summarized_timelines
+
+    t = derive_transcripts(spark, sf_dir)
+    return summarized_timelines(
+        build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True)
+    )
+
+
 def _q_triple_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (materialize.triple_delta): 'old' = triples extracted
     from the even turns, 'new' = triples from turns not divisible by 3 —
@@ -916,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dtr": _q_dtr,
         "kg_confidence": _q_confidence,
         "kg_tsv_view": _q_tsv_view,
+        "kg_timelines": _q_timelines,
         "kg_anafora": _q_anafora,
         "kg_conmod": _q_conmod,
         "kg_timeline_summary": _q_timeline_summary,
@@ -2271,6 +2284,18 @@ JOIN t_ext x ON x.conv_id = a.conv_id AND x.turn_idx = a.turn_idx
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
         # snapshot diff (materialize.triple_delta twin): per-key occurrence
         # counts on each side, full-outer join, differing keys only
+        # summarized per-patient timelines: deduplicated 4-tuples over the
+        # scored pairs (pipeline.summarized_timelines twin)
+        "kg_timelines": f"""
+WITH {_MENTIONS}, {_TLINK}
+SELECT conv_id AS patient_id, lower(subj_text) AS chemo_text,
+       regexp_replace(pred, '^tlink:', '') AS tlink,
+       obj_text AS normed_timex,
+       COUNT(*) AS n_evidence,
+       MIN(strftime(anchor_date, '%Y-%m-%d')) AS first_dct,
+       MAX(strftime(anchor_date, '%Y-%m-%d')) AS last_dct
+FROM tl GROUP BY ALL
+""",
         "kg_triple_delta": f"""
 WITH {_MENTIONS}, {_TLINK}, {_ATTRIB}, {_ENTITY},
 allt AS MATERIALIZED (

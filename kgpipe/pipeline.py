@@ -47,7 +47,12 @@ from .graph import (
 )
 from .pair import fused_triples, pair_window, tlink_triples_from_pairs
 
-__all__ = ["build_annotations", "build_triples", "build_graph"]
+__all__ = [
+    "build_annotations",
+    "build_triples",
+    "build_graph",
+    "summarized_timelines",
+]
 
 
 def build_annotations(
@@ -160,6 +165,38 @@ def build_graph(
     edges = cross_turn_event_edges(tables["mentions"], cfg)
     nodes = canonical_nodes(tables["mentions"])
     return {"triples": triples, "edges": edges, "nodes": nodes, **tables}
+
+
+def summarized_timelines(triples: DataFrame) -> DataFrame:
+    """The reference's END PRODUCT: per-patient summarized timelines.
+
+    The unsummarized TSV (triples_output_view) carries one row per scored
+    (mention, timex) pair; the shared task's deliverable is the
+    DEDUPLICATED (patient, chemo, tlink, normed_timex) tuple set
+    (/root/reference/README.md:17-19,40 — "summarized gold timelines";
+    the reference delegates this dedup to an external consumer of its
+    annotation ids, timeline_delegator.py:468-477 — here it is a
+    first-class operator). ``n_evidence`` counts the supporting pairs and
+    ``first_dct``/``last_dct`` bound the provenance dates.
+
+    One hash aggregate keyed on the 4-tuple; lower-cased chemo surface so
+    casing variants of one mention collapse, mirroring the gold files'
+    normalized surfaces.
+    """
+    return (
+        triples.where(F.col("pred").startswith("tlink:"))
+        .groupBy(
+            F.col("conv_id").alias("patient_id"),
+            F.lower("subj_text").alias("chemo_text"),
+            F.regexp_replace("pred", "^tlink:", "").alias("tlink"),
+            F.col("obj_text").alias("normed_timex"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_evidence"),
+            F.min(F.date_format("anchor_date", "yyyy-MM-dd")).alias("first_dct"),
+            F.max(F.date_format("anchor_date", "yyyy-MM-dd")).alias("last_dct"),
+        )
+    )
 
 
 def triples_output_view(triples: DataFrame) -> DataFrame:
