@@ -115,6 +115,12 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             r"\b(?:at\s+)?(\d{1,2})(?::(\d{2}))?\s*([ap])\.?m\.?\b", re.I
         ),
     ),
+    # noon (en.grammar:212, HOUR_OF_DAY 12) and its natural sibling
+    # midnight -> anchored clock values
+    (
+        "noon_midnight",
+        re.compile(r"\b(?:at\s+)?(noon|midday|midnight)\b", re.I),
+    ),
     # quarters — the reference's timenorm emits YYYY-QN TimeML values and
     # its W7 heuristic special-cases quarter granularity (TEP.scala:219-251)
     (
@@ -246,6 +252,7 @@ _QUICK_KEYS = {
     "in_n": ("in",),
     "day_offset": ("day before", "day after"),
     "clock_time": "digit",
+    "noon_midnight": ("noon", "midday", "midnight"),
     # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
     # extends 3 words left of its first digit
     "quarter_year": ("quarter", "q1", "q2", "q3", "q4"),
@@ -579,6 +586,10 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             else:
                 h24 = 0 if hour == 12 else hour
             return f"{anchor.isoformat()}T{h24:02d}:{minute:02d}"
+        if kind == "noon_midnight":
+            m = re.search(r"(noon|midday|midnight)", s, re.I)
+            hm = "12:00" if m.group(1).lower() in ("noon", "midday") else "00:00"
+            return f"{anchor.isoformat()}T{hm}"
         if kind == "rel_weekday":
             m = re.match(rf"(last|next)\s+({_WEEKDAY_ALT})", s, re.I)
             target = _WEEKDAYS[m.group(2).lower()]

@@ -351,3 +351,16 @@ def test_modifier_without_inner_timex_not_detected():
     # "early bird" has no inner expression -> no span at all
     det = detect_timexes("the early bird gets the worm")
     assert det == []
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        ("at noon", "2024-03-15T12:00"),       # en.grammar:212 HOUR_OF_DAY 12
+        ("noon", "2024-03-15T12:00"),
+        ("midday", "2024-03-15T12:00"),
+        ("midnight", "2024-03-15T00:00"),
+    ],
+)
+def test_noon_midnight_values(surface, expected):
+    assert _norm(surface) == expected
