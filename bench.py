@@ -145,17 +145,19 @@ def run_default() -> None:
         "turns_per_sec": round(turns / fused_sec, 1),
         "cpus": CPUS,
         # two-cluster-size evidence (north rule). NOT measured by this
-        # invocation: a static record of the 2026-08-16 `--scaling` run on
-        # this sandbox (full protocol + table in BASELINE.md); rerun
-        # `python bench.py --scaling` to measure on the current machine.
+        # invocation: a static record of the 2026-08-17 `--scaling` run on
+        # this sandbox (full protocol + per-round table in BASELINE.md);
+        # rerun `python bench.py --scaling` to measure on the current
+        # machine.
         "scaling_reference": {
             "measured_by_this_run": False,
-            # round-2 measurement (protocol + r1 figures in BASELINE.md)
-            "efficiency_4_to_16_cores": 0.906,
+            # round-3 measurement (r1/r2 figures in BASELINE.md)
+            "efficiency_4_to_16_cores": 0.937,
+            "efficiency_4_to_16_cores_round2": 0.906,
             "efficiency_4_to_16_cores_round1": 0.881,
-            "turns_per_sec_local4": 10711,
-            "turns_per_sec_local16": 38812,
-            "measured_on": "2026-08-16 sandbox",
+            "turns_per_sec_local4": 8996,
+            "turns_per_sec_local16": 33734,
+            "measured_on": "2026-08-17 sandbox",
             "reproduce": "python bench.py --scaling",
         },
     }
