@@ -59,6 +59,13 @@ def main(argv=None) -> int:
         "(unsummarized_output.tsv analog) under <output>/tsv",
     )
     p.add_argument(
+        "--timelines", action="store_true",
+        help="also write the SUMMARIZED per-patient timelines (the shared "
+        "task's graded deliverable: deduplicated chemo/tlink/timex tuples "
+        "with evidence counts) under <output>/timelines, one directory "
+        "per patient",
+    )
+    p.add_argument(
         "--graph", action="store_true",
         help="also materialize cross-turn edges + canonical entity nodes "
         "under <output>/edges and <output>/nodes",
@@ -149,6 +156,26 @@ def main(argv=None) -> int:
             .csv(tsv_path)
         )
         extras["tsv"] = tsv_path
+    if args.timelines:
+        import os
+
+        from .materialize import TableSink
+        from .pipeline import summarized_timelines
+
+        sink = TableSink(
+            spark, out_dir=args.output, table_prefix=args.iceberg_table_prefix
+        )
+        tl_path = os.path.join(args.output, "timelines")
+        (
+            summarized_timelines(sink.read("triples"))
+            .withColumn("pid", F.col("patient_id"))
+            .write.mode("overwrite")
+            .partitionBy("pid")
+            .option("sep", "\t")
+            .option("header", True)
+            .csv(tl_path)
+        )
+        extras["timelines"] = tl_path
     if args.graph or args.anafora:
         import os
 
