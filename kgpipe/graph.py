@@ -446,7 +446,13 @@ def connected_components(edges: DataFrame, *, rounds: int = 6) -> DataFrame:
     Scale shape: per round, one shuffle keyed on node for the neighbor-min
     aggregate and one self-join on the label — the standard distributed CC;
     no driver-side state, no collect. localCheckpoint per round keeps the
-    unrolled plan linear (same rationale as pagerank).
+    unrolled plan linear (same rationale as pagerank). Skew: the
+    neighbor-min aggregate partially combines map-side (hub nodes are
+    safe); the shortcut join's key distribution concentrates onto component
+    labels as convergence approaches — a giant component makes its label a
+    hot key, which AQE's skew-join (on by default in kgpipe.session)
+    splits; the matching build side is a single row per label, so the
+    split replicates almost nothing.
 
     Returns (node, component, component_size).
     """

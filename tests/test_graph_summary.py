@@ -267,3 +267,39 @@ def test_components_self_loop_singleton(spark):
     got = _cc(spark, [("a", "a"), ("b", "c")])
     assert got["a"] == ("a", 1)
     assert got["b"] == ("b", 2) and got["c"] == ("b", 2)
+
+
+def test_components_differential_union_find(spark):
+    """Differential: the distributed CC must agree with a trivial
+    union-find on pseudo-random graphs (including ones with multiple
+    mid-size components and isolated chains)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30 + 10 * trial
+        edges = [
+            (f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}")
+            for _ in range(n)
+        ]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        want = {v: find(v) for v in parent}
+        # path compression settles after unions: take the final roots
+        want = {v: find(v) for v in parent}
+        got = _cc(spark, edges)
+        assert {v: c for v, (c, _) in got.items()} == want, f"trial {trial}"

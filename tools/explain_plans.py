@@ -249,6 +249,50 @@ def main() -> int:
          "rows; the q-points dim is broadcast"],
     ))
 
+    # 10. snapshot triple delta: keyed aggregates + one full-outer SMJ ------
+    from kgpipe.materialize import triple_delta
+
+    trip = fused.select("subj", "pred", "obj", "conv_id", "turn_idx")
+    old_t = trip.where(F.col("turn_idx") % 2 == 0)
+    new_t = trip.where(F.col("turn_idx") % 3 != 0)
+    p = plan_of(triple_delta(old_t, new_t))
+    keyed = keyed_exchange_args(p)
+    assert keyed, "triple_delta should shuffle on the triple key"
+    for ln in keyed:
+        assert "subj" in ln and "conv_id" in ln, (
+            f"delta exchange not keyed on the triple key: {ln}"
+        )
+    assert "FullOuter" in p, "triple_delta must be a full-outer join"
+    sections.append((
+        "snapshot triple delta (triple_delta)",
+        p,
+        [f"hash exchanges: {len(keyed)}, all on the full triple key — one "
+         "partially-combined aggregate per snapshot + a full-outer "
+         "sort-merge join; neither snapshot is broadcast or collected"],
+    ))
+
+    # 11. summarized timelines: one partially-combined aggregate ------------
+    from kgpipe.pipeline import summarized_timelines
+
+    p = plan_of(summarized_timelines(fused))
+    keyed = keyed_exchange_args(p)
+    assert len(keyed) == 1, f"timelines should need exactly one exchange: {keyed}"
+    # computed group keys (lower(subj_text), regexp_replace(pred)) surface
+    # as _groupingexpression attrs; conv_id/obj_text keep their names
+    assert "conv_id" in keyed[0] and "obj_text" in keyed[0], keyed[0]
+    # two aggregate nodes = partial (map-side) + final; Spark picks
+    # SortAggregate here (string min/max), HashAggregate elsewhere
+    assert len(re.findall(r"\(\d+\) (?:Hash|Sort)Aggregate", p)) >= 2, (
+        "expected partial + final aggregate nodes"
+    )
+    sections.append((
+        "summarized per-patient timelines (summarized_timelines)",
+        p,
+        ["one hash exchange on the (patient, chemo, tlink, timex) group "
+         "key, map-side partial aggregation ahead of it — the dedup the "
+         "reference delegates to an external consumer, distributed"],
+    ))
+
     print("ALL PLAN ASSERTIONS PASS")
     if write:
         out = ["# PLANS — physical-plan audit (tools/explain_plans.py)\n"]
