@@ -314,6 +314,16 @@ def _q_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples export (pipeline.ntriples_view): whole-stage-codegen
+    string serialization of every triple; attribution objects are escaped
+    literals, everything else urn ids."""
+    from kgpipe.pipeline import ntriples_view
+
+    t = derive_transcripts(spark, sf_dir)
+    return ntriples_view(build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True))
+
+
 def _q_triple_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (materialize.triple_delta): 'old' = triples extracted
     from the even turns, 'new' = triples from turns not divisible by 3 —
@@ -920,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_all": _q_triples_all,
         "kg_triples_fused": _q_triples_fused,
         "kg_triple_delta": _q_triple_delta,
+        "kg_ntriples": _q_ntriples,
         "kg_streaming_ingest": _q_streaming_ingest,
         "kg_streaming_state": _q_streaming_state,
         "kg_windowed_counts": _q_windowed_counts,
@@ -2282,6 +2293,22 @@ JOIN t_ext x ON x.conv_id = a.conv_id AND x.turn_idx = a.turn_idx
 """,
         "kg_triples_all": _ORACLE_TRIPLES_ALL,
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
+        # N-Triples serialization twin: literal objects for the attribution
+        # predicates (escaped \ then "), urn ids otherwise
+        "kg_ntriples": f"""
+WITH {_MENTIONS}, {_TLINK}, {_ATTRIB}, {_ENTITY},
+allt AS (
+  SELECT subj, pred, obj, conv_id FROM attrib
+  UNION ALL SELECT subj, pred, obj, conv_id FROM entity
+  UNION ALL SELECT subj, pred, obj, conv_id FROM tl
+)
+SELECT conv_id,
+       '<urn:kg:id:' || subj || '> <urn:kg:pred:' || pred || '> ' ||
+       CASE WHEN pred IN ('speaker-attribution', 'tool-invocation')
+            THEN '"' || replace(replace(obj, '\\', '\\\\'), '"', '\\"') || '"'
+            ELSE '<urn:kg:id:' || obj || '>' END || ' .' AS ntriple
+FROM allt
+""",
         # snapshot diff (materialize.triple_delta twin): per-key occurrence
         # counts on each side, full-outer join, differing keys only
         # summarized per-patient timelines: deduplicated 4-tuples over the

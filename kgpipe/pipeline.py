@@ -52,6 +52,7 @@ __all__ = [
     "build_triples",
     "build_graph",
     "summarized_timelines",
+    "ntriples_view",
 ]
 
 
@@ -165,6 +166,43 @@ def build_graph(
     edges = cross_turn_event_edges(tables["mentions"], cfg)
     nodes = canonical_nodes(tables["mentions"])
     return {"triples": triples, "edges": edges, "nodes": nodes, **tables}
+
+
+_NT_LITERAL_PREDS = ("speaker-attribution", "tool-invocation")
+
+
+def ntriples_view(triples: DataFrame) -> DataFrame:
+    """RDF N-Triples serialization of the triple table — the
+    standards-facing KG export (the Anafora XML sink's graph-world
+    sibling). One output column ``ntriple`` per input row, plus the
+    conv_id for partitioned writes.
+
+    Mapping (documented spec): subjects and predicates live under a
+    ``urn:kg:`` namespace; objects of the attribution predicates
+    (speaker/tool) are string literals with N-Triples escaping (backslash
+    then quote), every other object is an id -> URI. Pure JVM string
+    algebra (concat/regexp_replace), zero UDFs — serialization stays in
+    whole-stage codegen and scales with the scan.
+    """
+    esc = F.replace(
+        F.replace(F.col("obj"), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'), F.lit('\\"'),
+    )
+    obj_term = (
+        F.when(
+            F.col("pred").isin(*_NT_LITERAL_PREDS),
+            F.concat(F.lit('"'), esc, F.lit('"')),
+        )
+        .otherwise(F.concat(F.lit("<urn:kg:id:"), F.col("obj"), F.lit(">")))
+    )
+    return triples.select(
+        "conv_id",
+        F.concat(
+            F.lit("<urn:kg:id:"), F.col("subj"), F.lit("> "),
+            F.lit("<urn:kg:pred:"), F.col("pred"), F.lit("> "),
+            obj_term, F.lit(" ."),
+        ).alias("ntriple"),
+    )
 
 
 def summarized_timelines(triples: DataFrame) -> DataFrame:

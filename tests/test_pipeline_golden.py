@@ -131,3 +131,19 @@ def test_empty_and_degenerate_inputs(spark, gazetteer, blacklist):
     empty = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
     assert build_triples(empty, gazetteer, blacklist, PipelineConfig(), fused=False).count() == 0
     assert build_triples(empty, gazetteer, blacklist, PipelineConfig(), fused=True).count() == 0
+
+
+def test_ntriples_serialization_and_escaping(spark):
+    from kgpipe.pipeline import ntriples_view
+
+    rows = [
+        ("m1", "entity-mention", "C101", "c1"),
+        ("t1", "speaker-attribution", 'he said "hi" \\ bye', "c1"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string, conv_id string")
+    got = sorted(r.ntriple for r in ntriples_view(t).collect())
+    assert got == [
+        '<urn:kg:id:m1> <urn:kg:pred:entity-mention> <urn:kg:id:C101> .',
+        '<urn:kg:id:t1> <urn:kg:pred:speaker-attribution> '
+        '"he said \\"hi\\" \\\\ bye" .',
+    ]
