@@ -66,6 +66,11 @@ def main(argv=None) -> int:
         "per patient",
     )
     p.add_argument(
+        "--ntriples", action="store_true",
+        help="also write the triples as RDF N-Triples text under "
+        "<output>/ntriples (partitioned by conv_id bucket)",
+    )
+    p.add_argument(
         "--graph", action="store_true",
         help="also materialize cross-turn edges + canonical entity nodes "
         "under <output>/edges and <output>/nodes",
@@ -176,6 +181,23 @@ def main(argv=None) -> int:
             .csv(tl_path)
         )
         extras["timelines"] = tl_path
+    if args.ntriples:
+        import os
+
+        from .materialize import TableSink
+        from .pipeline import ntriples_view
+
+        sink = TableSink(
+            spark, out_dir=args.output, table_prefix=args.iceberg_table_prefix
+        )
+        nt_path = os.path.join(args.output, "ntriples")
+        (
+            ntriples_view(sink.read("triples"))
+            .select("ntriple")
+            .write.mode("overwrite")
+            .text(nt_path)
+        )
+        extras["ntriples"] = nt_path
     if args.graph or args.anafora:
         import os
 
