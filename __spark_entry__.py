@@ -314,6 +314,15 @@ def _q_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG QA (graph.tlink_conflicts): (term, normed timex) pairs asserted
+    with more than one distinct temporal label across the corpus."""
+    from kgpipe.graph import tlink_conflicts
+
+    t = derive_transcripts(spark, sf_dir)
+    return tlink_conflicts(build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True))
+
+
 def _q_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF N-Triples export (pipeline.ntriples_view): whole-stage-codegen
     string serialization of every triple; attribution objects are escaped
@@ -931,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_fused": _q_triples_fused,
         "kg_triple_delta": _q_triple_delta,
         "kg_ntriples": _q_ntriples,
+        "kg_conflicts": _q_conflicts,
         "kg_streaming_ingest": _q_streaming_ingest,
         "kg_streaming_state": _q_streaming_state,
         "kg_windowed_counts": _q_windowed_counts,
@@ -2293,6 +2303,18 @@ JOIN t_ext x ON x.conv_id = a.conv_id AND x.turn_idx = a.turn_idx
 """,
         "kg_triples_all": _ORACLE_TRIPLES_ALL,
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
+        # conflicting-label audit twin (graph.tlink_conflicts)
+        "kg_conflicts": f"""
+WITH {_MENTIONS}, {_TLINK}
+SELECT subj_text AS term, obj_text AS normed,
+       CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_labels,
+       array_to_string(list_sort(list_distinct(
+           list(regexp_replace(pred, '^tlink:', '')))), ',') AS labels,
+       COUNT(*) AS n_assertions
+FROM tl
+GROUP BY subj_text, obj_text
+HAVING COUNT(DISTINCT pred) > 1
+""",
         # N-Triples serialization twin: literal objects for the attribution
         # predicates (escaped \ then "), urn ids otherwise
         "kg_ntriples": f"""

@@ -37,6 +37,7 @@ __all__ = [
     "triangle_count",
     "running_entity_counts",
     "connected_components",
+    "tlink_conflicts",
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -424,6 +425,40 @@ def pagerank(
         # whole prefix per iteration)
         pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def tlink_conflicts(triples: DataFrame) -> DataFrame:
+    """KG quality audit: (entity surface, normalized timex) pairs the corpus
+    asserts with MORE THAN ONE distinct temporal label — e.g. the same
+    (drug, date) tagged both 'before' and 'after' in different turns. Real
+    timelines treat these as review queues; the reference has no automated
+    counterpart (its conflicts surface only in the shared-task error
+    analysis).
+
+    One hash aggregate keyed on the (term, normed) pair with map-side
+    partial aggregation; the distinct-label set is bounded by the label
+    vocabulary (10), so collect_set state is O(1) per group.
+
+    Returns (term, normed, n_labels, labels, n_assertions).
+    """
+    t = triples.where(F.col("pred").startswith("tlink:"))
+    return (
+        t.groupBy(
+            F.col("subj_text").alias("term"),
+            F.col("obj_text").alias("normed"),
+        )
+        .agg(
+            F.countDistinct("pred").alias("n_labels"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_set(F.regexp_replace("pred", "^tlink:", ""))
+                ),
+                ",",
+            ).alias("labels"),
+            F.count(F.lit(1)).alias("n_assertions"),
+        )
+        .where(F.col("n_labels") > 1)
+    )
 
 
 def connected_components(edges: DataFrame, *, rounds: int = 6) -> DataFrame:

@@ -208,13 +208,21 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # following/preceding are next/last synonyms (en.grammar:404,428-431:
+    # "preceding [Period]" EndAtStartOf, "following [Period]" StartAtEndOf)
     (
         "rel_unit",
-        re.compile(r"\b(last|next|this)\s+(week|month|year|quarter)\b", re.I),
+        re.compile(
+            r"\b(?:the\s+)?(last|next|this|following|preceding)\s+"
+            r"(day|week|month|year|quarter)\b",
+            re.I,
+        ),
     ),
     (
         "rel_weekday",
-        re.compile(rf"\b(last|next)\s+({_WEEKDAY_ALT})\b", re.I),
+        re.compile(
+            rf"\b(last|next|following|preceding)\s+({_WEEKDAY_ALT})\b", re.I
+        ),
     ),
     # bare weekday — ambiguous between the previous and next occurrence;
     # resolved by W7 distance-to-anchor (see normalize_timex). Listed after
@@ -269,8 +277,8 @@ _QUICK_KEYS = {
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
     "period_set": ("every", "daily", "weekly", "monthly", "yearly", "annually"),
-    "rel_unit": ("last", "next", "this"),
-    "rel_weekday": ("last", "next"),
+    "rel_unit": ("last", "next", "this", "following", "preceding"),
+    "rel_weekday": ("last", "next", "following", "preceding"),
     "weekday": (
         "monday", "tuesday", "wednesday", "thursday",
         "friday", "saturday", "sunday",
@@ -529,10 +537,17 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return _fmt_week(anchor + dt.timedelta(days=7 * delta)) + "-WE"
         if kind == "rel_unit":
             m = re.match(
-                r"(last|next|this)\s+(week|month|year|quarter)", s, re.I
+                r"(?:the\s+)?(last|next|this|following|preceding)\s+"
+                r"(day|week|month|year|quarter)",
+                s, re.I,
             )
-            direction = {"last": -1, "next": 1, "this": 0}[m.group(1).lower()]
+            direction = {
+                "last": -1, "next": 1, "this": 0,
+                "following": 1, "preceding": -1,
+            }[m.group(1).lower()]
             unit = m.group(2).lower()
+            if unit == "day":
+                return _fmt_day(anchor + dt.timedelta(days=direction))
             if unit == "week":
                 return _fmt_week(anchor + dt.timedelta(days=7 * direction))
             if unit == "month":
@@ -591,9 +606,11 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             hm = "12:00" if m.group(1).lower() in ("noon", "midday") else "00:00"
             return f"{anchor.isoformat()}T{hm}"
         if kind == "rel_weekday":
-            m = re.match(rf"(last|next)\s+({_WEEKDAY_ALT})", s, re.I)
+            m = re.match(
+                rf"(last|next|following|preceding)\s+({_WEEKDAY_ALT})", s, re.I
+            )
             target = _WEEKDAYS[m.group(2).lower()]
-            if m.group(1).lower() == "last":
+            if m.group(1).lower() in ("last", "preceding"):
                 # latest such weekday strictly before the anchor
                 back = (anchor.weekday() - target - 1) % 7 + 1
                 return _fmt_day(anchor - dt.timedelta(days=back))

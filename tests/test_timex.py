@@ -364,3 +364,21 @@ def test_modifier_without_inner_timex_not_detected():
 )
 def test_noon_midnight_values(surface, expected):
     assert _norm(surface) == expected
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # en.grammar:404,428-431 — following/preceding as next/last
+        ("the following week", "2024-W12"),
+        ("the preceding month", "2024-02"),
+        ("following year", "2025"),
+        ("preceding quarter", "2023-Q4"),
+        ("the following day", "2024-03-16"),
+        ("the preceding day", "2024-03-14"),
+        ("following monday", "2024-03-18"),
+        ("preceding friday", "2024-03-08"),  # anchor IS a Friday: strictly before
+    ],
+)
+def test_following_preceding_values(surface, expected):
+    assert _norm(surface) == expected
