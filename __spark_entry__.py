@@ -698,6 +698,21 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with tf + df (textops.vocabulary), min_count=2."""
+    from kgpipe.textops import vocabulary
+
+    return vocabulary(_documents(spark, sf_dir), min_count=2)
+
+
+def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sequence packing (textops.pack_documents): bucket-local
+    contiguous token-budget bins, integer arithmetic throughout."""
+    from kgpipe.textops import pack_documents
+
+    return pack_documents(_documents(spark, sf_dir), capacity=64, n_buckets=8)
+
+
 def _q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (textops.stratified_sample): keep
     50% of 'en', 20% of everything else, by portable-hash thresholding on
@@ -975,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
+        "text_vocab": _q_vocab,
+        "text_pack": _q_pack,
         "text_sample_stratified": _q_text_sample,
         "text_length_quantiles": _q_length_quantiles,
         "kg_cooccur": _q_cooccur,
@@ -2579,6 +2596,34 @@ LEFT JOIN sizes s ON s.label = l.label
         "text_langid": _langid_oracle(),
         "text_token_stats": _ORACLE_TOKEN_STATS,
         "text_fingerprint": _ORACLE_FINGERPRINT,
+        # vocabulary twin: tf + df per space token, min_count=2
+        "text_vocab": """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks WHERE token <> ''
+GROUP BY token HAVING COUNT(*) >= 2
+""",
+        # sequence-packing twin: bucket = portable_hash(doc_id) % 8,
+        # bin = exclusive-prefix-token-sum DIV 64 within bucket by doc_id
+        "text_pack": f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST({_ph("CAST(doc_id AS VARCHAR)", 11)} % 8 AS INT) AS bucket
+  FROM documents
+),
+o AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY bucket ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset
+  FROM d
+)
+SELECT bucket, start_offset // 64 AS bin, doc_id, n_tokens, start_offset
+FROM o
+""",
         # stratified sampling: the same md5-prefix hash threshold, en=500‰,
         # default 200‰ (textops.stratified_sample twin)
         "text_sample_stratified": f"""

@@ -38,6 +38,8 @@ __all__ = [
     "token_stats",
     "doc_fingerprint",
     "dedup_clusters",
+    "vocabulary",
+    "pack_documents",
     "stratified_sample",
     "length_quantiles",
     "tfidf_top_terms",
@@ -403,6 +405,82 @@ def token_stats(documents: DataFrame) -> DataFrame:
             "bpe_ish_tokens"
         ),
         F.length("text").alias("n_chars"),
+    )
+
+
+def vocabulary(documents: DataFrame, *, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary — THE canonical tokenizer-training /
+    dataset-statistics aggregation: per space-token term frequency (tf)
+    and document frequency (df).
+
+    Shape: explode -> one hash aggregate keyed on token. tf partially
+    combines map-side; df counts distinct doc_ids, so hot tokens ship
+    their (token, doc_id) pairs through the exchange — bounded by distinct
+    (token, doc) pairs, the same bound as any df computation. ``min_count``
+    prunes the long tail AFTER aggregation (the filter is on aggregated
+    rows, so it cannot change the shuffle size — document df-cut before
+    the shuffle is what sampling is for).
+
+    Returns (token, tf, df).
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .where(F.col("tf") >= min_count)
+    )
+
+
+def pack_documents(
+    documents: DataFrame,
+    *,
+    capacity: int = 512,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Distributed sequence packing — group documents into fixed
+    token-budget bins for LLM training batches. Global greedy packing is
+    inherently sequential, so the scalable spec (and what production
+    packers actually do) is bucket-local: docs land in
+    ``pmod(portable_hash(doc_id), n_buckets)`` buckets, and within a
+    bucket (ordered by doc_id) bin = floor(exclusive-prefix-tokens /
+    capacity). Contiguous-prefix binning means a bin can overflow by at
+    most one document's tokens — the documented tradeoff vs exact
+    first-fit, in exchange for a one-window distributed plan.
+
+    One window exchange keyed on bucket; every step is integer arithmetic
+    on deterministic hashes, so the DuckDB oracle replays it exactly.
+
+    Returns (bucket, bin, doc_id, n_tokens, start_offset).
+    """
+    from pyspark.sql import Window
+
+    d = documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (F.pmod(_portable_hash(F.col("doc_id").cast("string"), 11),
+                F.lit(n_buckets))).cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "bucket",
+        F.col("doc_id"),
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")).alias(
+            "start_offset"
+        ),
+    ).select(
+        "bucket",
+        F.expr(f"start_offset DIV {int(capacity)}").alias("bin"),
+        "doc_id", "n_tokens", "start_offset",
     )
 
 

@@ -250,3 +250,39 @@ def test_dedup_clusters_transitive_and_singletons(docs, spark):
     # unrelated docs are their own singleton canonical cluster
     assert got[3] == (3, 1, True)
     assert got[4] == (4, 1, True)
+
+
+def test_vocabulary_tf_df_and_min_count(spark):
+    from kgpipe.textops import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.token: (r.tf, r.df) for r in vocabulary(docs).collect()}
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+    got2 = {r.token: (r.tf, r.df) for r in vocabulary(docs, min_count=2).collect()}
+    assert got2 == {"a": (3, 2)}
+
+
+def test_pack_documents_contiguous_bins(spark):
+    from kgpipe.textops import pack_documents
+
+    # one bucket (n_buckets=1) makes the packing globally sequential:
+    # capacity 5, doc token counts 3,3,4 by doc_id order ->
+    # offsets 0,3,6 -> bins 0,0,1
+    docs = spark.createDataFrame(
+        [(1, "x x x"), (2, "y y y"), (3, "z z z z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.bin, r.start_offset, r.n_tokens)
+        for r in pack_documents(docs, capacity=5, n_buckets=1).collect()
+    }
+    assert got == {1: (0, 0, 3), 2: (0, 3, 3), 3: (1, 6, 4)}
+    # bucket assignment is a pure function of doc_id: stable across calls
+    a = sorted(map(tuple, pack_documents(docs, capacity=5, n_buckets=4)
+                   .select("doc_id", "bucket").collect()))
+    b = sorted(map(tuple, pack_documents(docs, capacity=5, n_buckets=4)
+                   .select("doc_id", "bucket").collect()))
+    assert a == b
