@@ -382,3 +382,19 @@ def test_noon_midnight_values(surface, expected):
 )
 def test_following_preceding_values(surface, expected):
     assert _norm(surface) == expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=120))
+def test_detect_normalize_total_on_arbitrary_text(s):
+    """Totality fuzz: detection yields well-formed non-overlapping spans and
+    normalization never raises on any detected span of arbitrary text."""
+    spans = detect_timexes(s)
+    prev_end = -1
+    for d in sorted(spans, key=lambda x: x["begin"]):
+        assert 0 <= d["begin"] < d["end"] <= len(s)
+        assert d["begin"] >= prev_end, "overlapping spans"
+        prev_end = d["end"]
+        assert s[d["begin"]:d["end"]] == d["surface"]
+        normalize_timex(d["surface"], d["kind"], ANCHOR)  # None ok, raise not
+        normalize_timex(d["surface"], d["kind"], None)
