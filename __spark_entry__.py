@@ -2403,10 +2403,13 @@ SELECT date_trunc('day', ts) AS window_start,
 FROM t WHERE ts IS NOT NULL GROUP BY 1, 2, 3
 """,
         # the dedup stream must reproduce the corpus exactly once despite
-        # the planted redelivery file
+        # the planted redelivery file; the ts IS NOT NULL mirrors
+        # dedup_turns' event-time prerequisite structurally (derived ts is
+        # never null today, but parity should not depend on that)
         "kg_stream_dedup": f"""
 WITH t AS ({_T})
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+WHERE ts IS NOT NULL
 """,
         "kg_prompt_response": f"""
 WITH t AS ({_T})

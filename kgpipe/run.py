@@ -131,20 +131,21 @@ def main(argv=None) -> int:
         table_prefix=args.iceberg_table_prefix,
     )
     extras = {}
-    if args.tsv:
+    if args.tsv or args.timelines or args.ntriples:
         import os
-
-        from .pipeline import triples_output_view
 
         # read back through the same sink abstraction the writer used —
         # with --iceberg-table-prefix the triples live in the catalog, not
         # under <output>/triples
-        from .materialize import TableSink
+        from .materialize import TableSink, with_bucket
 
         sink = TableSink(
             spark, out_dir=args.output, table_prefix=args.iceberg_table_prefix
         )
         triples = sink.read("triples")
+    if args.tsv:
+        from .pipeline import triples_output_view
+
         tsv_path = os.path.join(args.output, "tsv")
         # one TSV directory per patient/conversation id — the reference's
         # output contract is "one tsv file per patient identifier"
@@ -162,17 +163,11 @@ def main(argv=None) -> int:
         )
         extras["tsv"] = tsv_path
     if args.timelines:
-        import os
-
-        from .materialize import TableSink
         from .pipeline import summarized_timelines
 
-        sink = TableSink(
-            spark, out_dir=args.output, table_prefix=args.iceberg_table_prefix
-        )
         tl_path = os.path.join(args.output, "timelines")
         (
-            summarized_timelines(sink.read("triples"))
+            summarized_timelines(triples)
             .withColumn("pid", F.col("patient_id"))
             .write.mode("overwrite")
             .partitionBy("pid")
@@ -182,19 +177,14 @@ def main(argv=None) -> int:
         )
         extras["timelines"] = tl_path
     if args.ntriples:
-        import os
-
-        from .materialize import TableSink
         from .pipeline import ntriples_view
 
-        sink = TableSink(
-            spark, out_dir=args.output, table_prefix=args.iceberg_table_prefix
-        )
         nt_path = os.path.join(args.output, "ntriples")
         (
-            ntriples_view(sink.read("triples"))
-            .select("ntriple")
+            with_bucket(ntriples_view(triples), args.buckets)
+            .select("ntriple", "bucket")
             .write.mode("overwrite")
+            .partitionBy("bucket")
             .text(nt_path)
         )
         extras["ntriples"] = nt_path

@@ -196,9 +196,13 @@ def dedup_turns(
     the watermark window is dropped even when it lands in a LATER
     micro-batch (the cross-batch case the pytest pins); state for keys
     older than the watermark is evicted, so state size tracks the
-    watermark-window key count, not the stream's history. This is the
-    fourth streaming shape next to stateless ingest, keyed custom state,
-    and the watermarked windowed aggregate (SURVEY.md §2.9)."""
+    watermark-window key count, not the stream's history. Turns with a
+    NULL ts carry no event time and are excluded up front — the operator
+    requires one, so "equals the batch corpus" means the batch corpus
+    restricted to timestamped turns (the X3 ts-less fixture turns are out
+    of scope for the streaming path). This is the fourth streaming shape
+    next to stateless ingest, keyed custom state, and the watermarked
+    windowed aggregate (SURVEY.md §2.9)."""
     reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

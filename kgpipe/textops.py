@@ -586,7 +586,8 @@ def length_quantiles(documents: DataFrame, qs=(25, 50, 75, 90)) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = counts.withColumn("cum", F.sum("cnt").over(w))
-    totals = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # totals from the tiny pre-aggregate — not a second corpus scan
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("n_docs"))
     qdf = cum.join(totals, "lang").crossJoin(
         F.broadcast(
             documents.sparkSession.createDataFrame(
@@ -689,7 +690,10 @@ def curate_corpus(
         "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup")
     )
     near_ids = (
-        minhash_dup_pairs(documents)
+        # n=3/k=8/bands=4 is the banding every other caller AND the
+        # text_curate DuckDB oracle use — the default k=16 diverges from
+        # the oracle twin on borderline near-dups
+        minhash_dup_pairs(documents, n=3, k=8, bands=4)
         .where(F.col("n_bands_hit") >= nb_bands)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()

@@ -298,8 +298,7 @@ def test_components_differential_union_find(spark):
 
         for a, b in edges:
             union(a, b)
-        want = {v: find(v) for v in parent}
-        # path compression settles after unions: take the final roots
+        # path compression settles after all unions: take the final roots
         want = {v: find(v) for v in parent}
         got = _cc(spark, edges)
         assert {v: c for v, (c, _) in got.items()} == want, f"trial {trial}"
