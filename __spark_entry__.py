@@ -705,6 +705,14 @@ def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary(_documents(spark, sf_dir), min_count=2)
 
 
+def _q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic count-min sketch (textops.countmin_sketch): portable
+    hash functions make the whole sketch exactly replayable."""
+    from kgpipe.textops import countmin_sketch
+
+    return countmin_sketch(_documents(spark, sf_dir), depth=4, width=64)
+
+
 def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed sequence packing (textops.pack_documents): bucket-local
     contiguous token-budget bins, integer arithmetic throughout."""
@@ -991,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
         "text_vocab": _q_vocab,
+        "text_countmin": _q_countmin,
         "text_pack": _q_pack,
         "text_sample_stratified": _q_text_sample,
         "text_length_quantiles": _q_length_quantiles,
@@ -2607,6 +2616,20 @@ WITH toks AS (
 SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
 FROM toks WHERE token <> ''
 GROUP BY token HAVING COUNT(*) >= 2
+""",
+        # count-min sketch twin: same portable hashes, rows seeded 100+r
+        "text_countmin": f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+nz AS (SELECT token FROM toks WHERE token <> ''),
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {r} AS row, CAST({_ph('token', 100 + r)} % 64 AS INT) AS col FROM nz"
+      for r in range(4)
+  )}
+)
+SELECT row, col, COUNT(*) AS count FROM cells GROUP BY row, col
 """,
         # sequence-packing twin: bucket = portable_hash(doc_id) % 8,
         # bin = exclusive-prefix-token-sum DIV 64 within bucket by doc_id

@@ -39,6 +39,7 @@ __all__ = [
     "doc_fingerprint",
     "dedup_clusters",
     "vocabulary",
+    "countmin_sketch",
     "pack_documents",
     "stratified_sample",
     "length_quantiles",
@@ -405,6 +406,45 @@ def token_stats(documents: DataFrame) -> DataFrame:
             "bpe_ish_tokens"
         ),
         F.length("text").alias("n_chars"),
+    )
+
+
+def countmin_sketch(
+    documents: DataFrame, *, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch of the token stream — the streaming-friendly
+    frequency summary (heavy-hitter estimation in O(depth*width) space).
+    Built EXACTLY: the sketch is deterministic given its hash functions,
+    and ours are the portable md5-prefix hashes, so the full sketch
+    replays bit-for-bit in the SQL oracle — a sketch without giving up
+    the exact-oracle bar.
+
+    Shape: explode -> one hash aggregate keyed on (row, col); output
+    cardinality is depth*width regardless of corpus size, and the
+    map-side partial combine means the shuffle carries at most
+    depth*width rows per task. Estimate(token) = min over rows of
+    cell(row, hash_row(token) % width) — upward-biased only, the CM
+    guarantee.
+
+    Returns (row, col, count) for every non-empty cell.
+    """
+    toks = documents.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    per_row = [
+        toks.select(
+            F.lit(r).alias("row"),
+            (_portable_hash(F.col("token"), 100 + r) % width)
+            .cast("int")
+            .alias("col"),
+        )
+        for r in range(depth)
+    ]
+    allrows = per_row[0]
+    for df in per_row[1:]:
+        allrows = allrows.unionByName(df)
+    return allrows.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("count")
     )
 
 

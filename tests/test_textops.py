@@ -286,3 +286,33 @@ def test_pack_documents_contiguous_bins(spark):
     b = sorted(map(tuple, pack_documents(docs, capacity=5, n_buckets=4)
                    .select("doc_id", "bucket").collect()))
     assert a == b
+
+
+def test_countmin_sketch_exact_and_upward_biased(spark):
+    from kgpipe.textops import countmin_sketch, _portable_hash
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    cells = {
+        (r["row"], r["col"]): r["count"]  # r.count is Row.count, the method
+        for r in countmin_sketch(docs, depth=2, width=8).collect()
+    }
+    # total mass per row = total token count
+    for row in (0, 1):
+        assert sum(v for (r, _), v in cells.items() if r == row) == 6
+    # estimate(token) = min over rows >= true count (CM upward bias)
+    tok = spark.createDataFrame([("a",), ("b",), ("c",)], "token string")
+    probes = tok.select(
+        "token",
+        *[
+            (_portable_hash(F.col("token"), 100 + r) % 8)
+            .cast("int")
+            .alias(f"c{r}")
+            for r in (0, 1)
+        ],
+    ).collect()
+    true = {"a": 4, "b": 1, "c": 1}
+    for p in probes:
+        est = min(cells.get((0, p.c0), 0), cells.get((1, p.c1), 0))
+        assert est >= true[p.token]
