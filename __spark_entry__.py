@@ -314,6 +314,43 @@ def _q_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (SURVEY §2.4: Spark built-ins): triples per
+    (role, pred) with ROLLUP subtotals — grouping_id distinguishes the
+    aggregation levels exactly as DuckDB's."""
+    t = derive_transcripts(spark, sf_dir)
+    trip = build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True)
+    joined = trip.join(
+        t.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
+    )
+    return (
+        joined.rollup("role", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def _q_pred_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: per-conversation predicate-count matrix (fixed
+    predicate vocabulary -> explicit pivot columns; conditional aggregates
+    replay identically in SQL)."""
+    t = derive_transcripts(spark, sf_dir)
+    trip = build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True)
+    p = F.col("pred")
+    return trip.groupBy("conv_id").agg(
+        F.sum(F.when(p == "speaker-attribution", 1).otherwise(0))
+        .cast("bigint").alias("n_speaker"),
+        F.sum(F.when(p == "tool-invocation", 1).otherwise(0))
+        .cast("bigint").alias("n_tool"),
+        F.sum(F.when(p == "entity-mention", 1).otherwise(0))
+        .cast("bigint").alias("n_entity"),
+        F.sum(F.when(p.startswith("tlink:"), 1).otherwise(0))
+        .cast("bigint").alias("n_tlink"),
+    )
+
+
 def _q_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG QA (graph.tlink_conflicts): (term, normed timex) pairs asserted
     with more than one distinct temporal label across the corpus."""
@@ -964,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_delta": _q_triple_delta,
         "kg_ntriples": _q_ntriples,
         "kg_conflicts": _q_conflicts,
+        "kg_rollup": _q_rollup,
+        "kg_pred_matrix": _q_pred_matrix,
         "kg_streaming_ingest": _q_streaming_ingest,
         "kg_streaming_state": _q_streaming_state,
         "kg_windowed_counts": _q_windowed_counts,
@@ -2329,6 +2368,38 @@ JOIN t_ext x ON x.conv_id = a.conv_id AND x.turn_idx = a.turn_idx
 """,
         "kg_triples_all": _ORACLE_TRIPLES_ALL,
         "kg_triples_fused": _ORACLE_TRIPLES_ALL,
+        # ROLLUP twin: DuckDB GROUPING() bit order matches Spark's
+        # grouping_id() for the same column order
+        "kg_rollup": f"""
+WITH {_MENTIONS}, {_TLINK}, {_ATTRIB}, {_ENTITY},
+allt AS (
+  SELECT subj, pred, obj, conv_id, turn_idx FROM attrib
+  UNION ALL SELECT subj, pred, obj, conv_id, turn_idx FROM entity
+  UNION ALL SELECT subj, pred, obj, conv_id, turn_idx FROM tl
+),
+j AS (
+  SELECT a.pred, t.role FROM allt a
+  JOIN t ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx
+)
+SELECT role, pred, COUNT(*) AS n,
+       CAST(GROUPING(role) * 2 + GROUPING(pred) AS INT) AS gid
+FROM j GROUP BY ROLLUP (role, pred)
+""",
+        # pivot twin: conditional aggregates over the fixed pred vocabulary
+        "kg_pred_matrix": f"""
+WITH {_MENTIONS}, {_TLINK}, {_ATTRIB}, {_ENTITY},
+allt AS (
+  SELECT pred, conv_id FROM attrib
+  UNION ALL SELECT pred, conv_id FROM entity
+  UNION ALL SELECT pred, conv_id FROM tl
+)
+SELECT conv_id,
+       CAST(SUM(CASE WHEN pred = 'speaker-attribution' THEN 1 ELSE 0 END) AS BIGINT) AS n_speaker,
+       CAST(SUM(CASE WHEN pred = 'tool-invocation' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+       CAST(SUM(CASE WHEN pred = 'entity-mention' THEN 1 ELSE 0 END) AS BIGINT) AS n_entity,
+       CAST(SUM(CASE WHEN pred LIKE 'tlink:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_tlink
+FROM allt GROUP BY conv_id
+""",
         # conflicting-label audit twin (graph.tlink_conflicts)
         "kg_conflicts": f"""
 WITH {_MENTIONS}, {_TLINK}
