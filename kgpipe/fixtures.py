@@ -72,6 +72,11 @@ def _timex_surfaces(anchor: dt.date, rng: random.Random) -> List[str]:
         "the 19th century", "next weekend", "last weekend",
         f"early {d1.year}", "the mid 1990s", "late last year",
         f"around {d2.strftime('%B')} {d2.year}",
+        # round-3b: earlier/coming synonyms, month-of-relative-year,
+        # word decades, noon, following/preceding
+        "3 years earlier", "coming friday", "the coming week",
+        "january last year", "the nineties", "at noon",
+        "the following day", "the preceding month",
         "13/45/2020",  # fails calendar validation -> silently dropped
         rng.choice(_NOISE_TIMEX),
     ]

@@ -86,10 +86,28 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # "[Period] ago" and its synonym "[Period] earlier" (en.grammar:407-412)
     (
         "ago",
         re.compile(
-            rf"\b({_NUM_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\s+ago\b",
+            rf"\b({_NUM_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\s+(?:ago|earlier)\b",
+            re.I,
+        ),
+    ),
+    # "January last year" / "January next year" (en.grammar:416,434)
+    (
+        "month_rel_year",
+        re.compile(
+            rf"\b({_MONTH_ALT})\.?\s+(last|next|this)\s+year\b", re.I
+        ),
+    ),
+    # word decades: "the nineties" -> most recent such decade at or before
+    # the anchor (FindAtOrEarlier, en.grammar:453-460)
+    (
+        "word_decade",
+        re.compile(
+            r"\b(?:the\s+)?(twenties|thirties|forties|fifties|sixties"
+            r"|seventies|eighties|nineties)\b",
             re.I,
         ),
     ),
@@ -213,7 +231,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "rel_unit",
         re.compile(
-            r"\b(?:the\s+)?(last|next|this|following|preceding)\s+"
+            r"\b(?:the\s+)?(last|next|this|following|preceding|coming)\s+"
             r"(day|week|month|year|quarter)\b",
             re.I,
         ),
@@ -221,7 +239,8 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "rel_weekday",
         re.compile(
-            rf"\b(last|next|following|preceding)\s+({_WEEKDAY_ALT})\b", re.I
+            rf"\b(last|next|following|preceding|coming)\s+({_WEEKDAY_ALT})\b",
+            re.I,
         ),
     ),
     # bare weekday — ambiguous between the previous and next occurrence;
@@ -256,7 +275,12 @@ _QUICK_KEYS = {
     "month_year": "digit",
     "month_day": "digit",
     "holiday": ("christmas", "xmas", "halloween", "thanksgiving", "new year"),
-    "ago": ("ago",),
+    "ago": ("ago", "earlier"),
+    "month_rel_year": ("year",),
+    "word_decade": (
+        "twenties", "thirties", "forties", "fifties",
+        "sixties", "seventies", "eighties", "nineties",
+    ),
     "in_n": ("in",),
     "day_offset": ("day before", "day after"),
     "clock_time": "digit",
@@ -277,8 +301,8 @@ _QUICK_KEYS = {
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
     "period_set": ("every", "daily", "weekly", "monthly", "yearly", "annually"),
-    "rel_unit": ("last", "next", "this", "following", "preceding"),
-    "rel_weekday": ("last", "next", "following", "preceding"),
+    "rel_unit": ("last", "next", "this", "following", "preceding", "coming"),
+    "rel_weekday": ("last", "next", "following", "preceding", "coming"),
     "weekday": (
         "monday", "tuesday", "wednesday", "thursday",
         "friday", "saturday", "sunday",
@@ -537,13 +561,13 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return _fmt_week(anchor + dt.timedelta(days=7 * delta)) + "-WE"
         if kind == "rel_unit":
             m = re.match(
-                r"(?:the\s+)?(last|next|this|following|preceding)\s+"
+                r"(?:the\s+)?(last|next|this|following|preceding|coming)\s+"
                 r"(day|week|month|year|quarter)",
                 s, re.I,
             )
             direction = {
                 "last": -1, "next": 1, "this": 0,
-                "following": 1, "preceding": -1,
+                "following": 1, "preceding": -1, "coming": 1,
             }[m.group(1).lower()]
             unit = m.group(2).lower()
             if unit == "day":
@@ -601,13 +625,32 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             else:
                 h24 = 0 if hour == 12 else hour
             return f"{anchor.isoformat()}T{h24:02d}:{minute:02d}"
+        if kind == "month_rel_year":
+            # "January last year" (en.grammar:416,434)
+            m = re.match(
+                rf"({_MONTH_ALT})\.?\s+(last|next|this)\s+year", s, re.I
+            )
+            direction = {"last": -1, "next": 1, "this": 0}[m.group(2).lower()]
+            return _fmt_month(anchor.year + direction, _MONTHS[m.group(1).lower()])
+        if kind == "word_decade":
+            # most recent such decade at or before the anchor
+            # (FindAtOrEarlier, en.grammar:453-460)
+            m = re.search(
+                r"(twenties|thirties|forties|fifties|sixties|seventies"
+                r"|eighties|nineties)",
+                s, re.I,
+            )
+            d = _WORD_DECADES[m.group(1).lower()]
+            cc = 20 if anchor.year >= 2000 + d * 10 else 19
+            return f"{cc}{d}X"
         if kind == "noon_midnight":
             m = re.search(r"(noon|midday|midnight)", s, re.I)
             hm = "12:00" if m.group(1).lower() in ("noon", "midday") else "00:00"
             return f"{anchor.isoformat()}T{hm}"
         if kind == "rel_weekday":
             m = re.match(
-                rf"(last|next|following|preceding)\s+({_WEEKDAY_ALT})", s, re.I
+                rf"(last|next|following|preceding|coming)\s+({_WEEKDAY_ALT})",
+                s, re.I,
             )
             target = _WEEKDAYS[m.group(2).lower()]
             if m.group(1).lower() in ("last", "preceding"):
@@ -695,6 +738,11 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
         return None
     return None
 
+
+_WORD_DECADES = {
+    "twenties": 2, "thirties": 3, "forties": 4, "fifties": 5,
+    "sixties": 6, "seventies": 7, "eighties": 8, "nineties": 9,
+}
 
 _QUARTER_WORDS = {
     "first": 1, "1st": 1, "second": 2, "2nd": 2,

@@ -398,3 +398,27 @@ def test_detect_normalize_total_on_arbitrary_text(s):
         assert s[d["begin"]:d["end"]] == d["surface"]
         normalize_timex(d["surface"], d["kind"], ANCHOR)  # None ok, raise not
         normalize_timex(d["surface"], d["kind"], None)
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # "[Period] earlier" = ago (en.grammar:407-412)
+        ("3 years earlier", "2021"),
+        ("two weeks earlier", "2024-W09"),
+        # "coming X" = next (en.grammar:427,433)
+        ("coming week", "2024-W12"),
+        ("the coming year", "2025"),
+        ("coming friday", "2024-03-22"),
+        # "January last year" (en.grammar:416,434)
+        ("January last year", "2023-01"),
+        ("june next year", "2025-06"),
+        ("march this year", "2024-03"),
+        # word decades, FindAtOrEarlier (en.grammar:453-460)
+        ("the twenties", "202X"),      # anchor 2024 is inside the 2020s
+        ("the nineties", "199X"),
+        ("the thirties", "193X"),      # 2030s start after the anchor
+    ],
+)
+def test_round3b_grammar_values(surface, expected):
+    assert _norm(surface) == expected
