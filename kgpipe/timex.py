@@ -231,7 +231,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "rel_unit",
         re.compile(
-            r"\b(?:the\s+)?(last|next|this|following|preceding|coming)\s+"
+            r"\b(?:the\s+)?(last|next|this|following|preceding|coming|past)\s+"
             r"(day|week|month|year|quarter)\b",
             re.I,
         ),
@@ -239,7 +239,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "rel_weekday",
         re.compile(
-            rf"\b(last|next|following|preceding|coming)\s+({_WEEKDAY_ALT})\b",
+            rf"\b(last|next|following|preceding|coming|past)\s+({_WEEKDAY_ALT})\b",
             re.I,
         ),
     ),
@@ -301,8 +301,8 @@ _QUICK_KEYS = {
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
     "period_set": ("every", "daily", "weekly", "monthly", "yearly", "annually"),
-    "rel_unit": ("last", "next", "this", "following", "preceding", "coming"),
-    "rel_weekday": ("last", "next", "following", "preceding", "coming"),
+    "rel_unit": ("last", "next", "this", "following", "preceding", "coming", "past"),
+    "rel_weekday": ("last", "next", "following", "preceding", "coming", "past"),
     "weekday": (
         "monday", "tuesday", "wednesday", "thursday",
         "friday", "saturday", "sunday",
@@ -561,13 +561,13 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return _fmt_week(anchor + dt.timedelta(days=7 * delta)) + "-WE"
         if kind == "rel_unit":
             m = re.match(
-                r"(?:the\s+)?(last|next|this|following|preceding|coming)\s+"
+                r"(?:the\s+)?(last|next|this|following|preceding|coming|past)\s+"
                 r"(day|week|month|year|quarter)",
                 s, re.I,
             )
             direction = {
                 "last": -1, "next": 1, "this": 0,
-                "following": 1, "preceding": -1, "coming": 1,
+                "following": 1, "preceding": -1, "coming": 1, "past": -1,
             }[m.group(1).lower()]
             unit = m.group(2).lower()
             if unit == "day":
@@ -649,11 +649,11 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"{anchor.isoformat()}T{hm}"
         if kind == "rel_weekday":
             m = re.match(
-                rf"(last|next|following|preceding|coming)\s+({_WEEKDAY_ALT})",
+                rf"(last|next|following|preceding|coming|past)\s+({_WEEKDAY_ALT})",
                 s, re.I,
             )
             target = _WEEKDAYS[m.group(2).lower()]
-            if m.group(1).lower() in ("last", "preceding"):
+            if m.group(1).lower() in ("last", "preceding", "past"):
                 # latest such weekday strictly before the anchor
                 back = (anchor.weekday() - target - 1) % 7 + 1
                 return _fmt_day(anchor - dt.timedelta(days=back))

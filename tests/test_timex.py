@@ -422,3 +422,17 @@ def test_detect_normalize_total_on_arbitrary_text(s):
 )
 def test_round3b_grammar_values(surface, expected):
     assert _norm(surface) == expected
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # "past [Period]" / "past [FieldValue]" (en.grammar:399,403)
+        ("the past week", "2024-W10"),
+        ("past month", "2024-02"),
+        ("the past year", "2023"),
+        ("past friday", "2024-03-08"),
+    ],
+)
+def test_past_synonym_values(surface, expected):
+    assert _norm(surface) == expected
