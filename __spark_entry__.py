@@ -790,6 +790,29 @@ def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_edges(mentions)
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid sums in exact integer quantization
+    (simsearch.label_centroids)."""
+    from kgpipe.simsearch import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb)
+
+
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the cross-turn event graph: rollup of
+    node_degree into (degree, n_nodes) — the classic graph-shape probe."""
+    from kgpipe.graph import node_degree
+
+    mentions = _annotations(spark, sf_dir)["mentions_f"]
+    edges = cross_turn_event_edges(mentions, _CFG)
+    return (
+        node_degree(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
 def _q_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: JVM higher-order functions (zip_with/aggregate)
     for the dot product, window row_number for top-k. Embeddings cast to
@@ -1046,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_tfidf,
         "text_redact": _q_text_redact,
         "text_curate": _q_text_curate,
+        "sim_label_centroids": _q_label_centroids,
+        "kg_degree_histogram": _q_degree_histogram,
         "sim_topk_bruteforce": _q_topk_bruteforce,
         "sim_topk_lsh": _q_topk_lsh,
         "sim_topk_ivf": _q_topk_ivf,
@@ -2750,6 +2775,24 @@ WHERE c.cum >= (q.q * t.n_docs + 99) // 100
 GROUP BY c.lang, q.q, t.n_docs
 """,
         # same-turn entity co-occurrence pairs (graph.cooccurrence_edges twin)
+        # per-label integer-quantized centroid sums (label_centroids twin);
+        # parallel UNNESTs zip in DuckDB -> (position, value) pairs
+        "sim_label_centroids": """
+WITH ex AS (
+  SELECT label,
+         UNNEST(generate_series(1, len(embedding))) AS i,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+)
+SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS BIGINT) AS sum_e6
+FROM ex GROUP BY label, i
+""",
+        # degree-distribution twin over the cross-turn graph
+        "kg_degree_histogram": f"""
+WITH degs AS ({_ORACLE_NODE_DEGREE})
+SELECT degree, COUNT(*) AS n_nodes FROM degs GROUP BY degree
+""",
         "kg_cooccur": f"""
 WITH {_MENTIONS},
 m AS (SELECT DISTINCT conv_id, turn_idx, cui FROM ment_ann)

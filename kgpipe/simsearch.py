@@ -44,6 +44,7 @@ __all__ = [
     "build_ivf_index",
     "ivf_topk_indexed",
     "embedding_dup_pairs",
+    "label_centroids",
 ]
 
 
@@ -454,4 +455,33 @@ def embedding_dup_pairs(
             cosine_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
         )
         .where(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid statistics in exact integer arithmetic — the
+    class-prototype aggregation (per-class mean embedding for nearest-
+    centroid classification / dataset drift checks), made engine-exact:
+    coordinates are quantized to floor(x * 1e6) BIGINT before summation,
+    so the per-(label, dim) sums replay bit-equal regardless of summation
+    order (float mean would not). Downstream divides sum_e6 by n for the
+    float centroid when it wants one.
+
+    Shape: posexplode -> one hash aggregate keyed on (label, dim) with
+    map-side combine; output cardinality = n_labels * dim, constant in
+    corpus size.
+
+    Returns (label, dim, n, sum_e6).
+    """
+    from pyspark.sql import functions as F
+
+    exploded = embeddings.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1e6)).cast("bigint").alias("sum_e6"),
     )
