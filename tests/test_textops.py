@@ -316,3 +316,50 @@ def test_countmin_sketch_exact_and_upward_biased(spark):
     for p in probes:
         est = min(cells.get((0, p.c0), 0), cells.get((1, p.c1), 0))
         assert est >= true[p.token]
+
+
+def test_length_quantiles_monotone_in_q(spark):
+    # nearest-rank percentile values are non-decreasing in q
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, "x", "en", "s", rng.randint(1, 500)) for i in range(80)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from kgpipe.textops import length_quantiles
+
+    vals = {
+        r.q: r.value
+        for r in length_quantiles(docs, qs=(10, 25, 50, 75, 90, 100)).collect()
+    }
+    ordered = [vals[q] for q in (10, 25, 50, 75, 90, 100)]
+    assert ordered == sorted(ordered)
+    assert vals[100] == max(v for _, _, _, _, v in rows)
+
+
+def test_pack_documents_bin_offsets_consistent(spark):
+    # within every bucket: offsets are the prefix sums of n_tokens in
+    # doc_id order and bins are non-decreasing
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 7))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    from collections import defaultdict
+
+    from kgpipe.textops import pack_documents
+
+    rows = pack_documents(docs, capacity=10, n_buckets=4).collect()
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r.bucket].append(r)
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        prev_bin = 0
+        for r in rs:
+            assert r.start_offset == run
+            assert r.bin == run // 10
+            assert r.bin >= prev_bin
+            prev_bin = r.bin
+            run += r.n_tokens
