@@ -351,6 +351,29 @@ def _q_pred_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treatment-episode construction (graph.entity_episodes): day-anchored
+    (patient, entity) assertions merged into episodes across <=30-day gaps
+    — the islands-and-gaps window dataflow."""
+    from kgpipe.graph import entity_episodes
+
+    t = derive_transcripts(spark, sf_dir)
+    return entity_episodes(
+        build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True)
+    )
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (graph.k_core, k=2): iterative peeling over the
+    cross-turn event graph, 8 unrolled rounds (converged; oracle replays
+    the identical rounds)."""
+    from kgpipe.graph import k_core
+
+    mentions = _annotations(spark, sf_dir)["mentions_f"]
+    edges = cross_turn_event_edges(mentions, _CFG)
+    return k_core(edges, k=2, rounds=8)
+
+
 def _q_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG QA (graph.tlink_conflicts): (term, normed timex) pairs asserted
     with more than one distinct temporal label across the corpus."""
@@ -1043,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_degree": _q_node_degree,
         "kg_pagerank": _q_pagerank,
         "kg_components": _q_components,
+        "kg_episodes": _q_episodes,
+        "kg_kcore": _q_kcore,
         "kg_conv_stats": _q_conv_stats,
         "kg_top_entities": _q_top_entities,
         "kg_tool_transitions": _q_tool_transitions,
@@ -1557,6 +1582,33 @@ l{t + 1} AS MATERIALIZED (
   SELECT a.node, least(a.label, COALESCE(b.label, a.label)) AS label
   FROM p{t} a LEFT JOIN p{t} b ON b.node = a.label
 )""")
+    return "".join(parts)
+
+
+# k-core peeling twin (graph.k_core): unrolled remove-degree<k rounds over
+# the symmetric loop-free closure of the cross-turn edges.
+def _kcore_oracle(k: int = 2, rounds: int = 8) -> str:
+    head = f"""
+WITH edges AS ({_ORACLE_CROSS_EDGES}),
+eg AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM eg UNION ALL SELECT dst AS src, src AS dst FROM eg
+  )
+)"""
+    parts = [head]
+    for t in range(rounds):
+        parts.append(f""",
+a{t} AS MATERIALIZED (
+  SELECT src FROM u{t} GROUP BY src HAVING COUNT(*) >= {k}
+),
+u{t + 1} AS MATERIALIZED (
+  SELECT u.src, u.dst FROM u{t} u
+  JOIN a{t} x ON x.src = u.src
+  JOIN a{t} y ON y.src = u.dst
+)""")
+    parts.append(f"""
+SELECT src AS node, COUNT(*) AS core_degree FROM u{rounds} GROUP BY src""")
     return "".join(parts)
 
 
@@ -2537,6 +2589,32 @@ WHERE u.role = 'user' AND a.role = 'assistant'
         "kg_node_degree": _ORACLE_NODE_DEGREE,
         "kg_pagerank": _pagerank_oracle(),
         "kg_components": _components_oracle(),
+        "kg_kcore": _kcore_oracle(),
+        # islands-and-gaps episode twin: day-valued tlink objects only,
+        # 30-day gap threshold
+        "kg_episodes": f"""
+WITH {_MENTIONS}, {_TLINK},
+pts AS (
+  SELECT DISTINCT conv_id AS patient_id, lower(subj_text) AS entity,
+         CAST(obj_text AS DATE) AS d
+  FROM tl
+  WHERE regexp_matches(obj_text, '^\\d\\d\\d\\d-\\d\\d-\\d\\d$')
+),
+flg AS (
+  SELECT *, CASE WHEN date_diff('day', lag(d) OVER w, d) > 30
+                 THEN 1 ELSE 0 END AS new_episode
+  FROM pts WINDOW w AS (PARTITION BY patient_id, entity ORDER BY d)
+),
+idx AS (
+  SELECT *, CAST(SUM(new_episode) OVER (
+      PARTITION BY patient_id, entity ORDER BY d
+      ROWS UNBOUNDED PRECEDING) AS INT) AS episode_idx
+  FROM flg
+)
+SELECT patient_id, entity, episode_idx,
+       MIN(d) AS start_date, MAX(d) AS end_date, COUNT(*) AS n_points
+FROM idx GROUP BY patient_id, entity, episode_idx
+""",
         "kg_conv_stats": _ORACLE_CONV_STATS,
         "kg_top_entities": _ORACLE_TOP_ENTITIES,
         "kg_tool_transitions": _ORACLE_TOOL_TRANSITIONS,

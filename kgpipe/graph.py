@@ -38,6 +38,8 @@ __all__ = [
     "running_entity_counts",
     "connected_components",
     "tlink_conflicts",
+    "entity_episodes",
+    "k_core",
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -425,6 +427,91 @@ def pagerank(
         # whole prefix per iteration)
         pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+_DAY_VALUE_RE = r"^\d{4}-\d{2}-\d{2}$"
+
+
+def entity_episodes(triples: DataFrame, *, max_gap_days: int = 30) -> DataFrame:
+    """Episode construction — the timeline product the ChemoTimelines task
+    is ultimately about: consecutive day-anchored assertions of one
+    (patient, entity) merge into treatment EPISODES when the gap between
+    successive dates is <= ``max_gap_days`` (the classic islands-and-gaps
+    dataflow: lag -> gap flag -> cumulative episode index -> rollup).
+
+    Input = the tlink triples; only day-granular TimeML values
+    (YYYY-MM-DD) anchor episodes — weeks/months/REFs describe context, not
+    points (documented spec). One window + one aggregate, both keyed on
+    (patient, entity): the per-key ordered state is the distinct date
+    list, bounded by the conversation span, not the corpus.
+
+    Returns (patient_id, entity, episode_idx, start_date, end_date,
+    n_points).
+    """
+    pts = (
+        triples.where(F.col("pred").startswith("tlink:"))
+        .where(F.col("obj_text").rlike(_DAY_VALUE_RE))
+        .select(
+            F.col("conv_id").alias("patient_id"),
+            F.lower("subj_text").alias("entity"),
+            F.to_date("obj_text").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("patient_id", "entity").orderBy("d")
+    flagged = pts.withColumn(
+        "new_episode",
+        F.when(
+            F.datediff("d", F.lag("d").over(w)) > max_gap_days, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "episode_idx",
+        F.sum("new_episode").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    return flagged.groupBy("patient_id", "entity", "episode_idx").agg(
+        F.min("d").alias("start_date"),
+        F.max("d").alias("end_date"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def k_core(edges: DataFrame, *, k: int = 2, rounds: int = 8) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove nodes
+    whose undirected degree falls below ``k``; after ``rounds`` rounds the
+    survivors are (a superset of) the k-core — peeling converges once no
+    round removes a node, and fixed ``rounds`` makes the result a
+    deterministic spec both engines replay (convergence on the fixture
+    graphs is pytest-asserted, same contract as connected_components).
+
+    Per round: one degree aggregate + one semi-join filter, both keyed on
+    node ids; localCheckpoint pins the lineage so the unrolled loop stays
+    linear.
+
+    Returns (node, core_degree) for surviving nodes.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    und = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.where(F.col("deg") >= k).select("src")
+        und = (
+            und.join(alive, "src")
+            .join(alive.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
 
 
 def tlink_conflicts(triples: DataFrame) -> DataFrame:

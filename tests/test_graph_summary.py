@@ -302,3 +302,60 @@ def test_components_differential_union_find(spark):
         want = {v: find(v) for v in parent}
         got = _cc(spark, edges)
         assert {v: c for v, (c, _) in got.items()} == want, f"trial {trial}"
+
+
+def test_kcore_peels_tendrils_keeps_triangle(spark):
+    from kgpipe.graph import k_core
+
+    # triangle a-b-c (2-core) + a tendril chain c-d-e and a leaf a-f
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("a", "f")],
+        "src string, dst string",
+    )
+    got = {r.node: r.core_degree for r in k_core(e, k=2, rounds=8).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=3: the triangle itself dissolves
+    assert k_core(e, k=3, rounds=8).count() == 0
+
+
+def test_kcore_converged_at_rounds(spark):
+    from kgpipe.graph import k_core
+
+    # a long chain needs several peel rounds; result must be stable
+    # between rounds=8 and rounds=9 (converged)
+    names = [f"n{i}" for i in range(10)]
+    e = spark.createDataFrame(list(zip(names, names[1:])), "src string, dst string")
+    a = sorted(map(tuple, k_core(e, k=2, rounds=8).collect()))
+    b = sorted(map(tuple, k_core(e, k=2, rounds=9).collect()))
+    assert a == b == []  # a pure chain has no 2-core
+
+
+def test_entity_episodes_gap_merge(spark):
+    import datetime as _dt
+
+    from kgpipe.graph import entity_episodes
+
+    d = _dt.date
+    rows = [
+        # patient c1, drug x: two clusters of day-anchored assertions
+        ("m1", "tlink:overlap", "t1", "c1", 0, "x", "2021-01-01"),
+        ("m2", "tlink:before", "t2", "c1", 1, "x", "2021-01-20"),
+        ("m3", "tlink:after", "t3", "c1", 2, "x", "2021-04-01"),
+        # duplicate date collapses; non-day values ignored
+        ("m4", "tlink:overlap", "t4", "c1", 3, "x", "2021-01-01"),
+        ("m5", "tlink:overlap", "t5", "c1", 4, "x", "2021-W05"),
+        ("m6", "tlink:overlap", "t6", "c1", 5, "X", "2021-01-05"),  # case-folds
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, conv_id string, turn_idx int, "
+        "subj_text string, obj_text string",
+    )
+    got = {
+        (r.patient_id, r.entity, r.episode_idx): (r.start_date, r.end_date, r.n_points)
+        for r in entity_episodes(t, max_gap_days=30).collect()
+    }
+    assert got == {
+        ("c1", "x", 0): (d(2021, 1, 1), d(2021, 1, 20), 3),
+        ("c1", "x", 1): (d(2021, 4, 1), d(2021, 4, 1), 1),
+    }
