@@ -818,8 +818,7 @@ def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (simsearch.label_centroids)."""
     from kgpipe.simsearch import label_centroids
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return label_centroids(emb)
+    return label_centroids(_embeddings(spark, sf_dir))
 
 
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2852,7 +2851,6 @@ FROM cum c JOIN tot t USING (lang) CROSS JOIN qs q
 WHERE c.cum >= (q.q * t.n_docs + 99) // 100
 GROUP BY c.lang, q.q, t.n_docs
 """,
-        # same-turn entity co-occurrence pairs (graph.cooccurrence_edges twin)
         # per-label integer-quantized centroid sums (label_centroids twin);
         # parallel UNNESTs zip in DuckDB -> (position, value) pairs
         "sim_label_centroids": """
@@ -2871,6 +2869,7 @@ FROM ex GROUP BY label, i
 WITH degs AS ({_ORACLE_NODE_DEGREE})
 SELECT degree, COUNT(*) AS n_nodes FROM degs GROUP BY degree
 """,
+        # same-turn entity co-occurrence pairs (graph.cooccurrence_edges twin)
         "kg_cooccur": f"""
 WITH {_MENTIONS},
 m AS (SELECT DISTINCT conv_id, turn_idx, cui FROM ment_ann)

@@ -473,8 +473,6 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
 
     Returns (label, dim, n, sum_e6).
     """
-    from pyspark.sql import functions as F
-
     exploded = embeddings.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(

@@ -431,19 +431,23 @@ def countmin_sketch(
     toks = documents.select(
         F.explode(F.split("text", " ")).alias("token")
     ).where(F.col("token") != "")
-    per_row = [
-        toks.select(
-            F.lit(r).alias("row"),
-            (_portable_hash(F.col("token"), 100 + r) % width)
-            .cast("int")
-            .alias("col"),
-        )
-        for r in range(depth)
-    ]
-    allrows = per_row[0]
-    for df in per_row[1:]:
-        allrows = allrows.unionByName(df)
-    return allrows.groupBy("row", "col").agg(
+    # one scan: each token emits its depth (row, col) cells via a single
+    # explode — a depth-way union of projections would re-read and
+    # re-tokenize the corpus once per row
+    cells = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    (_portable_hash(F.col("token"), 100 + r) % width)
+                    .cast("int")
+                    .alias("col"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("c")
+    )
+    return cells.groupBy("c.row", "c.col").agg(
         F.count(F.lit(1)).alias("count")
     )
 

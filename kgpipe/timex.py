@@ -44,6 +44,16 @@ _MONTHS = {
     "december": 12, "dec": 12,
 }
 _MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
+# full names vs abbreviations: only abbreviations may take a trailing dot
+# in contexts where a dot could be a sentence boundary
+_MONTH_FULL = (
+    "january", "february", "march", "april", "may", "june", "july",
+    "august", "september", "october", "november", "december",
+)
+_MONTH_FULL_ALT = "|".join(sorted(_MONTH_FULL, key=len, reverse=True))
+_MONTH_ABBR_ALT = "|".join(
+    sorted((m for m in _MONTHS if m not in _MONTH_FULL), key=len, reverse=True)
+)
 
 _WEEKDAYS = {
     "monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
@@ -94,19 +104,25 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
-    # "January last year" / "January next year" (en.grammar:416,434)
+    # "January last year" / "January next year" (en.grammar:416,434).
+    # Only ABBREVIATED month forms may take a dot — a dot after a full
+    # name is a sentence boundary ("...in January. Last year we...") and
+    # must not fuse two expressions into one span
     (
         "month_rel_year",
         re.compile(
-            rf"\b({_MONTH_ALT})\.?\s+(last|next|this)\s+year\b", re.I
+            rf"\b(?:({_MONTH_FULL_ALT})|({_MONTH_ABBR_ALT})\.?)\s+(last|next|this)\s+year\b",
+            re.I,
         ),
     ),
     # word decades: "the nineties" -> most recent such decade at or before
-    # the anchor (FindAtOrEarlier, en.grammar:453-460)
+    # the anchor (FindAtOrEarlier, en.grammar:453-460). The article is
+    # REQUIRED here (tighter than the grammar): bare decade words in
+    # conversational text are usually ages ("in his twenties"), not times
     (
         "word_decade",
         re.compile(
-            r"\b(?:the\s+)?(twenties|thirties|forties|fifties|sixties"
+            r"\bthe\s+(twenties|thirties|forties|fifties|sixties"
             r"|seventies|eighties|nineties)\b",
             re.I,
         ),
@@ -250,7 +266,14 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ("rel_day", re.compile(r"\b(yesterday|today|tomorrow)\b", re.I)),
     (
         "past_ref",
-        re.compile(r"\b(recently|previously|formerly|in\s+the\s+past)\b", re.I),
+        # negative lookahead: "in the past week/month/..." belongs to the
+        # rel_unit 'past' synonym, not PAST_REF — without it the earlier-
+        # beginning "in the past" span wins the greedy sweep
+        re.compile(
+            r"\b(recently|previously|formerly"
+            r"|in\s+the\s+past\b(?!\s+(?:day|week|month|year|quarter)))\b",
+            re.I,
+        ),
     ),
     (
         "future_ref",
@@ -353,9 +376,13 @@ def _digit_region(text: str, first: int, last_end: int) -> Tuple[int, int]:
 def detect_timexes(text: str):
     """All timex spans in one turn: longest non-overlapping, earliest-first.
 
-    Returns list of dicts (begin, end, surface, kind). When two candidate
-    spans overlap, the longer wins; on equal length the earlier pattern in
-    TIMEX_PATTERNS wins (deterministic).
+    Returns list of dicts (begin, end, surface, kind). Overlap resolution
+    is a greedy interval sweep over candidates sorted by (begin, -length,
+    pattern priority): the EARLIEST-beginning span wins; among spans
+    sharing a begin, the longest wins; remaining ties go to the earlier
+    pattern in TIMEX_PATTERNS (deterministic). A later-beginning span can
+    therefore lose to a shorter earlier one — patterns whose phrasings
+    collide that way carry guards (e.g. past_ref's lookahead).
     """
     lower = text.lower()
     first_digit = _DIGIT_RE.search(text)
@@ -628,10 +655,13 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
         if kind == "month_rel_year":
             # "January last year" (en.grammar:416,434)
             m = re.match(
-                rf"({_MONTH_ALT})\.?\s+(last|next|this)\s+year", s, re.I
+                rf"(?:({_MONTH_FULL_ALT})|({_MONTH_ABBR_ALT})\.?)\s+"
+                r"(last|next|this)\s+year",
+                s, re.I,
             )
-            direction = {"last": -1, "next": 1, "this": 0}[m.group(2).lower()]
-            return _fmt_month(anchor.year + direction, _MONTHS[m.group(1).lower()])
+            month_word = (m.group(1) or m.group(2)).lower()
+            direction = {"last": -1, "next": 1, "this": 0}[m.group(3).lower()]
+            return _fmt_month(anchor.year + direction, _MONTHS[month_word])
         if kind == "word_decade":
             # most recent such decade at or before the anchor
             # (FindAtOrEarlier, en.grammar:453-460)

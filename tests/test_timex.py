@@ -436,3 +436,33 @@ def test_round3b_grammar_values(surface, expected):
 )
 def test_past_synonym_values(surface, expected):
     assert _norm(surface) == expected
+
+
+def test_in_the_past_unit_beats_past_ref():
+    # "in the past week" must yield the relative week, not PAST_REF
+    # (past_ref carries a lookahead so the rel_unit span can win)
+    det = detect_timexes("we did it in the past week")
+    kinds = [(d["kind"], d["surface"]) for d in det]
+    assert ("rel_unit", "the past week") in kinds
+    assert all(k != "past_ref" for k, _ in kinds)
+    # plain "in the past" still resolves to PAST_REF
+    det2 = detect_timexes("mistakes were made in the past")
+    assert [(d["kind"]) for d in det2] == ["past_ref"]
+
+
+def test_month_dot_sentence_boundary_not_fused():
+    # a dot after a FULL month name is a sentence boundary, not part of
+    # the expression — the two timexes stay separate
+    det = detect_timexes("we met in january. last year we did not.")
+    got = {d["surface"]: d["kind"] for d in det}
+    assert "january. last year" not in got
+    assert got.get("last year") == "rel_unit"
+    # abbreviations may keep the dot
+    assert _norm("jan. last year") == "2023-01"
+
+
+def test_bare_decade_words_are_ages_not_timexes():
+    assert detect_timexes("he is in his twenties") == []
+    assert detect_timexes("she retired in her nineties") == []
+    # with the article it is a decade
+    assert _norm("the nineties") == "199X"
