@@ -507,6 +507,34 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming.enriched_turns): the streaming
+    transcript source joined per micro-batch against a static per-
+    conversation dimension; drained output must equal the batch join."""
+    import os
+    import tempfile
+
+    from kgpipe.streaming import run_enrich_stream
+
+    base = tempfile.mkdtemp(prefix="kg_senrich_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    derive_transcripts(spark, sf_dir).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    static = spark.read.parquet(in_dir)
+    dim = static.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("conv_total_turns"),
+        F.countDistinct("role").cast("int").alias("conv_n_roles"),
+    )
+    run_enrich_stream(spark, in_dir, out_dir, ckpt, dim,
+                      max_files_per_trigger=2)
+    return spark.read.parquet(out_dir).select(
+        "conv_id", "turn_idx", "role", "conv_total_turns", "conv_n_roles"
+    )
+
+
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly connected components of the cross-turn event graph
     (kgpipe.graph.connected_components): min-label propagation with pointer
@@ -1052,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_streaming_state": _q_streaming_state,
         "kg_windowed_counts": _q_windowed_counts,
         "kg_stream_dedup": _q_stream_dedup,
+        "kg_stream_enrich": _q_stream_enrich,
         "kg_prompt_response": _q_prompt_response,
         "kg_dtr": _q_dtr,
         "kg_confidence": _q_confidence,
@@ -2566,6 +2595,17 @@ FROM t WHERE ts IS NOT NULL GROUP BY 1, 2, 3
 WITH t AS ({_T})
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t
 WHERE ts IS NOT NULL
+""",
+        # stream-static join twin: the batch join over the same derivation
+        "kg_stream_enrich": f"""
+WITH t AS ({_T}),
+dim AS (
+  SELECT conv_id, COUNT(*) AS conv_total_turns,
+         CAST(COUNT(DISTINCT role) AS INT) AS conv_n_roles
+  FROM t GROUP BY conv_id
+)
+SELECT t.conv_id, t.turn_idx, t.role, d.conv_total_turns, d.conv_n_roles
+FROM t JOIN dim d USING (conv_id)
 """,
         "kg_prompt_response": f"""
 WITH t AS ({_T})

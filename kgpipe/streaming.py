@@ -46,6 +46,8 @@ __all__ = [
     "run_join_stream",
     "dedup_turns",
     "run_dedup_stream",
+    "enriched_turns",
+    "run_enrich_stream",
 ]
 
 
@@ -170,6 +172,56 @@ def run_windowed_stream(
     )
     query = (
         counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(query, timeout_sec)
+    return query
+
+
+def enriched_turns(
+    spark: SparkSession,
+    input_dir: str,
+    dim: DataFrame,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join: the streaming transcript source
+    joined against a STATIC dimension table keyed on conv_id — the fifth
+    streaming shape (next to stateless ingest, keyed custom state,
+    windowed agg, stream-stream join, dedup). Stream-static joins are
+    stateless on the stream side: each micro-batch joins the static
+    relation as-of execution, so a broadcastable dim costs no streaming
+    state at all — the shape a 10^12-turn ingest uses to attach slowly-
+    changing metadata (tenant, cohort, routing) to every turn."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    t = reader.parquet(input_dir)
+    return t.join(dim, "conv_id")
+
+
+def run_enrich_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    dim: DataFrame,
+    *,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float | None = 300.0,
+):
+    """Drain the stream-static enrichment into an exactly-once parquet
+    sink; the drained output must equal the batch join exactly (joins
+    against a static relation commute with micro-batching)."""
+    enriched = enriched_turns(
+        spark, input_dir, dim, max_files_per_trigger=max_files_per_trigger
+    )
+    query = (
+        enriched.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

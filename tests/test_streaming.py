@@ -292,3 +292,34 @@ def test_stream_dedup_cross_batch_and_eviction(spark, tmp_path):
         spark.read.parquet(out_dir).groupBy("conv_id", "turn_idx").count()
     )
     assert counts.where("count > 1").count() == 0  # still exactly-once
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static join: per micro-batch join against a static dim —
+    drained output equals the batch join exactly, across multiple
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.streaming import run_enrich_stream
+
+    in_dir = str(tmp_path / "ein")
+    out_dir = str(tmp_path / "eout")
+    ckpt = str(tmp_path / "eckpt")
+    t = synthetic_transcripts_df(spark, n_conv=5, turns_per_conv=6, seed=9,
+                                 hot_conv_factor=1)
+    t.repartition(3).write.mode("append").parquet(in_dir)
+    static = spark.read.parquet(in_dir)
+    dim = static.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("conv_total_turns")
+    )
+    run_enrich_stream(spark, in_dir, out_dir, ckpt, dim,
+                      max_files_per_trigger=1, timeout_sec=120.0)
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.conv_total_turns)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.conv_total_turns)
+        for r in static.join(dim, "conv_id").collect()
+    )
+    assert got == want and len(got) == 30
