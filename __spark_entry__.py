@@ -1636,7 +1636,8 @@ u{t + 1} AS MATERIALIZED (
   JOIN a{t} y ON y.src = u.dst
 )""")
     parts.append(f"""
-SELECT src AS node, COUNT(*) AS core_degree FROM u{rounds} GROUP BY src""")
+SELECT src AS node, COUNT(*) AS core_degree FROM u{rounds} GROUP BY src
+HAVING COUNT(*) >= {k}""")
     return "".join(parts)
 
 
@@ -2529,7 +2530,9 @@ allt AS (
 SELECT conv_id,
        '<urn:kg:id:' || subj || '> <urn:kg:pred:' || pred || '> ' ||
        CASE WHEN pred IN ('speaker-attribution', 'tool-invocation')
-            THEN '"' || replace(replace(obj, '\\', '\\\\'), '"', '\\"') || '"'
+            THEN '"' || replace(replace(replace(replace(replace(
+                   obj, '\\', '\\\\'), '"', '\\"'),
+                   chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') || '"'
             ELSE '<urn:kg:id:' || obj || '>' END || ' .' AS ntriple
 FROM allt
 """,

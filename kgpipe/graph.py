@@ -511,6 +511,11 @@ def k_core(edges: DataFrame, *, k: int = 2, rounds: int = 8) -> DataFrame:
     return (
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
+        # final guard: if the fixed rounds did not fully converge, a
+        # survivor could report core_degree < k, contradicting the k-core
+        # contract — filter so the output is always a clean subgraph
+        # (superset semantics remain for EDGES, never for the k bound)
+        .where(F.col("core_degree") >= k)
     )
 
 

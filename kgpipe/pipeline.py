@@ -179,15 +179,16 @@ def ntriples_view(triples: DataFrame) -> DataFrame:
 
     Mapping (documented spec): subjects and predicates live under a
     ``urn:kg:`` namespace; objects of the attribution predicates
-    (speaker/tool) are string literals with N-Triples escaping (backslash
-    then quote), every other object is an id -> URI. Pure JVM string
-    algebra (concat/regexp_replace), zero UDFs — serialization stays in
-    whole-stage codegen and scales with the scan.
+    (speaker/tool) are string literals with full N-Triples escaping
+    (backslash first, then quote, newline, carriage return, tab — the
+    spec's required literal escapes), every other object is an id -> URI.
+    Pure JVM string algebra (concat/regexp_replace), zero UDFs —
+    serialization stays in whole-stage codegen and scales with the scan.
     """
-    esc = F.replace(
-        F.replace(F.col("obj"), F.lit("\\"), F.lit("\\\\")),
-        F.lit('"'), F.lit('\\"'),
-    )
+    esc = F.col("obj")
+    for raw, escaped in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                         ("\r", "\\r"), ("\t", "\\t")):
+        esc = F.replace(esc, F.lit(raw), F.lit(escaped))
     obj_term = (
         F.when(
             F.col("pred").isin(*_NT_LITERAL_PREDS),

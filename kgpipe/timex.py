@@ -268,10 +268,13 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "past_ref",
         # negative lookahead: "in the past week/month/..." belongs to the
         # rel_unit 'past' synonym, not PAST_REF — without it the earlier-
-        # beginning "in the past" span wins the greedy sweep
+        # beginning "in the past" span wins the greedy sweep. The unit
+        # alternation is anchored with \b so PLURAL units ("in the past
+        # weeks") — which rel_unit does not match — still fall through to
+        # PAST_REF instead of being suppressed by a prefix match.
         re.compile(
             r"\b(recently|previously|formerly"
-            r"|in\s+the\s+past\b(?!\s+(?:day|week|month|year|quarter)))\b",
+            r"|in\s+the\s+past\b(?!\s+(?:day|week|month|year|quarter)\b))\b",
             re.I,
         ),
     ),

@@ -330,6 +330,18 @@ def test_kcore_converged_at_rounds(spark):
     assert a == b == []  # a pure chain has no 2-core
 
 
+def test_kcore_nonconverged_never_reports_below_k(spark):
+    from kgpipe.graph import k_core
+
+    # a 30-node chain needs ~15 peel rounds; with rounds=2 the result is
+    # a superset of the (empty) 2-core — but the core_degree column must
+    # never contradict the k contract: every reported value is >= k
+    names = [f"n{i}" for i in range(30)]
+    e = spark.createDataFrame(list(zip(names, names[1:])), "src string, dst string")
+    rows = k_core(e, k=2, rounds=2).collect()
+    assert all(r.core_degree >= 2 for r in rows)
+
+
 def test_entity_episodes_gap_merge(spark):
     import datetime as _dt
 

@@ -139,6 +139,7 @@ def test_ntriples_serialization_and_escaping(spark):
     rows = [
         ("m1", "entity-mention", "C101", "c1"),
         ("t1", "speaker-attribution", 'he said "hi" \\ bye', "c1"),
+        ("t2", "tool-invocation", "line1\nline2\rtab\there", "c1"),
     ]
     t = spark.createDataFrame(rows, "subj string, pred string, obj string, conv_id string")
     got = sorted(r.ntriple for r in ntriples_view(t).collect())
@@ -146,4 +147,6 @@ def test_ntriples_serialization_and_escaping(spark):
         '<urn:kg:id:m1> <urn:kg:pred:entity-mention> <urn:kg:id:C101> .',
         '<urn:kg:id:t1> <urn:kg:pred:speaker-attribution> '
         '"he said \\"hi\\" \\\\ bye" .',
+        '<urn:kg:id:t2> <urn:kg:pred:tool-invocation> '
+        '"line1\\nline2\\rtab\\there" .',
     ]

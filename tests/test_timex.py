@@ -450,6 +450,16 @@ def test_in_the_past_unit_beats_past_ref():
     assert [(d["kind"]) for d in det2] == ["past_ref"]
 
 
+def test_in_the_past_plural_unit_is_past_ref():
+    # the lookahead's unit alternation is \b-anchored: PLURAL units
+    # ("in the past weeks") are NOT rel_unit matches, so they must fall
+    # through to PAST_REF instead of detecting nothing
+    for unit in ("days", "weeks", "months", "years", "quarters"):
+        det = detect_timexes(f"we shipped a lot in the past {unit}")
+        kinds = [d["kind"] for d in det]
+        assert "past_ref" in kinds, unit
+
+
 def test_month_dot_sentence_boundary_not_fused():
     # a dot after a FULL month name is a sentence boundary, not part of
     # the expression — the two timexes stay separate
