@@ -151,13 +151,14 @@ def node_degree(edges: DataFrame) -> DataFrame:
     """Degree table over an EDGE_SCHEMA-shaped edge list: per node id,
     out/in/total degree and distinct-neighbor count.
 
-    One union of two narrow projections then a single hash aggregate keyed
-    on node. The count/sum metrics combine map-side to one row per node per
-    map task, but countDistinct(nbr) forces the partial aggregate to carry
-    (node, nbr) pairs through the exchange — a hub node ships its distinct
-    neighbor set, so the shuffle is bounded by distinct edges, not nodes.
-    If hub skew ever dominates, split the distinct-neighbor count into a
-    pre-distinct (node, nbr) aggregate ahead of this one.
+    One union of two narrow projections, then TWO-LEVEL aggregation as the
+    hub-skew guard: the first aggregate keys on (node, nbr) — its exchange
+    spreads a hub's neighbor pairs across reducers instead of shipping the
+    whole distinct-neighbor set to one (what a naive countDistinct plans) —
+    and the second aggregate on node sees one row per distinct pair, so its
+    map-side partial combine reduces a hub to ONE row per map task before
+    the node-keyed exchange. Shuffle state per node is O(map tasks), not
+    O(distinct neighbors).
     """
     ends = edges.select(
         F.col("src").alias("node"), F.col("dst").alias("nbr"),
@@ -168,11 +169,15 @@ def node_degree(edges: DataFrame) -> DataFrame:
             F.lit(0).alias("is_out"),
         )
     )
-    return ends.groupBy("node").agg(
-        F.sum("is_out").alias("out_degree"),
-        F.sum(F.lit(1) - F.col("is_out")).alias("in_degree"),
-        F.count(F.lit(1)).alias("degree"),
-        F.countDistinct("nbr").alias("n_neighbors"),
+    pairs = ends.groupBy("node", "nbr").agg(
+        F.sum("is_out").alias("out_c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return pairs.groupBy("node").agg(
+        F.sum("out_c").alias("out_degree"),
+        F.sum(F.col("cnt") - F.col("out_c")).alias("in_degree"),
+        F.sum("cnt").alias("degree"),
+        F.count(F.lit(1)).alias("n_neighbors"),
     )
 
 

@@ -293,6 +293,39 @@ def main() -> int:
          "reference delegates to an external consumer, distributed"],
     ))
 
+    # 12. node degree: two-level aggregate spreads hub neighbor sets -------
+    from kgpipe.graph import node_degree
+
+    deg_edges = fused.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    p = plan_of(node_degree(deg_edges))
+    keyed = keyed_exchange_args(p)
+    # the first exchange must be keyed on (node, nbr) — a hub's pairs spread
+    # across reducers — and the second on node alone, fed by map-side
+    # partially-combined rows (one per node per map task)
+    assert any("node" in ln and "nbr" in ln for ln in keyed), (
+        f"no pair-level (node, nbr) exchange — hub guard missing: {keyed}"
+    )
+    assert any("node" in ln and "nbr" not in ln for ln in keyed), (
+        f"no final node-keyed exchange: {keyed}"
+    )
+    assert "Expand" not in p and "count(distinct" not in p.lower(), (
+        "node_degree must not plan a countDistinct expand — the explicit "
+        "pre-distinct aggregate replaces it"
+    )
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 4, (
+        "expected partial+final aggregates at both levels"
+    )
+    sections.append((
+        "node degree (node_degree) — hub-skew guard",
+        p,
+        ["two-level aggregation: exchange 1 on (node, nbr) spreads hub "
+         "neighbor pairs across reducers; exchange 2 on node sees map-side "
+         "partially-combined rows, so per-node shuffle state is O(map "
+         "tasks), not O(distinct neighbors); no countDistinct Expand"],
+    ))
+
     print("ALL PLAN ASSERTIONS PASS")
     if write:
         out = ["# PLANS — physical-plan audit (tools/explain_plans.py)\n"]
