@@ -61,12 +61,32 @@ _WEEKDAYS = {
 }
 _WEEKDAY_ALT = "|".join(_WEEKDAYS)
 
-_NUM_WORDS = {
-    "a": 1, "an": 1, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
-    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11,
-    "twelve": 12,
+_UNIT_WORDS = {
+    "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9,
 }
-_NUM_ALT = r"\d+|" + "|".join(_NUM_WORDS)
+_TEEN_WORDS = {
+    "ten": 10, "eleven": 11, "twelve": 12, "thirteen": 13, "fourteen": 14,
+    "fifteen": 15, "sixteen": 16, "seventeen": 17, "eighteen": 18,
+    "nineteen": 19,
+}
+_TENS_WORDS = {
+    "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50,
+    "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90,
+}
+# spelled numbers 1-99 with hyphen/space tens+digit composition
+# (en.grammar:38-58 [Int:Tens] composition: "twenty", "twenty-one",
+# "twenty one"); "a"/"an" are the article-as-one forms
+_NUM_WORDS = {"a": 1, "an": 1, **_UNIT_WORDS, **_TEEN_WORDS, **_TENS_WORDS}
+_UNIT_ALT = "|".join(_UNIT_WORDS)
+_TEEN_ALT = "|".join(sorted(_TEEN_WORDS, key=len, reverse=True))
+_TENS_ALT = "|".join(_TENS_WORDS)
+# composed-tens FIRST so "twenty-one" is consumed whole, teens before
+# units so "sixteen" never stops at "six"
+_NUM_ALT = (
+    rf"\d+|(?:{_TENS_ALT})(?:[\s-](?:{_UNIT_ALT}))?"
+    rf"|{_TEEN_ALT}|{_UNIT_ALT}|an?"
+)
 
 # Ordered battery; longest-span-wins resolution across patterns.
 TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
@@ -127,10 +147,35 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # spelled-out years — "nineteen ninety(-nine)", "twenty sixteen",
+    # "nineteen hundred" (en.grammar Int composition over year halves)
+    (
+        "word_year",
+        re.compile(
+            rf"\b(nineteen|twenty)[\s-]+"
+            rf"((?:{_TENS_ALT})(?:[\s-](?:{_UNIT_ALT}))?|{_TEEN_ALT}|hundred)\b",
+            re.I,
+        ),
+    ),
+    # fractional periods — "[Int] and a half [Unit]" (en.grammar:288-289)
+    # plus the natural "a/an/one [Unit] and a half" inversion
+    (
+        "frac_period",
+        re.compile(
+            rf"\b(?:({_NUM_ALT})\s+and\s+a\s+half\s+(days?|weeks?|months?|years?)"
+            r"|(a|an|one)\s+(day|week|month|year)\s+and\s+a\s+half)\b",
+            re.I,
+        ),
+    ),
     (
         "in_n",
+        # the negative lookahead keeps "in a year and a half" out of this
+        # pattern: the in_n span begins EARLIER than the frac_period span,
+        # so without the guard the greedy sweep would keep "in a year" and
+        # drop the fraction (same earliest-begin gotcha as past_ref)
         re.compile(
-            rf"\bin\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\b",
+            rf"\bin\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\b"
+            r"(?!\s+and\s+a\s+half\b)",
             re.I,
         ),
     ),
@@ -232,6 +277,20 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # TimeSpanSet — "each June", "every Monday" -> recurring-set values
+    # XXXX-MM / XXXX-WXX-D (en.grammar:526-532 [TimeSpanSet] |||
+    # each [FieldValue:Partial]). Begins at each/every, so the greedy
+    # sweep's earliest-begin rule keeps this span over the bare-weekday /
+    # month patterns that start one word later; the digit lookahead keeps
+    # "every June 5" pointing at the dated expression instead
+    (
+        "span_set",
+        re.compile(
+            rf"\b(?:each|every)\s+((?:{_MONTH_FULL_ALT})|(?:{_WEEKDAY_ALT}))\b"
+            r"(?!\s+\d)",
+            re.I,
+        ),
+    ),
     # PeriodSet — "every week", "every 2 weeks", "daily" -> TIMEX3 SET
     # values P{n}{U} (Temporal.scala:410-429 analog)
     (
@@ -307,6 +366,9 @@ _QUICK_KEYS = {
         "twenties", "thirties", "forties", "fifties",
         "sixties", "seventies", "eighties", "nineties",
     ),
+    "word_year": ("nineteen", "twenty"),
+    "frac_period": ("and a half",),
+    "span_set": ("each", "every"),
     "in_n": ("in",),
     "day_offset": ("day before", "day after"),
     "clock_time": "digit",
@@ -450,7 +512,17 @@ def _num(tok: str) -> Optional[int]:
     tok = tok.lower()
     if tok.isdigit():
         return int(tok)
-    return _NUM_WORDS.get(tok)
+    if tok in _NUM_WORDS:
+        return _NUM_WORDS[tok]
+    # composed tens: "twenty-one" / "twenty one"
+    parts = tok.replace("-", " ").split()
+    if (
+        len(parts) == 2
+        and parts[0] in _TENS_WORDS
+        and parts[1] in _UNIT_WORDS
+    ):
+        return _TENS_WORDS[parts[0]] + _UNIT_WORDS[parts[1]]
+    return None
 
 
 def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optional[str]:
@@ -569,6 +641,52 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 for d in (_holiday_date(name, y),)
             ]
             return rank_parses(parses, anchor)[0].value
+        if kind == "word_year":
+            # "nineteen ninety-nine" -> 1999, "twenty sixteen" -> 2016,
+            # "nineteen hundred" -> 1900
+            m = re.match(
+                rf"(nineteen|twenty)[\s-]+"
+                rf"((?:{_TENS_ALT})(?:[\s-](?:{_UNIT_ALT}))?|{_TEEN_ALT}|hundred)",
+                s, re.I,
+            )
+            century = {"nineteen": 19, "twenty": 20}[m.group(1).lower()]
+            tail = m.group(2).lower()
+            rest = 0 if tail == "hundred" else _num(tail)
+            if rest is None:
+                return None
+            return f"{century * 100 + rest:04d}"
+        if kind == "frac_period":
+            # duration value (documented spec): the half converts to the
+            # next finer unit where that stays integral — years -> months
+            # (P18M for "a year and a half"), months -> days (30-day month,
+            # the timenorm conversion convention) — else ISO-8601 decimal
+            # in the smallest component (P2.5W, P1.5D)
+            m = re.match(
+                rf"(?:({_NUM_ALT})\s+and\s+a\s+half\s+(days?|weeks?|months?|years?)"
+                r"|(a|an|one)\s+(day|week|month|year)\s+and\s+a\s+half)",
+                s, re.I,
+            )
+            if m.group(1):
+                n, unit = _num(m.group(1)), m.group(2).lower().rstrip("s")
+            else:
+                n, unit = 1, m.group(4).lower()
+            if n is None:
+                return None
+            if unit == "year":
+                return f"P{12 * n + 6}M"
+            if unit == "month":
+                return f"P{30 * n + 15}D"
+            return f"P{n}.5{unit[0].upper()}"
+        if kind == "span_set":
+            m = re.match(
+                rf"(?:each|every)\s+((?:{_MONTH_FULL_ALT})|(?:{_WEEKDAY_ALT}))",
+                s, re.I,
+            )
+            word = m.group(1).lower()
+            if word in _WEEKDAYS:
+                # TimeML recurring weekday: XXXX-WXX-D, ISO day number 1-7
+                return f"XXXX-WXX-{_WEEKDAYS[word] + 1}"
+            return f"XXXX-{_MONTHS[word]:02d}"
         if kind == "past_ref":
             return "PAST_REF"
         if kind == "future_ref":

@@ -26,6 +26,7 @@ def test_accuracy_report(tmp_path):
         "rel_day", "ago", "in_n", "past_ref", "future_ref", "present_ref",
         "season_year", "rel_season", "decade", "week_of", "time_of_day",
         "period_set", "month_day", "holiday", "day_offset", "clock_time",
+        "word_year", "frac_period", "span_set",
     } <= kinds, kinds
 
     out = tmp_path / "acc.json"

@@ -476,3 +476,118 @@ def test_bare_decade_words_are_ages_not_timexes():
     assert detect_timexes("she retired in her nineties") == []
     # with the article it is a decade
     assert _norm("the nineties") == "199X"
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # spelled tens/teens 13-99 in relative patterns
+        # (en.grammar:38-58 [Int:Tens] composition)
+        ("thirteen days ago", "2024-03-02"),
+        ("twenty days ago", "2024-02-24"),
+        ("twenty-one days ago", "2024-02-23"),
+        ("twenty one days ago", "2024-02-23"),   # space composition
+        ("forty-two weeks ago", "2023-W21"),
+        ("ninety-nine years ago", "1925"),
+        ("in seventeen days", "2024-04-01"),
+        ("in twenty-five weeks", "2024-W36"),
+        ("in sixty days", "2024-05-14"),
+        ("every thirty days", "P30D"),            # period_set composition
+    ],
+)
+def test_spelled_tens_relative_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # spelled-out years (en.grammar Int year halves)
+        ("nineteen ninety", "1990"),
+        ("nineteen ninety-nine", "1999"),
+        ("nineteen ninety nine", "1999"),
+        ("nineteen sixteen", "1916"),
+        ("nineteen hundred", "1900"),
+        ("twenty sixteen", "2016"),
+        ("twenty twenty", "2020"),
+        ("twenty twenty-one", "2021"),
+    ],
+)
+def test_word_year_values(surface, expected):
+    assert _norm(surface) == expected
+    # absolute: normalizes without an anchor too
+    assert _norm(surface, anchor=None) == expected
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # fractional periods (en.grammar:288-289 [Int] and a half [Unit]):
+        # years -> months, months -> days (30-day convention), else
+        # ISO-8601 decimal smallest component
+        ("a year and a half", "P18M"),
+        ("an year and a half", "P18M"),
+        ("one year and a half", "P18M"),
+        ("two and a half years", "P30M"),
+        ("twenty and a half years", "P246M"),
+        ("a month and a half", "P45D"),
+        ("two and a half months", "P75D"),
+        ("a week and a half", "P1.5W"),
+        ("three and a half weeks", "P3.5W"),
+        ("a day and a half", "P1.5D"),
+        ("ten and a half days", "P10.5D"),
+    ],
+)
+def test_frac_period_values(surface, expected):
+    assert _norm(surface) == expected
+    # durations are anchor-free
+    assert _norm(surface, anchor=None) == expected
+
+
+def test_frac_period_survives_in_prefix():
+    # "in a year and a half": the in_n lookahead must hand the span to
+    # frac_period (earliest-begin sweep gotcha)
+    det = detect_timexes("done in a year and a half from now")
+    kinds = [(d["kind"], d["surface"]) for d in det]
+    assert ("frac_period", "a year and a half") in kinds
+    assert all(k != "in_n" for k, _ in kinds)
+    # plain "in a year" stays in_n
+    det2 = detect_timexes("done in a year")
+    assert [(d["kind"]) for d in det2] == ["in_n"]
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # TimeSpanSet (en.grammar:526-532 each [FieldValue:Partial])
+        ("every monday", "XXXX-WXX-1"),
+        ("each wednesday", "XXXX-WXX-3"),
+        ("every sunday", "XXXX-WXX-7"),
+        ("each june", "XXXX-06"),
+        ("every December", "XXXX-12"),
+        ("each january", "XXXX-01"),
+    ],
+)
+def test_span_set_values(surface, expected):
+    assert _norm(surface) == expected
+    assert _norm(surface, anchor=None) == expected
+
+
+def test_span_set_beats_bare_weekday_and_spares_dates():
+    # "every monday" must be ONE set span, not a bare-weekday date
+    det = detect_timexes("we sync every monday at most")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("span_set", "every monday")
+    ]
+    # a dated expression after each/every keeps its date reading
+    det2 = detect_timexes("the every June 5, 2020 reunion")
+    assert [(d["kind"]) for d in det2] == ["month_day_year"]
+
+
+def test_word_year_does_not_eat_relative_numbers():
+    # "twenty five days ago" is the composed number 25, not year 2005
+    det = detect_timexes("it happened twenty five days ago")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("ago", "twenty five days ago")
+    ]
+    assert _norm("twenty five days ago") == "2024-02-19"
