@@ -1203,7 +1203,7 @@ ment_ann AS MATERIALIZED (
   FROM ment_id
 ),
 -- two planted timexes per turn: the slash date after ' on ' and the round-2/3
--- grammar suffix after ' revisit ' (kind = event_id % 11, fixtures.py). The
+-- grammar suffix after ' revisit ' (kind = event_id % 15, fixtures.py). The
 -- extras CTE re-derives the per-turn doc stats the char/token arithmetic
 -- needs (doc_len, doc word count, kind, date string) with the same
 -- deterministic row_number keys as the main derivation.
@@ -1212,7 +1212,7 @@ t_ext AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
          len(d.text) AS doc_len,
          len(string_split(d.text, ' ')) AS wd_doc,
-         CAST(e.event_id % 11 AS INT) AS k,
+         CAST(e.event_id % 15 AS INT) AS k,
          strftime(e.ts, '%-m/%-d/%Y') AS datestr
   FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
   WHERE d.doc_id < 500
@@ -1242,7 +1242,11 @@ tmx2 AS (
                     WHEN 7 THEN 'christmas'
                     WHEN 8 THEN 'the 19th century'
                     WHEN 9 THEN 'next weekend'
-                    ELSE 'early ' || CAST(year(w.ts) - 1 AS VARCHAR)
+                    WHEN 10 THEN 'early ' || CAST(year(w.ts) - 1 AS VARCHAR)
+                    WHEN 11 THEN 'twenty-one days ago'
+                    WHEN 12 THEN 'nineteen ninety seven'
+                    WHEN 13 THEN 'two and a half weeks'
+                    ELSE 'every monday'
            END AS surface2,
            make_date(year(w.ts) - 1, 3, 5) AS md1,
            make_date(year(w.ts), 3, 5) AS md2,
@@ -1282,10 +1286,15 @@ tmx AS (
                 WHEN 7 THEN strftime(hd_pick, '%Y-%m-%d')
                 WHEN 8 THEN '18'
                 WHEN 9 THEN strftime(CAST(ts AS DATE) + 7, '%G-W%V') || '-WE'
-                ELSE CAST(year(ts) - 1 AS VARCHAR)
+                WHEN 10 THEN CAST(year(ts) - 1 AS VARCHAR)
+                WHEN 11 THEN strftime(CAST(ts AS DATE) - 21, '%Y-%m-%d')
+                WHEN 12 THEN '1997'
+                WHEN 13 THEN 'P2.5W'
+                ELSE 'XXXX-WXX-1'
          END AS normed,
          CAST(wd_doc + CASE k WHEN 2 THEN 13 WHEN 3 THEN 9 WHEN 7 THEN 7
-                              WHEN 8 THEN 9 ELSE 8 END AS INT) AS t_tok_e,
+                              WHEN 8 THEN 9 WHEN 11 THEN 9 WHEN 12 THEN 9
+                              WHEN 13 THEN 11 ELSE 8 END AS INT) AS t_tok_e,
          -- tlink label vs the anchor (= date(ts)): past seasons/decades/
          -- centuries/years are always 'after'; the anchor's own ISO week
          -- begins-on/ends-on/contains it; a SET value has no interval ->
@@ -1305,6 +1314,14 @@ tmx AS (
                                   WHEN anchor_date > hd_pick THEN 'after'
                                   ELSE 'overlap' END)
                 WHEN 9 THEN 'before'
+                -- k=11: a single day strictly before the anchor -> 'after';
+                -- k=12: year-1997 interval vs the anchor, exact; k=13/14:
+                -- duration / recurring-set values have no interval -> 'none'
+                WHEN 12 THEN (CASE WHEN anchor_date < DATE '1997-01-01' THEN 'before'
+                                   WHEN anchor_date > DATE '1997-12-31' THEN 'after'
+                                   ELSE 'overlap' END)
+                WHEN 13 THEN 'none'
+                WHEN 14 THEN 'none'
                 ELSE 'after' END AS lbl
   FROM tmx2
 ),
