@@ -1062,7 +1062,38 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver's correctness gate covers the FIRST 50 registry entries;
+    # the registry holds 68, so coverage rotates each round. Round-3 order:
+    # (a) the 18 queries with no r2 driver row lead (10 first-landed late in
+    #     round 2 + 8 whose only green row is from round 1);
+    # (b) then every query whose output changed this round — the timex-cycle
+    #     extension (% 15) reflows all transcript-derived results, and the
+    #     ntriples/kcore/node_degree code changed;
+    # (c) the tail 18 rotate OUT: 11 documents-table queries whose code and
+    #     inputs are untouched this round (r2 driver rows remain valid
+    #     verbatim) + 7 transcript-derived queries re-verified this round by
+    #     tools/verify_oracle.py (reports/oracle_verify_r03.json).
     return {
+        # (a) never-driver-verified-since-landing — rotate IN
+        "text_vocab": _q_vocab,
+        "text_countmin": _q_countmin,
+        "text_pack": _q_pack,
+        "text_sample_stratified": _q_text_sample,
+        "text_length_quantiles": _q_length_quantiles,
+        "kg_cooccur": _q_cooccur,
+        "text_tfidf": _q_tfidf,
+        "text_redact": _q_text_redact,
+        "text_curate": _q_text_curate,
+        "sim_label_centroids": _q_label_centroids,
+        "kg_degree_histogram": _q_degree_histogram,
+        "sim_topk_bruteforce": _q_topk_bruteforce,
+        "sim_topk_lsh": _q_topk_lsh,
+        "sim_topk_ivf": _q_topk_ivf,
+        "sim_topk_ivf_indexed": _q_topk_ivf_indexed,
+        "mm_media_features": _q_media_features,
+        "mm_media_resize": _q_media_resize,
+        "mm_media_frames": _q_media_frames,
+        # (b) outputs changed this round (timex cycle / code changes)
         "kg_transcripts": _q_transcripts,
         "kg_attribution": _q_attribution,
         "kg_mentions": _q_mentions,
@@ -1090,12 +1121,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conmod": _q_conmod,
         "kg_timeline_summary": _q_timeline_summary,
         "kg_cross_turn_edges": _q_cross_turn_edges,
-        "kg_canon_nodes": _q_canon_nodes,
         "kg_node_degree": _q_node_degree,
         "kg_pagerank": _q_pagerank,
         "kg_components": _q_components,
         "kg_episodes": _q_episodes,
         "kg_kcore": _q_kcore,
+        # (c) rotate OUT this round (below the 50-entry window)
+        "kg_canon_nodes": _q_canon_nodes,
         "kg_conv_stats": _q_conv_stats,
         "kg_top_entities": _q_top_entities,
         "kg_tool_transitions": _q_tool_transitions,
@@ -1113,24 +1145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
-        "text_vocab": _q_vocab,
-        "text_countmin": _q_countmin,
-        "text_pack": _q_pack,
-        "text_sample_stratified": _q_text_sample,
-        "text_length_quantiles": _q_length_quantiles,
-        "kg_cooccur": _q_cooccur,
-        "text_tfidf": _q_tfidf,
-        "text_redact": _q_text_redact,
-        "text_curate": _q_text_curate,
-        "sim_label_centroids": _q_label_centroids,
-        "kg_degree_histogram": _q_degree_histogram,
-        "sim_topk_bruteforce": _q_topk_bruteforce,
-        "sim_topk_lsh": _q_topk_lsh,
-        "sim_topk_ivf": _q_topk_ivf,
-        "sim_topk_ivf_indexed": _q_topk_ivf_indexed,
-        "mm_media_features": _q_media_features,
-        "mm_media_resize": _q_media_resize,
-        "mm_media_frames": _q_media_frames,
     }
 
 

@@ -572,7 +572,12 @@ def connected_components(edges: DataFrame, *, rounds: int = 6) -> DataFrame:
     the distance to the component minimum each round, so ``rounds`` = r
     converges every component of min-label eccentricity <= ~2^r (r=6 covers
     any graph this pipeline builds; convergence is pytest-asserted on chain
-    fixtures). Result is well-defined for any graph as "labels after r
+    fixtures). Sizing caveat measured at 1.5M nodes (tools/
+    scale_evidence.py): a LEXICOGRAPHIC minimum sitting mid-path (string
+    ids — "10000" < "9984") forms a competing attractor that absorbs its
+    neighborhood before draining to the true minimum, so budget
+    ~log2(diameter)+1 rounds with a +1..2 margin rather than the bare
+    log; at diameter 33 the exact need is 7, not 6. Result is well-defined for any graph as "labels after r
     compound rounds" — same spec in the SQL oracle.
 
     Scale shape: per round, one shuffle keyed on node for the neighbor-min

@@ -3,11 +3,16 @@ __spark_entry__.queries() entry on Spark and its oracle_sql() twin on DuckDB
 at the same sf, then compare row count, column names, and order-insensitive
 values (columns sorted by name, rows sorted, exact equality).
 
-Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+Usage: python tools/verify_oracle.py [sf_dir] [query ...] [--out report.json]
+
+With --out, the per-query results land as a JSON artifact in the same shape
+as the driver's CORRECTNESS files (rows/schema/hash matches + row counts),
+so out-of-driver-window verification runs are committable evidence.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -40,8 +45,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from kgpipe.session import get_spark
 
@@ -53,6 +64,7 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -61,6 +73,8 @@ def main() -> int:
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name:24s} rows-only: {len(sdf)} rows  ({t_spark:.1f}s)")
+            report[name] = {"rows_only": True, "spark_rows": len(sdf),
+                            "err": None if len(sdf) else "0 rows"}
             if len(sdf) == 0:
                 failures.append((name, "0 rows on rows-only query"))
             continue
@@ -80,10 +94,23 @@ def main() -> int:
             ex = a[bad].head(3), b[bad].head(3)
             status += f"\n  spark:\n{ex[0]}\n  duck:\n{ex[1]}"
         print(f"  {name:24s} {len(a):7d} rows  spark={t_spark:5.1f}s duck={t_duck:4.1f}s  {status.splitlines()[0]}")
-        if status != "OK":
+        ok = status == "OK"
+        report[name] = {
+            "rows_match": len(a) == len(b),
+            "schema_match": list(a.columns) == list(b.columns),
+            "hash_match": ok,
+            "spark_rows": len(a),
+            "oracle_rows": len(b),
+            "err": None if ok else status.splitlines()[0],
+        }
+        if not ok:
             failures.append((name, status))
 
     print()
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": report}, f, indent=2)
+        print(f"report: {out_path}")
     if failures:
         for n, s in failures:
             print(f"FAIL {n}: {s}")
