@@ -54,6 +54,13 @@ _MONTH_FULL_ALT = "|".join(sorted(_MONTH_FULL, key=len, reverse=True))
 _MONTH_ABBR_ALT = "|".join(
     sorted((m for m in _MONTHS if m not in _MONTH_FULL), key=len, reverse=True)
 )
+# every month token (full or abbreviated) contains one of the 12
+# three-letter abbreviations as a substring — the necessary-condition
+# prefilter for the month patterns
+_MONTH_QUICK = (
+    "jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep",
+    "oct", "nov", "dec",
+)
 
 _WEEKDAYS = {
     "monday": 0, "tuesday": 1, "wednesday": 2, "thursday": 3,
@@ -356,9 +363,12 @@ _DIGIT_RE = re.compile(r"\d")
 _QUICK_KEYS = {
     "iso_date": "digit",
     "slash_date": ("/",),
-    "month_day_year": "digit",
-    "month_year": "digit",
-    "month_day": "digit",
+    # month patterns need a month WORD, not just a digit — every corpus
+    # turn carries digits (dates), so the word check is the discriminating
+    # prefilter; the 12 abbreviations are substrings of their full names
+    "month_day_year": _MONTH_QUICK,
+    "month_year": _MONTH_QUICK,
+    "month_day": _MONTH_QUICK,
     "holiday": ("christmas", "xmas", "halloween", "thanksgiving", "new year"),
     "ago": ("ago", "earlier"),
     "month_rel_year": ("year",),
@@ -371,7 +381,9 @@ _QUICK_KEYS = {
     "span_set": ("each", "every"),
     "in_n": ("in",),
     "day_offset": ("day before", "day after"),
-    "clock_time": "digit",
+    # every match spells am/pm (optionally dotted) — "example" false-hits
+    # the substring check, which is fine for a necessary-condition filter
+    "clock_time": ("am", "pm", "a.m", "p.m"),
     "noon_midnight": ("noon", "midday", "midnight"),
     # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
     # extends 3 words left of its first digit
