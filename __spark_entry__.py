@@ -1217,7 +1217,7 @@ ment_ann AS MATERIALIZED (
   FROM ment_id
 ),
 -- two planted timexes per turn: the slash date after ' on ' and the round-2/3
--- grammar suffix after ' revisit ' (kind = event_id % 15, fixtures.py). The
+-- grammar suffix after ' revisit ' (kind = event_id % 18, fixtures.py). The
 -- extras CTE re-derives the per-turn doc stats the char/token arithmetic
 -- needs (doc_len, doc word count, kind, date string) with the same
 -- deterministic row_number keys as the main derivation.
@@ -1226,7 +1226,7 @@ t_ext AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
          len(d.text) AS doc_len,
          len(string_split(d.text, ' ')) AS wd_doc,
-         CAST(e.event_id % 15 AS INT) AS k,
+         CAST(e.event_id % 18 AS INT) AS k,
          strftime(e.ts, '%-m/%-d/%Y') AS datestr
   FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
   WHERE d.doc_id < 500
@@ -1260,7 +1260,10 @@ tmx2 AS (
                     WHEN 11 THEN 'twenty-one days ago'
                     WHEN 12 THEN 'nineteen ninety seven'
                     WHEN 13 THEN 'two and a half weeks'
-                    ELSE 'every monday'
+                    WHEN 14 THEN 'every monday'
+                    WHEN 15 THEN 'the end of the month'
+                    WHEN 16 THEN 'every morning'
+                    ELSE 'june of ' || CAST(year(w.ts) AS VARCHAR)
            END AS surface2,
            make_date(year(w.ts) - 1, 3, 5) AS md1,
            make_date(year(w.ts), 3, 5) AS md2,
@@ -1304,11 +1307,15 @@ tmx AS (
                 WHEN 11 THEN strftime(CAST(ts AS DATE) - 21, '%Y-%m-%d')
                 WHEN 12 THEN '1997'
                 WHEN 13 THEN 'P2.5W'
-                ELSE 'XXXX-WXX-1'
+                WHEN 14 THEN 'XXXX-WXX-1'
+                WHEN 15 THEN strftime(ts, '%Y-%m')
+                WHEN 16 THEN 'XXXX-XX-XXTMO'
+                ELSE printf('%04d-06', year(ts))
          END AS normed,
          CAST(wd_doc + CASE k WHEN 2 THEN 13 WHEN 3 THEN 9 WHEN 7 THEN 7
                               WHEN 8 THEN 9 WHEN 11 THEN 9 WHEN 12 THEN 9
-                              WHEN 13 THEN 11 ELSE 8 END AS INT) AS t_tok_e,
+                              WHEN 13 THEN 11 WHEN 15 THEN 11
+                              WHEN 17 THEN 9 ELSE 8 END AS INT) AS t_tok_e,
          -- tlink label vs the anchor (= date(ts)): past seasons/decades/
          -- centuries/years are always 'after'; the anchor's own ISO week
          -- begins-on/ends-on/contains it; a SET value has no interval ->
@@ -1329,13 +1336,27 @@ tmx AS (
                                   ELSE 'overlap' END)
                 WHEN 9 THEN 'before'
                 -- k=11: a single day strictly before the anchor -> 'after';
-                -- k=12: year-1997 interval vs the anchor, exact; k=13/14:
-                -- duration / recurring-set values have no interval -> 'none'
+                -- k=12: year-1997 interval vs the anchor, exact; k=13/14/16:
+                -- duration / recurring-set values have no interval -> 'none';
+                -- k=15: the anchor sits inside its own month (begins-on /
+                -- ends-on at the month edges); k=17: June-of-anchor-year
+                -- interval vs the anchor, exact
                 WHEN 12 THEN (CASE WHEN anchor_date < DATE '1997-01-01' THEN 'before'
                                    WHEN anchor_date > DATE '1997-12-31' THEN 'after'
                                    ELSE 'overlap' END)
                 WHEN 13 THEN 'none'
                 WHEN 14 THEN 'none'
+                WHEN 15 THEN (CASE
+                    WHEN anchor_date = date_trunc('month', anchor_date) THEN 'begins-on'
+                    WHEN anchor_date = last_day(anchor_date) THEN 'ends-on'
+                    ELSE 'contains-1' END)
+                WHEN 16 THEN 'none'
+                WHEN 17 THEN (CASE
+                    WHEN anchor_date < make_date(year(ts), 6, 1) THEN 'before'
+                    WHEN anchor_date > make_date(year(ts), 6, 30) THEN 'after'
+                    WHEN anchor_date = make_date(year(ts), 6, 1) THEN 'begins-on'
+                    WHEN anchor_date = make_date(year(ts), 6, 30) THEN 'ends-on'
+                    ELSE 'contains-1' END)
                 ELSE 'after' END AS lbl
   FROM tmx2
 ),

@@ -183,8 +183,8 @@ def synthetic_transcripts_df(
 # decades, week-of, period sets, times of day, year-less month-day, holidays
 # — the last two exercising W7 nearest-year resolution — plus round 3's
 # centuries, weekends and WithModifier prefixes, plus round 4's spelled
-# tens, spelled-out years, fractional periods and TimeSpanSets) keyed on
-# event_id % 15 — every kind
+# tens, spelled-out years, fractional periods, TimeSpanSets, bound units,
+# time-of-day sets and of-phrasings) keyed on event_id % 18 — every kind
 # gets driver-corpus coverage with DuckDB-replayable normalization. All
 # suffix words are outside the gazetteer and the DTR/conmod marker sets, so
 # mention extraction and the marker scorers are unaffected.
@@ -200,7 +200,7 @@ SELECT
     ELSE 'tool'
   END AS role,
   d.text || ' on ' || {date_expr} ||
-  CASE CAST(e.event_id % 15 AS INT)
+  CASE CAST(e.event_id % 18 AS INT)
     WHEN 0 THEN ' revisit summer ' || CAST(year(e.ts) - 1 AS {str_type})
     WHEN 1 THEN ' revisit the 1990s'
     WHEN 2 THEN ' revisit week of ' || {date_expr}
@@ -215,7 +215,10 @@ SELECT
     WHEN 11 THEN ' revisit twenty-one days ago'
     WHEN 12 THEN ' revisit nineteen ninety seven'
     WHEN 13 THEN ' revisit two and a half weeks'
-    ELSE ' revisit every monday'
+    WHEN 14 THEN ' revisit every monday'
+    WHEN 15 THEN ' revisit the end of the month'
+    WHEN 16 THEN ' revisit every morning'
+    ELSE ' revisit june of ' || CAST(year(e.ts) AS {str_type})
   END AS text,
   CASE WHEN e.event_type = 'error' THEN 'logger' ELSE NULL END AS tool,
   e.ts AS ts

@@ -103,7 +103,9 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "month_day_year",
         re.compile(rf"\b({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}\b", re.I),
     ),
-    ("month_year", re.compile(rf"\b({_MONTH_ALT})\.?\s+\d{{4}}\b", re.I)),
+    # "June 2019" and the "[FieldValue] of [TimeSpan]" phrasing "June of
+    # 2019" (en.grammar:474)
+    ("month_year", re.compile(rf"\b({_MONTH_ALT})\.?\s+(?:of\s+)?\d{{4}}\b", re.I)),
     # year-less month-day ("March 5", "March 5th") — the canonical W7 case:
     # three candidate years (anchor-1, anchor, anchor+1) ranked by
     # rank_parses nearest-start (TEP.scala:238-243)
@@ -256,22 +258,55 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "weekend",
         re.compile(r"\b(?:(?:last|next|this)\s+weekend|the\s+weekend)\b", re.I),
     ),
-    # modifier prefixes — en.grammar:489-498 WithModifier (EARLY/MID/LATE/
-    # APPROX). TimeML keeps the VALUE of the inner expression and carries the
-    # modifier in a separate `mod` attribute the output schema does not
-    # include, so normalization = inner value; detection widens the span to
-    # cover the modifier (longest-span-wins hands the whole phrase here).
-    # The inner alternation is the closed set of kinds a modifier can
+    # modifier prefixes — en.grammar:489-499 WithModifier (EARLY/MID/LATE/
+    # APPROX/AFTER). TimeML keeps the VALUE of the inner expression and
+    # carries the modifier in a separate `mod` attribute the output schema
+    # does not include, so normalization = inner value; detection widens the
+    # span to cover the modifier (longest-span-wins hands the whole phrase
+    # here). The inner alternation is the closed set of kinds a modifier can
     # grammatically scope over in our rule library.
     (
         "modified",
         re.compile(
-            r"\b(?:the\s+)?(?:early|mid|late|middle\s+of|about|around|almost)\s+"
+            r"\b(?:the\s+)?(?:early|mid|late|middle\s+of|about|around|almost"
+            r"|post)\s+"
             r"(?:(?:the\s+)?(?:19|20)?\d0s|'\d0s"          # decade
             rf"|(?:{_MONTH_ALT})\.?\s+\d{{4}}"             # month-year
             r"|(?:19|20)\d{2}"                             # bare year
             r"|(?:spring|summer|fall|autumn|winter)\s+(?:of\s+)?\d{4}"
             r"|(?:last|next|this)\s+(?:week|month|year|quarter))\b",
+            re.I,
+        ),
+    ),
+    # modifier SUFFIXES — en.grammar:500-503 ("[TimeSpan] or later/earlier",
+    # "and beyond/before" -> ON_OR_AFTER/ON_OR_BEFORE): value = inner year,
+    # mod dropped (same convention as the prefix rules)
+    (
+        "suffix_modified",
+        re.compile(
+            r"\b((?:19|20)\d{2})\s+(?:or\s+(?:later|earlier)"
+            r"|and\s+(?:beyond|before))\b",
+            re.I,
+        ),
+    ),
+    # "beginning/start/end of the [Unit]" — en.grammar:481-494 WithModifier
+    # START/END over FindEnclosing PRESENT [Unit]: value = the anchor's
+    # enclosing unit, mod dropped
+    (
+        "bound_unit",
+        re.compile(
+            r"\b(?:the\s+)?(beginning|start|end)\s+of\s+(?:the\s+)?"
+            r"(week|month|year|quarter)\b",
+            re.I,
+        ),
+    ),
+    # recurring times of day — en.grammar:508-511,526-532: "every morning",
+    # "mornings" -> TIMEX3 SET XXXX-XX-XXTMO/TAF/TEV/TNI
+    (
+        "tod_set",
+        re.compile(
+            r"\b(?:(?:every|each)\s+(morning|afternoon|evening|night)"
+            r"|(mornings|afternoons|evenings|nights))\b",
             re.I,
         ),
     ),
@@ -346,11 +381,23 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ),
     (
         "future_ref",
-        re.compile(r"\b(soon|eventually|in\s+the\s+future)\b", re.I),
+        # "later date"/"later time" are the grammar's Solo FUTURE rules
+        # (en.grammar:359-360)
+        re.compile(
+            r"\b(soon|eventually|in\s+the\s+future"
+            r"|(?:at\s+a\s+)?later\s+(?:date|time))\b",
+            re.I,
+        ),
     ),
     (
         "present_ref",
-        re.compile(r"\b(currently|presently|at\s+present|right\s+now|now)\b", re.I),
+        # "these days"/"this moment" are Solo PRESENT rules
+        # (en.grammar:354-355)
+        re.compile(
+            r"\b(currently|presently|at\s+present|right\s+now|now"
+            r"|these\s+days|(?:at\s+)?this\s+moment|at\s+the\s+moment)\b",
+            re.I,
+        ),
     ),
     ("bare_year", re.compile(r"\b(19|20)\d{2}\b")),
 ]
@@ -397,6 +444,14 @@ _QUICK_KEYS = {
     # prefilter only — "mid" also hits "midnight" etc.; the regex decides
     "modified": (
         "early", "mid", "late", "middle of", "about", "around", "almost",
+        "post",
+    ),
+    "suffix_modified": ("or later", "or earlier", "and beyond", "and before"),
+    "bound_unit": ("beginning of", "start of", "end of"),
+    "tod_set": (
+        "mornings", "afternoons", "evenings", "nights",
+        "every morning", "every afternoon", "every evening", "every night",
+        "each morning", "each afternoon", "each evening", "each night",
     ),
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
@@ -409,8 +464,10 @@ _QUICK_KEYS = {
     ),
     "rel_day": ("yesterday", "today", "tomorrow"),
     "past_ref": ("recently", "previously", "formerly", "past"),
-    "future_ref": ("soon", "eventually", "future"),
-    "present_ref": ("currently", "presently", "present", "now"),
+    "future_ref": ("soon", "eventually", "future", "later date", "later time"),
+    "present_ref": (
+        "currently", "presently", "present", "now", "these days", "moment",
+    ),
     "bare_year": "digit",
 }
 
@@ -566,10 +623,22 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             month = _MONTHS[m.group(1).lower()]
             return _fmt_day(dt.date(int(m.group(3)), month, int(m.group(2))))
         if kind == "month_year":
-            m = re.match(rf"({_MONTH_ALT})\.?\s+(\d{{4}})", s, re.I)
+            m = re.match(rf"({_MONTH_ALT})\.?\s+(?:of\s+)?(\d{{4}})", s, re.I)
             if not m:
                 return None
             return _fmt_month(int(m.group(2)), _MONTHS[m.group(1).lower()])
+        if kind == "suffix_modified":
+            # "[year] or later/earlier", "and beyond/before": inner value,
+            # ON_OR_AFTER/ON_OR_BEFORE mod outside the schema
+            m = re.match(r"((?:19|20)\d{2})", s)
+            return m.group(1)
+        if kind == "tod_set":
+            m = re.search(
+                r"(morning|afternoon|evening|night)", s, re.I
+            )
+            part = {"morning": "MO", "afternoon": "AF", "evening": "EV",
+                    "night": "NI"}[m.group(1).lower()]
+            return f"XXXX-XX-XXT{part}"
         if kind == "bare_year":
             return f"{int(s):04d}"
         if kind == "quarter_year":
@@ -613,7 +682,8 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             # strip the modifier, re-detect the inner expression, emit its
             # value (the TimeML `mod` attribute is outside our schema)
             m = re.match(
-                r"(?:the\s+)?(early|mid|late|middle\s+of|about|around|almost)\s+(.*)$",
+                r"(?:the\s+)?(early|mid|late|middle\s+of|about|around|almost"
+                r"|post)\s+(.*)$",
                 s, re.I,
             )
             inner = detect_timexes(m.group(2))
@@ -719,6 +789,18 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             m = re.match(r"(last|next|this|the)\s+weekend", s, re.I)
             delta = {"last": -1, "next": 1, "this": 0, "the": 0}[m.group(1).lower()]
             return _fmt_week(anchor + dt.timedelta(days=7 * delta)) + "-WE"
+        if kind == "bound_unit":
+            # value = the anchor's enclosing unit (WithModifier START/END
+            # over FindEnclosing PRESENT [Unit]; mod dropped)
+            m = re.search(r"(week|month|year|quarter)", s, re.I)
+            unit = m.group(1).lower()
+            if unit == "week":
+                return _fmt_week(anchor)
+            if unit == "month":
+                return _fmt_month(anchor.year, anchor.month)
+            if unit == "quarter":
+                return f"{anchor.year:04d}-Q{(anchor.month - 1) // 3 + 1}"
+            return f"{anchor.year:04d}"
         if kind == "rel_unit":
             m = re.match(
                 r"(?:the\s+)?(last|next|this|following|preceding|coming|past)\s+"

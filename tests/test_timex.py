@@ -591,3 +591,74 @@ def test_word_year_does_not_eat_relative_numbers():
         ("ago", "twenty five days ago")
     ]
     assert _norm("twenty five days ago") == "2024-02-19"
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # "[FieldValue] of [TimeSpan]" month-year (en.grammar:474)
+        ("june of 2019", "2019-06"),
+        ("March of 2021", "2021-03"),
+        # beginning/start/end of the unit (en.grammar:481-494; mod dropped)
+        ("the end of the month", "2024-03"),
+        ("the beginning of the year", "2024"),
+        ("start of the quarter", "2024-Q1"),
+        ("end of the week", "2024-W11"),
+        # suffix modifiers (en.grammar:500-503; mod dropped)
+        ("2019 or later", "2019"),
+        ("2019 and beyond", "2019"),
+        ("2021 or earlier", "2021"),
+        ("2021 and before", "2021"),
+        # post prefix (en.grammar:499)
+        ("post 2019", "2019"),
+    ],
+)
+def test_round4b_grammar_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # recurring times of day (en.grammar:508-511,526-532)
+        ("every morning", "XXXX-XX-XXTMO"),
+        ("each afternoon", "XXXX-XX-XXTAF"),
+        ("every evening", "XXXX-XX-XXTEV"),
+        ("each night", "XXXX-XX-XXTNI"),
+        ("mornings", "XXXX-XX-XXTMO"),
+        ("nights", "XXXX-XX-XXTNI"),
+    ],
+)
+def test_tod_set_values(surface, expected):
+    assert _norm(surface) == expected
+    assert _norm(surface, anchor=None) == expected  # anchor-free sets
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        ("these days", "PRESENT_REF"),
+        ("at the moment", "PRESENT_REF"),
+        ("this moment", "PRESENT_REF"),
+        ("at a later date", "FUTURE_REF"),
+        ("later time", "FUTURE_REF"),
+    ],
+)
+def test_ref_synonyms(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_round4b_sweep_interactions():
+    # "June of 2019" must be ONE month_year span, not month + bare year
+    det = detect_timexes("shipping june of 2019 maybe")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("month_year", "june of 2019")
+    ]
+    # "every morning" must not fall into period_set or time_of_day
+    det = detect_timexes("we sync every morning ok")
+    assert [(d["kind"]) for d in det] == ["tod_set"]
+    # "2019 or later" beats bare_year (same begin, longer)
+    det = detect_timexes("valid 2019 or later ok")
+    assert [(d["kind"]) for d in det] == ["suffix_modified"]
+    # plain "later" alone detects nothing
+    assert detect_timexes("see you later") == []
