@@ -330,6 +330,9 @@ def turn_triples(
     tokens = tokens_for_mode(
         [t["text"] for t in token_rows], [t["is_newline"] for t in token_rows], "dtr"
     )
+    # the (normed, anchor) -> label map is per-TIMEX, not per-pair: compute
+    # once per turn instead of once per (mention, timex) combination
+    label_by_timex = [tlink_label(t["normed"], anchor) for t in relevant]
     for mi, m in enumerate(positive):
         m_id = ids[(0, mi)]
         triple(
@@ -354,7 +357,7 @@ def turn_triples(
                 tokens,
             )
             label = apply_inversion(
-                tlink_label(t["normed"], anchor), t["begin"], m["begin"]
+                label_by_timex[ti], t["begin"], m["begin"]
             )
             triple(
                 m_id, "tlink:" + label, ids[(1, ti)],

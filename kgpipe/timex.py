@@ -544,18 +544,19 @@ def detect_timexes(text: str):
             candidates.append((m.start(), -(m.end() - m.start()), prio, m.end(), kind))
     candidates.sort()
     out = []
-    taken_until = -1
     # greedy sweep: sort by (begin, -len, prio); a span is kept iff it does
-    # not overlap an already-kept span
-    kept: List[Tuple[int, int]] = []
+    # not overlap an already-kept span. Because candidates arrive in
+    # begin-ascending order and kept spans are non-overlapping, kept END
+    # offsets ascend too — so "overlaps any kept span" reduces to
+    # "begin < end of the last kept span": O(n) instead of O(n * kept)
+    taken_until = -1
     for begin, neglen, prio, end, kind in candidates:
-        if any(b < end and begin < e for b, e in kept):
+        if begin < taken_until:
             continue
-        kept.append((begin, end))
+        taken_until = end
         out.append(
             {"begin": begin, "end": end, "surface": text[begin:end], "kind": kind}
         )
-    out.sort(key=lambda d: d["begin"])
     return out
 
 
