@@ -1067,7 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (a) the 18 queries with no r2 driver row lead (10 first-landed late in
     #     round 2 + 8 whose only green row is from round 1);
     # (b) then every query whose output changed this round — the timex-cycle
-    #     extension (% 15) reflows all transcript-derived results, and the
+    #     extension (% 18) reflows all transcript-derived results, and the
     #     ntriples/kcore/node_degree code changed;
     # (c) the tail 18 rotate OUT: 11 documents-table queries whose code and
     #     inputs are untouched this round (r2 driver rows remain valid
