@@ -763,6 +763,45 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textops.contamination): every 10th doc is
+    the held-out 'benchmark', the rest the training corpus; 8-gram overlap
+    fraction per benchmark doc, floor-scaled for cross-engine bit parity."""
+    from kgpipe.textops import contamination
+
+    docs = _documents(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    c = contamination(corpus, bench, n=8, threshold=0.5, raw=True)
+    return c.select(
+        "doc_id", "n_shingles", "n_matched",
+        F.floor(F.col("contamination") * 1e6).cast("bigint").alias(
+            "contamination_e6"
+        ),
+        "flagged",
+    )
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (textops.repetition_stats),
+    floor-scaled."""
+    from kgpipe.textops import repetition_stats
+
+    r = repetition_stats(_documents(spark, sf_dir), raw=True)
+    return r.select(
+        "doc_id", "n_tokens",
+        F.floor(F.col("top_token_fraction") * 1e6).cast("bigint").alias(
+            "top_token_fraction_e6"
+        ),
+        F.floor(F.col("top_bigram_fraction") * 1e6).cast("bigint").alias(
+            "top_bigram_fraction_e6"
+        ),
+        F.floor(F.col("dup_trigram_fraction") * 1e6).cast("bigint").alias(
+            "dup_trigram_fraction_e6"
+        ),
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = doc_fingerprint(_documents(spark, sf_dir), n=3, keep=4)
     return fp.select(
@@ -1145,6 +1184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
+        # new this round (below the window; locally verified, rotate in
+        # next round)
+        "text_contamination": _q_text_contamination,
+        "text_repetition": _q_text_repetition,
     }
 
 
@@ -2868,6 +2911,70 @@ SELECT d.doc_id,
 FROM docs d
 LEFT JOIN l6 l ON l.node = d.doc_id
 LEFT JOIN sizes s ON s.label = l.label
+""",
+        # benchmark decontamination twin: every 10th doc is the benchmark,
+        # 8-gram shingles, corpus side collapsed to its distinct shingle set
+        "text_contamination": """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+cs AS (SELECT doc_id, string_split(text, ' ') AS ws,
+              len(string_split(text, ' ')) AS n FROM corpus),
+bs AS (SELECT doc_id, string_split(text, ' ') AS ws,
+              len(string_split(text, ' ')) AS n FROM bench),
+csh AS (
+  SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS shingle
+  FROM (SELECT ws, UNNEST(generate_series(1, greatest(n - 7, 1))) AS i FROM cs)
+),
+bsh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS shingle
+  FROM (SELECT doc_id, ws,
+               UNNEST(generate_series(1, greatest(n - 7, 1))) AS i FROM bs)
+),
+per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM bsh GROUP BY doc_id),
+hits AS (
+  SELECT b.doc_id, COUNT(*) AS n_matched
+  FROM bsh b JOIN csh c ON b.shingle = c.shingle GROUP BY b.doc_id
+)
+SELECT p.doc_id, p.n_shingles,
+       COALESCE(h.n_matched, 0) AS n_matched,
+       CAST(FLOOR(COALESCE(h.n_matched, 0) / CAST(p.n_shingles AS DOUBLE) * 1e6)
+            AS BIGINT) AS contamination_e6,
+       COALESCE(h.n_matched, 0) / CAST(p.n_shingles AS DOUBLE) >= 0.5 AS flagged
+FROM per p LEFT JOIN hits h USING (doc_id)
+""",
+        # Gopher-repetition twin: per-gram counts -> per-doc max/sum ratios
+        "text_repetition": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                  len(string_split(text, ' ')) AS n FROM documents),
+c1 AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM (
+    SELECT doc_id, UNNEST(ws) AS gram FROM d
+  ) GROUP BY doc_id, gram
+),
+s1 AS (SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS f FROM c1 GROUP BY doc_id),
+c2 AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM (
+    SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+    FROM (SELECT doc_id, ws, UNNEST(generate_series(1, n - 1)) AS i
+          FROM d WHERE n >= 2)
+  ) GROUP BY doc_id, gram
+),
+s2 AS (SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS f FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, ws, UNNEST(generate_series(1, n - 2)) AS i
+        FROM d WHERE n >= 3)
+),
+s3 AS (
+  SELECT doc_id, 1.0 - COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE) AS f
+  FROM g3 GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n AS INT) AS n_tokens,
+       CAST(FLOOR(COALESCE(s1.f, 0) * 1e6) AS BIGINT) AS top_token_fraction_e6,
+       CAST(FLOOR(COALESCE(s2.f, 0) * 1e6) AS BIGINT) AS top_bigram_fraction_e6,
+       CAST(FLOOR(COALESCE(s3.f, 0) * 1e6) AS BIGINT) AS dup_trigram_fraction_e6
+FROM d LEFT JOIN s1 USING (doc_id) LEFT JOIN s2 USING (doc_id)
+       LEFT JOIN s3 USING (doc_id)
 """,
         "dedup_jaccard": _ORACLE_JACCARD,
         "dedup_simhash": _ORACLE_SIMHASH,

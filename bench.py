@@ -88,9 +88,11 @@ def _headline(spark):
     def cross_turn():
         # mentions_f has exactly one consumer here -> no persist: the edge
         # query is annotate -> explode -> filter -> turn-agg -> lead window,
-        # one straight-line plan
+        # one straight-line plan. timexes=False: edges never read timexes,
+        # so the Arrow stage skips detection (~35% of per-turn CPU)
         ann = build_annotations(
-            t, E._GAZ, E._BLACKLIST, DEFAULT_CONFIG, persist=False
+            t, E._GAZ, E._BLACKLIST, DEFAULT_CONFIG, persist=False,
+            timexes=False,
         )
         return cross_turn_event_edges(ann["mentions_f"], DEFAULT_CONFIG)
 

@@ -95,10 +95,17 @@ def annotate_turn(
     gazetteer,
     blacklist,
     cfg: PipelineConfig,
+    with_timexes: bool = True,
 ):
     """Annotate one turn. Returns (anchor_date, tokens, mentions, timexes)
     where the three lists hold dicts shaped like schemas.TOKEN_STRUCT /
     MENTION_STRUCT / TIMEX_STRUCT.
+
+    ``with_timexes=False`` skips timex detection+normalization entirely
+    (returns an empty timex list) — the fast path for consumers that only
+    read mentions (cross-turn edges, rollups, canonicalization; detection
+    is ~35% of per-turn CPU). Mention rows are identical either way — only
+    the separate W1 id-assignment stage mixes timexes into mention ids.
 
     Mentions are RAW (pre TUI/blacklist/conmod filtering): the structured
     Spark path applies F1/F2/F4 as visible DataFrame operators; the fused
@@ -126,7 +133,7 @@ def annotate_turn(
 
     # --- timexes: detect + normalize (F6/X4/X5 live inside normalize) ---
     timex_rows = []
-    for t_idx, t in enumerate(detect_timexes(text)):
+    for t_idx, t in enumerate(detect_timexes(text) if with_timexes else ()):
         normed = normalize_timex(t["surface"], t["kind"], anchor)
         timex_rows.append(
             {

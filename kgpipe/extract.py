@@ -51,9 +51,12 @@ def annotate_transcripts(
     gazetteer,
     blacklist,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    with_timexes: bool = True,
 ) -> DataFrame:
     """transcripts -> annotated turns (ANNOTATED_SCHEMA). Narrow map, Arrow
-    batches; dictionary artifacts broadcast once per executor."""
+    batches; dictionary artifacts broadcast once per executor.
+    ``with_timexes=False`` is the mentions-only fast path (see
+    annotate_turn)."""
     spark = transcripts.sparkSession
     bc = spark.sparkContext.broadcast((gazetteer, blacklist, cfg))
 
@@ -68,7 +71,8 @@ def annotate_transcripts(
             for row in pdf.itertuples(index=False):
                 ts = None if pd.isna(row.ts) else row.ts
                 anchor, toks, ments, tmx = annotate_turn(
-                    row.conv_id, row.turn_idx, row.text, ts, gaz, _bl, c
+                    row.conv_id, row.turn_idx, row.text, ts, gaz, _bl, c,
+                    with_timexes=with_timexes,
                 )
                 out["conv_id"].append(row.conv_id)
                 out["turn_idx"].append(row.turn_idx)

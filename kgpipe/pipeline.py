@@ -62,6 +62,7 @@ def build_annotations(
     blacklist,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     persist: bool = True,
+    timexes: bool = True,
 ):
     """Structured intermediate tables. Returns dict with annotated /
     mentions_raw / mentions / timexes (filtered+id'd).
@@ -70,8 +71,28 @@ def build_annotations(
     it (mentions, timexes, and the pair->token join all consume it), so it is
     persisted MEMORY_AND_DISK by default — otherwise Spark re-runs the
     annotation pass once per branch (measured 5x wall on the structured
-    plan at sf0.1)."""
-    annotated = annotate_transcripts(transcripts, gazetteer, blacklist, cfg)
+    plan at sf0.1).
+
+    ``timexes=False`` is the mentions-only fast path: timex detection is
+    skipped inside the Arrow UDF and the returned dict carries ONLY
+    annotated / mentions_raw / mentions_f — no timex tables and no
+    annotation ids (the W1 id window ranks mentions and timexes together,
+    so ids from a timex-free pass would disagree with the full pipeline's;
+    omitting the keys makes that misuse impossible)."""
+    annotated = annotate_transcripts(
+        transcripts, gazetteer, blacklist, cfg, with_timexes=timexes
+    )
+    if not timexes:
+        if persist:
+            from pyspark import StorageLevel
+
+            annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
+        mentions_raw = mentions_table(annotated)
+        return {
+            "annotated": annotated,
+            "mentions_raw": mentions_raw,
+            "mentions_f": filter_mentions(mentions_raw, blacklist, cfg),
+        }
     if persist:
         from pyspark import StorageLevel
 

@@ -46,6 +46,8 @@ __all__ = [
     "tfidf_top_terms",
     "redact_pii",
     "curate_corpus",
+    "contamination",
+    "repetition_stats",
 ]
 
 
@@ -770,4 +772,135 @@ def curate_corpus(
         "lang_guess",
         "quality_e6",
         "n_redacted",
+    )
+
+
+def contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    threshold: float = 0.5,
+    raw: bool = False,
+) -> DataFrame:
+    """Benchmark-contamination check — the decontamination pass every
+    training-data pipeline runs before eval: for each BENCHMARK document,
+    the fraction of its word ``n``-gram shingles that appear anywhere in
+    the TRAINING corpus; ``flagged`` marks docs at or above ``threshold``
+    (the n=8 / high-overlap convention of published LLM decontamination
+    setups).
+
+    Scale shape: the corpus side collapses to its DISTINCT shingle set
+    before the join (one hash aggregate, map-side combined — corpus size
+    drops out of the join's right side beyond its vocabulary), then one
+    equi-join on shingle and one aggregate keyed on the benchmark doc.
+    No cross product anywhere; benchmark rows without a single shared
+    shingle survive via the left join with 0 matches.
+
+    Returns (doc_id, n_shingles, n_matched, contamination, flagged) —
+    one row per benchmark doc.
+    """
+    corpus_sh = doc_shingles(documents, n=n).select("shingle").distinct()
+    bench_sh = doc_shingles(benchmark, n=n)
+    per = bench_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        bench_sh.join(corpus_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    matched = F.coalesce(F.col("n_matched"), F.lit(0).cast("long"))
+    frac = matched / F.col("n_shingles")
+    rnd = (lambda c: c) if raw else (lambda c: F.round(c, 4))
+    return (
+        per.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            matched.alias("n_matched"),
+            rnd(frac).alias("contamination"),
+            (frac >= threshold).alias("flagged"),
+        )
+    )
+
+
+def repetition_stats(documents: DataFrame, raw: bool = False) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1
+    repetition filters, re-expressed relationally):
+
+    * ``top_token_fraction``   — occurrences of the most frequent token /
+      total tokens;
+    * ``top_bigram_fraction``  — occurrences of the most frequent word
+      bigram / total bigrams;
+    * ``dup_trigram_fraction`` — fraction of trigram INSTANCES whose
+      trigram occurs more than once (1 - distinct/total).
+
+    Scale shape: three explode -> two-level aggregate chains, each keyed
+    (doc_id, gram) then doc_id — the same hub-safe shape as node_degree
+    (per-doc state through the final exchange is O(map tasks)); the three
+    per-doc aggregates join back on doc_id. Docs too short for a gram
+    level report 0.0 there.
+
+    Returns (doc_id, n_tokens, top_token_fraction, top_bigram_fraction,
+    dup_trigram_fraction).
+    """
+    toks = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+
+    def grams(m: int):
+        # the size guard keeps F.sequence ascending (sequence(1, 0) would
+        # DESCEND and feed slice() an invalid 0 start on docs shorter
+        # than the gram)
+        idx = F.sequence(F.lit(1), F.size("toks") - F.lit(m - 1))
+        return (
+            toks.where(F.size("toks") >= m)
+            .select(
+                "doc_id",
+                F.explode(idx).alias("i"),
+                "toks",
+            )
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("i"), m)
+                ).alias("gram"),
+            )
+        )
+
+    def top_stats(m: int, out: str):
+        counts = grams(m).groupBy("doc_id", "gram").agg(
+            F.count("*").alias("c")
+        )
+        return counts.groupBy("doc_id").agg(
+            (F.max("c") / F.sum("c")).alias(out),
+            F.sum("c").alias(f"_total_{m}"),
+            F.count("*").alias(f"_distinct_{m}"),
+        )
+
+    t1 = top_stats(1, "top_token_fraction")
+    t2 = top_stats(2, "top_bigram_fraction")
+    t3 = top_stats(3, "_top3")
+    base = documents.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    zero = F.lit(0.0)
+    rnd = (lambda c: c) if raw else (lambda c: F.round(c, 4))
+    return (
+        base.join(t1, "doc_id", "left")
+        .join(t2, "doc_id", "left")
+        .join(t3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            rnd(F.coalesce("top_token_fraction", zero)).alias(
+                "top_token_fraction"
+            ),
+            rnd(F.coalesce("top_bigram_fraction", zero)).alias(
+                "top_bigram_fraction"
+            ),
+            rnd(
+                F.coalesce(
+                    F.lit(1.0) - F.col("_distinct_3") / F.col("_total_3"),
+                    zero,
+                )
+            ).alias("dup_trigram_fraction"),
+        )
     )

@@ -371,3 +371,32 @@ def test_entity_episodes_gap_merge(spark):
         ("c1", "x", 0): (d(2021, 1, 1), d(2021, 1, 20), 3),
         ("c1", "x", 1): (d(2021, 4, 1), d(2021, 4, 1), 1),
     }
+
+
+def test_cross_turn_edges_mentions_only_path_equal(spark):
+    """The timex-free annotate fast path must produce byte-identical
+    cross-turn edges to the full pipeline (mentions_f is pre-id, so
+    skipping timexes cannot change it)."""
+    from kgpipe.fixtures import synthetic_transcripts_df
+    from kgpipe.graph import cross_turn_event_edges
+    from kgpipe.pipeline import build_annotations
+    from kgpipe.resources import (
+        Gazetteer, builtin_blacklist_terms, builtin_gazetteer_rows,
+    )
+    from kgpipe.config import DEFAULT_CONFIG
+
+    gaz = Gazetteer.from_rows(builtin_gazetteer_rows())
+    bl = builtin_blacklist_terms()
+    t = synthetic_transcripts_df(spark, n_conv=8, turns_per_conv=6)
+    full = build_annotations(t, gaz, bl, DEFAULT_CONFIG, persist=False)
+    light = build_annotations(
+        t, gaz, bl, DEFAULT_CONFIG, persist=False, timexes=False
+    )
+    assert set(light) == {"annotated", "mentions_raw", "mentions_f"}
+    a = sorted(
+        map(tuple, cross_turn_event_edges(full["mentions_f"]).collect())
+    )
+    b = sorted(
+        map(tuple, cross_turn_event_edges(light["mentions_f"]).collect())
+    )
+    assert a == b and a

@@ -363,3 +363,75 @@ def test_pack_documents_bin_offsets_consistent(spark):
             assert r.bin >= prev_bin
             prev_bin = r.bin
             run += r.n_tokens
+
+
+def test_contamination_known_overlap(spark):
+    from kgpipe.textops import contamination
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "q r s t u v w x y z")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            # shares the full 10-token run with corpus doc 1 -> 3 of its
+            # 8 shingles (windows 1-3 of 15 tokens) match
+            (100, "a b c d e f g h i j k1 k2 k3 k4 k5"),
+            # nothing shared
+            (101, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"),
+            # exact copy: every shingle matches -> flagged
+            (102, "a b c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in contamination(corpus, bench, n=8, threshold=0.5).collect()
+    }
+    assert got[100].n_shingles == 8 and got[100].n_matched == 3
+    assert got[100].contamination == 0.375 and not got[100].flagged
+    assert got[101].n_matched == 0 and not got[101].flagged
+    assert got[102].n_matched == got[102].n_shingles == 3
+    assert got[102].contamination == 1.0 and got[102].flagged
+
+
+def test_contamination_corpus_collapses_to_shingle_set(spark):
+    from kgpipe.textops import contamination
+
+    # duplicated corpus docs must not double-count matches (the corpus
+    # side is a DISTINCT shingle set)
+    corpus = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    row = contamination(corpus, bench, n=8).collect()[0]
+    assert row.n_matched == row.n_shingles == 3
+
+
+def test_repetition_stats_values(spark):
+    from kgpipe.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam ok"),   # top token 4/5; 'spam spam' 3/4
+            (2, "all words here are unique distinct tokens"),
+            (3, "single"),                   # too short for bigrams/trigrams
+            (4, "a b a b a b a b"),          # alternating: every trigram dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].top_token_fraction == 0.8
+    assert got[1].top_bigram_fraction == 0.75
+    assert got[1].dup_trigram_fraction == 0.3333
+    assert got[2].top_token_fraction == round(1 / 7, 4)
+    assert got[2].dup_trigram_fraction == 0.0
+    assert got[3].n_tokens == 1
+    assert got[3].top_token_fraction == 1.0
+    assert got[3].top_bigram_fraction == 0.0  # no bigrams -> 0
+    # 'a b a b a b a b': 6 trigram instances, 2 distinct -> 1 - 2/6
+    assert got[4].dup_trigram_fraction == 0.6667
+    assert got[4].top_token_fraction == 0.5
