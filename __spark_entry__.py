@@ -1386,7 +1386,9 @@ tmx AS (
                 -- interval vs the anchor, exact
                 WHEN 12 THEN (CASE WHEN anchor_date < DATE '1997-01-01' THEN 'before'
                                    WHEN anchor_date > DATE '1997-12-31' THEN 'after'
-                                   ELSE 'overlap' END)
+                                   WHEN anchor_date = DATE '1997-01-01' THEN 'begins-on'
+                                   WHEN anchor_date = DATE '1997-12-31' THEN 'ends-on'
+                                   ELSE 'contains-1' END)
                 WHEN 13 THEN 'none'
                 WHEN 14 THEN 'none'
                 WHEN 15 THEN (CASE

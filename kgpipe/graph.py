@@ -177,7 +177,10 @@ def node_degree(edges: DataFrame) -> DataFrame:
         F.sum("out_c").alias("out_degree"),
         F.sum(F.col("cnt") - F.col("out_c")).alias("in_degree"),
         F.sum("cnt").alias("degree"),
-        F.count(F.lit(1)).alias("n_neighbors"),
+        # count("nbr"), not count(*): a NULL endpoint still counts toward
+        # the degree sums but never as a neighbor — the same NULL semantics
+        # countDistinct(nbr) had before the two-level rewrite
+        F.count("nbr").alias("n_neighbors"),
     )
 
 

@@ -74,23 +74,37 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle): distinct word n-gram shingles of the
-    whitespace-tokenized text."""
+def _word_grams(documents: DataFrame, n: int, *, clamp: bool) -> DataFrame:
+    """(doc_id, shingle): one row per word n-gram INSTANCE.
+
+    ``clamp=True`` (the doc_shingles contract): a doc shorter than ``n``
+    still yields one short shingle (its whole text). ``clamp=False``: such
+    docs yield no rows — the per-gram-level contract of repetition_stats.
+    The where-filter also keeps F.sequence ascending (sequence(1, 0) would
+    DESCEND and feed slice() an invalid 0 start)."""
     toks = documents.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
-    )
+    if clamp:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
+        )
+    else:
+        toks = toks.where(F.size("toks") >= n)
+        idx = F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1))
     return (
         toks.select("doc_id", F.explode(idx).alias("i"), "toks")
         .select(
             "doc_id",
             F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n)).alias("shingle"),
         )
-        .distinct()
     )
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-gram shingles of the
+    whitespace-tokenized text."""
+    return _word_grams(documents, n, clamp=True).distinct()
 
 
 def doc_minhash_signatures(shingled: DataFrame, k: int = 16) -> DataFrame:
@@ -843,43 +857,23 @@ def repetition_stats(documents: DataFrame, raw: bool = False) -> DataFrame:
     Returns (doc_id, n_tokens, top_token_fraction, top_bigram_fraction,
     dup_trigram_fraction).
     """
-    toks = documents.select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    )
-
-    def grams(m: int):
-        # the size guard keeps F.sequence ascending (sequence(1, 0) would
-        # DESCEND and feed slice() an invalid 0 start on docs shorter
-        # than the gram)
-        idx = F.sequence(F.lit(1), F.size("toks") - F.lit(m - 1))
+    def gram_counts(m: int):
         return (
-            toks.where(F.size("toks") >= m)
-            .select(
-                "doc_id",
-                F.explode(idx).alias("i"),
-                "toks",
-            )
-            .select(
-                "doc_id",
-                F.concat_ws(
-                    " ", F.slice(F.col("toks"), F.col("i"), m)
-                ).alias("gram"),
-            )
+            _word_grams(documents, m, clamp=False)
+            .groupBy("doc_id", "shingle")
+            .agg(F.count("*").alias("c"))
         )
 
-    def top_stats(m: int, out: str):
-        counts = grams(m).groupBy("doc_id", "gram").agg(
-            F.count("*").alias("c")
-        )
-        return counts.groupBy("doc_id").agg(
-            (F.max("c") / F.sum("c")).alias(out),
-            F.sum("c").alias(f"_total_{m}"),
-            F.count("*").alias(f"_distinct_{m}"),
+    def top_fraction(m: int, out: str):
+        return gram_counts(m).groupBy("doc_id").agg(
+            (F.max("c") / F.sum("c")).alias(out)
         )
 
-    t1 = top_stats(1, "top_token_fraction")
-    t2 = top_stats(2, "top_bigram_fraction")
-    t3 = top_stats(3, "_top3")
+    t1 = top_fraction(1, "top_token_fraction")
+    t2 = top_fraction(2, "top_bigram_fraction")
+    t3 = gram_counts(3).groupBy("doc_id").agg(
+        F.sum("c").alias("_total_3"), F.count("*").alias("_distinct_3")
+    )
     base = documents.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     zero = F.lit(0.0)
     rnd = (lambda c: c) if raw else (lambda c: F.round(c, 4))

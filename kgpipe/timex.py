@@ -167,12 +167,13 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         ),
     ),
     # fractional periods — "[Int] and a half [Unit]" (en.grammar:288-289)
-    # plus the natural "a/an/one [Unit] and a half" inversion
+    # plus the natural "[Int] [Unit] and a half" inversion (any spelled or
+    # digit count, plural units included — "two years and a half")
     (
         "frac_period",
         re.compile(
             rf"\b(?:({_NUM_ALT})\s+and\s+a\s+half\s+(days?|weeks?|months?|years?)"
-            r"|(a|an|one)\s+(day|week|month|year)\s+and\s+a\s+half)\b",
+            rf"|({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+and\s+a\s+half)\b",
             re.I,
         ),
     ),
@@ -416,7 +417,7 @@ _QUICK_KEYS = {
     "month_day_year": _MONTH_QUICK,
     "month_year": _MONTH_QUICK,
     "month_day": _MONTH_QUICK,
-    "holiday": ("christmas", "xmas", "halloween", "thanksgiving", "new year"),
+    "holiday": ("christmas", "xmas", "halloween", "thanksgiving", "year"),
     "ago": ("ago", "earlier"),
     "month_rel_year": ("year",),
     "word_decade": (
@@ -424,10 +425,10 @@ _QUICK_KEYS = {
         "sixties", "seventies", "eighties", "nineties",
     ),
     "word_year": ("nineteen", "twenty"),
-    "frac_period": ("and a half",),
+    "frac_period": ("half",),
     "span_set": ("each", "every"),
     "in_n": ("in",),
-    "day_offset": ("day before", "day after"),
+    "day_offset": ("day",),
     # every match spells am/pm (optionally dotted) — "example" false-hits
     # the substring check, which is fine for a necessary-condition filter
     "clock_time": ("am", "pm", "a.m", "p.m"),
@@ -443,16 +444,12 @@ _QUICK_KEYS = {
     "weekend": ("weekend",),
     # prefilter only — "mid" also hits "midnight" etc.; the regex decides
     "modified": (
-        "early", "mid", "late", "middle of", "about", "around", "almost",
+        "early", "mid", "late", "middle", "about", "around", "almost",
         "post",
     ),
-    "suffix_modified": ("or later", "or earlier", "and beyond", "and before"),
-    "bound_unit": ("beginning of", "start of", "end of"),
-    "tod_set": (
-        "mornings", "afternoons", "evenings", "nights",
-        "every morning", "every afternoon", "every evening", "every night",
-        "each morning", "each afternoon", "each evening", "each night",
-    ),
+    "suffix_modified": ("later", "earlier", "beyond", "before"),
+    "bound_unit": ("beginning", "start", "end"),
+    "tod_set": ("morning", "afternoon", "evening", "night"),
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
     "period_set": ("every", "daily", "weekly", "monthly", "yearly", "annually"),
@@ -464,12 +461,25 @@ _QUICK_KEYS = {
     ),
     "rel_day": ("yesterday", "today", "tomorrow"),
     "past_ref": ("recently", "previously", "formerly", "past"),
-    "future_ref": ("soon", "eventually", "future", "later date", "later time"),
+    "future_ref": ("soon", "eventually", "future", "later"),
     "present_ref": (
-        "currently", "presently", "present", "now", "these days", "moment",
+        "currently", "presently", "present", "now", "days", "moment",
     ),
     "bare_year": "digit",
 }
+
+
+# Quick-key invariant: every substring is a single word — the regexes all
+# accept \s+ between words, so a multi-word key ("end of") would silently
+# drop matches whose words are separated by a newline or double space.
+# "a.m"/"p.m" carry no whitespace (the clock regex allows none inside).
+for _kind, _quick in _QUICK_KEYS.items():
+    if _quick != "digit":
+        for _k in _quick:
+            assert " " not in _k, (
+                f"multi-word quick key {_k!r} for {_kind} — prefilters must "
+                "not span whitespace"
+            )
 
 
 # Patterns whose every match contains at least one digit AND extends at most
@@ -746,13 +756,13 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             # in the smallest component (P2.5W, P1.5D)
             m = re.match(
                 rf"(?:({_NUM_ALT})\s+and\s+a\s+half\s+(days?|weeks?|months?|years?)"
-                r"|(a|an|one)\s+(day|week|month|year)\s+and\s+a\s+half)",
+                rf"|({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+and\s+a\s+half)",
                 s, re.I,
             )
             if m.group(1):
                 n, unit = _num(m.group(1)), m.group(2).lower().rstrip("s")
             else:
-                n, unit = 1, m.group(4).lower()
+                n, unit = _num(m.group(3)), m.group(4).lower().rstrip("s")
             if n is None:
                 return None
             if unit == "year":

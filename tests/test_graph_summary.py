@@ -400,3 +400,18 @@ def test_cross_turn_edges_mentions_only_path_equal(spark):
         map(tuple, cross_turn_event_edges(light["mentions_f"]).collect())
     )
     assert a == b and a
+
+
+def test_node_degree_null_endpoint_not_a_neighbor(spark):
+    # countDistinct semantics preserved through the two-level rewrite: a
+    # NULL endpoint counts toward degree sums but never as a neighbor
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "before", "c1", 0, 1.0),
+            ("a", None, "before", "c1", 1, 1.0),
+        ],
+        "src string, dst string, pred string, conv_id string, turn_idx int, weight double",
+    )
+    got = {r.node: r for r in node_degree(edges).collect()}
+    a = got["a"]
+    assert (a.out_degree, a.in_degree, a.degree, a.n_neighbors) == (2, 0, 2, 1)

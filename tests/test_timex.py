@@ -662,3 +662,40 @@ def test_round4b_sweep_interactions():
     assert [(d["kind"]) for d in det] == ["suffix_modified"]
     # plain "later" alone detects nothing
     assert detect_timexes("see you later") == []
+
+
+def test_frac_period_plural_inversion():
+    # review finding: "in two years and a half" must not be silently lost
+    # (in_n's lookahead blocks it; the inversion must accept any count +
+    # plural units)
+    det = detect_timexes("due in two years and a half")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("frac_period", "two years and a half")
+    ]
+    assert _norm("two years and a half") == "P30M"
+    assert _norm("twenty-one days and a half") == "P21.5D"
+    assert _norm("three weeks and a half") == "P3.5W"
+
+
+def test_quick_keys_never_span_whitespace():
+    # prefilter substrings must be single words: the regexes accept \s+
+    # between words, so a multi-word key would silently drop matches whose
+    # words wrap across a newline or double space
+    from kgpipe.timex import _QUICK_KEYS
+
+    for kind, quick in _QUICK_KEYS.items():
+        if quick == "digit":
+            continue
+        assert all(" " not in k for k in quick), (kind, quick)
+    # the cases that used to be dropped by multi-word keys
+    for text, kind in [
+        ("we meet every\nmorning", "tod_set"),
+        ("the end  of the month", "bound_unit"),
+        ("two and\na half weeks", "frac_period"),
+        ("at a later\ndate", "future_ref"),
+        ("the day  before yesterday", "day_offset"),
+        ("middle\nof 2019", "modified"),
+        ("these  days it works", "present_ref"),
+    ]:
+        kinds = [d["kind"] for d in detect_timexes(text)]
+        assert kind in kinds, (text, kinds)

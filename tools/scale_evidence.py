@@ -194,7 +194,8 @@ def main() -> int:
     # exact correctness at scale, not just survival: the planted giant
     # component and the chain-block component count must both be exact
     assert int(stats["giant"]) == giant_expected, stats
-    n_blocks = n_nodes // 32
+    # ceil: a trailing partial block still forms one chain component
+    n_blocks = -(-n_nodes // 32)
     expected_components = n_blocks - giant_blocks + 1
     assert int(stats["n_components"]) == expected_components, (
         stats, expected_components,
