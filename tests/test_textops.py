@@ -435,3 +435,81 @@ def test_repetition_stats_values(spark):
     # 'a b a b a b a b': 6 trigram instances, 2 distinct -> 1 - 2/6
     assert got[4].dup_trigram_fraction == 0.6667
     assert got[4].top_token_fraction == 0.5
+
+
+def test_repetition_stats_differential_random(spark):
+    """Differential: Spark repetition_stats vs a pure-Python reference on
+    seeded random docs (the oracle_ref testing pattern)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(30)
+    ]
+
+    def ref(text):
+        toks = text.split(" ")
+        n = len(toks)
+
+        def top_frac(m):
+            grams = [" ".join(toks[i:i + m]) for i in range(n - m + 1)]
+            if not grams:
+                return 0.0
+            c = {}
+            for g in grams:
+                c[g] = c.get(g, 0) + 1
+            return round(max(c.values()) / len(grams), 4)
+
+        tri = [" ".join(toks[i:i + 3]) for i in range(n - 2)]
+        dup = round(1 - len(set(tri)) / len(tri), 4) if tri else 0.0
+        return n, top_frac(1), top_frac(2), dup
+
+    from kgpipe.textops import repetition_stats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for doc_id, text in docs:
+        n, t1, t2, d3 = ref(text)
+        r = got[doc_id]
+        assert (
+            r.n_tokens, r.top_token_fraction,
+            r.top_bigram_fraction, r.dup_trigram_fraction,
+        ) == (n, t1, t2, d3), (doc_id, text)
+
+
+def test_contamination_differential_random(spark):
+    """Differential: Spark contamination vs a pure-Python shingle-set
+    reference on seeded random corpora."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20)))
+
+    corpus = [(i, doc()) for i in range(20)]
+    bench = [(100 + i, doc()) for i in range(10)]
+
+    def shingles(text, n=4):
+        toks = text.split(" ")
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    corpus_set = set().union(*(shingles(t) for _, t in corpus))
+
+    from kgpipe.textops import contamination
+
+    c_df = spark.createDataFrame(corpus, "doc_id long, text string")
+    b_df = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination(c_df, b_df, n=4).collect()}
+    for doc_id, text in bench:
+        sh = shingles(text)
+        matched = len(sh & corpus_set)
+        r = got[doc_id]
+        assert r.n_shingles == len(sh), (doc_id, text)
+        assert r.n_matched == matched, (doc_id, text)
+        assert r.contamination == round(matched / len(sh), 4)
