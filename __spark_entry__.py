@@ -569,6 +569,30 @@ def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(*_TRIPLE_COLS)
 
 
+def _q_incremental_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shape 7: foreachBatch incremental materialization into the
+    bucketed triple store with per-batch lineage rows (streaming analog of
+    the batch resume path). The read-back store must equal the batch triple
+    oracle exactly; bucket/lineage mechanics are pytest-gated
+    (tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    from kgpipe.streaming import run_incremental_materialize
+
+    base = tempfile.mkdtemp(prefix="kg_incr_q_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(in_dir)
+    run_incremental_materialize(
+        spark, in_dir, out_dir, ckpt, _GAZ, _BLACKLIST, _CFG, n_buckets=8
+    )
+    return spark.read.parquet(os.path.join(out_dir, "triples")).select(
+        *_TRIPLE_COLS
+    )
+
+
 def _q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-conversation running stats with state carried across micro-batches
@@ -1188,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round)
         "text_contamination": _q_text_contamination,
         "text_repetition": _q_text_repetition,
+        "kg_incremental_materialize": _q_incremental_materialize,
     }
 
 
@@ -2671,6 +2696,9 @@ FROM o FULL JOIN nn USING (subj, pred, obj, conv_id, turn_idx)
 WHERE COALESCE(n_old, 0) <> COALESCE(n_new, 0)
 """,
         "kg_streaming_ingest": _ORACLE_TRIPLES_ALL,
+        # foreachBatch incremental materialize: the read-back bucketed
+        # store equals the batch triple set exactly
+        "kg_incremental_materialize": _ORACLE_TRIPLES_ALL,
         "kg_streaming_state": f"""
 WITH t AS ({_T})
 SELECT conv_id, COUNT(*) AS n_turns,
