@@ -239,7 +239,8 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "rel_season",
         re.compile(
-            r"\b(last|next|this)\s+(spring|summer|fall|autumn|winter)\b", re.I
+            r"\b(last|next|this|previous|coming)\s+(spring|summer|fall|autumn|winter)\b",
+            re.I,
         ),
     ),
     # decades — "the 1990s" / "the '90s" / "the 90s" -> TimeML 199X
@@ -257,7 +258,10 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # weekends — en.grammar:149-151 WEEKEND_OF_WEEK; TimeML YYYY-Www-WE
     (
         "weekend",
-        re.compile(r"\b(?:(?:last|next|this)\s+weekend|the\s+weekend)\b", re.I),
+        re.compile(
+            r"\b(?:(?:last|next|this|previous|coming)\s+weekend|the\s+weekend)\b",
+            re.I,
+        ),
     ),
     # modifier prefixes — en.grammar:489-499 WithModifier (EARLY/MID/LATE/
     # APPROX/AFTER). TimeML keeps the VALUE of the inner expression and
@@ -344,12 +348,14 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
-    # following/preceding are next/last synonyms (en.grammar:404,428-431:
-    # "preceding [Period]" EndAtStartOf, "following [Period]" StartAtEndOf)
+    # following/preceding/previous/latest are next/last synonyms
+    # (en.grammar:398-405,427-432); current/that are this-synonyms
+    # (en.grammar:385,387 — "that [Unit]" = FindEnclosing PRESENT)
     (
         "rel_unit",
         re.compile(
-            r"\b(?:the\s+)?(last|next|this|following|preceding|coming|past)\s+"
+            r"\b(?:the\s+)?(last|next|this|following|preceding|coming|past"
+            r"|previous|current|latest|that)\s+"
             r"(day|week|month|year|quarter)\b",
             re.I,
         ),
@@ -357,7 +363,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "rel_weekday",
         re.compile(
-            rf"\b(last|next|following|preceding|coming|past)\s+({_WEEKDAY_ALT})\b",
+            rf"\b(last|next|following|preceding|coming|past|previous)\s+({_WEEKDAY_ALT})\b",
             re.I,
         ),
     ),
@@ -453,8 +459,13 @@ _QUICK_KEYS = {
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
     "period_set": ("every", "daily", "weekly", "monthly", "yearly", "annually"),
-    "rel_unit": ("last", "next", "this", "following", "preceding", "coming", "past"),
-    "rel_weekday": ("last", "next", "following", "preceding", "coming", "past"),
+    "rel_unit": (
+        "last", "next", "this", "following", "preceding", "coming", "past",
+        "previous", "current", "latest", "that",
+    ),
+    "rel_weekday": (
+        "last", "next", "following", "preceding", "coming", "past", "previous",
+    ),
     "weekday": (
         "monday", "tuesday", "wednesday", "thursday",
         "friday", "saturday", "sunday",
@@ -797,8 +808,11 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             # weekend of the anchor's week, shifted by last/next; bare
             # "the weekend" = the enclosing week's weekend (en.grammar:381
             # FindEnclosing-PRESENT analog)
-            m = re.match(r"(last|next|this|the)\s+weekend", s, re.I)
-            delta = {"last": -1, "next": 1, "this": 0, "the": 0}[m.group(1).lower()]
+            m = re.match(
+                r"(last|next|this|the|previous|coming)\s+weekend", s, re.I
+            )
+            delta = {"last": -1, "next": 1, "this": 0, "the": 0,
+                     "previous": -1, "coming": 1}[m.group(1).lower()]
             return _fmt_week(anchor + dt.timedelta(days=7 * delta)) + "-WE"
         if kind == "bound_unit":
             # value = the anchor's enclosing unit (WithModifier START/END
@@ -814,13 +828,15 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"{anchor.year:04d}"
         if kind == "rel_unit":
             m = re.match(
-                r"(?:the\s+)?(last|next|this|following|preceding|coming|past)\s+"
+                r"(?:the\s+)?(last|next|this|following|preceding|coming|past"
+                r"|previous|current|latest|that)\s+"
                 r"(day|week|month|year|quarter)",
                 s, re.I,
             )
             direction = {
                 "last": -1, "next": 1, "this": 0,
                 "following": 1, "preceding": -1, "coming": 1, "past": -1,
+                "previous": -1, "current": 0, "latest": -1, "that": 0,
             }[m.group(1).lower()]
             unit = m.group(2).lower()
             if unit == "day":
@@ -905,11 +921,11 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"{anchor.isoformat()}T{hm}"
         if kind == "rel_weekday":
             m = re.match(
-                rf"(last|next|following|preceding|coming|past)\s+({_WEEKDAY_ALT})",
+                rf"(last|next|following|preceding|coming|past|previous)\s+({_WEEKDAY_ALT})",
                 s, re.I,
             )
             target = _WEEKDAYS[m.group(2).lower()]
-            if m.group(1).lower() in ("last", "preceding", "past"):
+            if m.group(1).lower() in ("last", "preceding", "past", "previous"):
                 # latest such weekday strictly before the anchor
                 back = (anchor.weekday() - target - 1) % 7 + 1
                 return _fmt_day(anchor - dt.timedelta(days=back))
@@ -935,7 +951,8 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return rank_parses(parses, anchor)[0].value
         if kind == "rel_season":
             m = re.match(
-                r"(last|next|this)\s+(spring|summer|fall|autumn|winter)", s, re.I
+                r"(last|next|this|previous|coming)\s+(spring|summer|fall|autumn|winter)",
+                s, re.I,
             )
             code, start_month = _SEASONS[m.group(2).lower()]
             # label year of the instance containing/nearest the anchor:
@@ -943,7 +960,9 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             this_label = anchor.year
             if code == "WI" and anchor.month < 3:
                 this_label -= 1
-            word = m.group(1).lower()
+            word = {"previous": "last", "coming": "next"}.get(
+                m.group(1).lower(), m.group(1).lower()
+            )
             if word == "this":
                 label = this_label
             elif word == "last":

@@ -699,3 +699,25 @@ def test_quick_keys_never_span_whitespace():
     ]:
         kinds = [d["kind"] for d in detect_timexes(text)]
         assert kind in kinds, (text, kinds)
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # previous/current/latest/that synonyms (en.grammar:385,387,398-405)
+        ("the previous week", "2024-W10"),
+        ("previous month", "2024-02"),
+        ("the current month", "2024-03"),
+        ("current year", "2024"),
+        ("the latest quarter", "2023-Q4"),
+        ("that year", "2024"),
+        ("that week", "2024-W11"),
+        ("previous friday", "2024-03-08"),   # strictly before Friday anchor
+        ("previous summer", "2023-SU"),
+        ("coming winter", "2024-WI"),
+        ("previous weekend", "2024-W10-WE"),
+        ("coming weekend", "2024-W12-WE"),
+    ],
+)
+def test_rel_synonym_values(surface, expected):
+    assert _norm(surface) == expected
