@@ -492,6 +492,16 @@ for _kind, _quick in _QUICK_KEYS.items():
                 "not span whitespace"
             )
 
+# Deduplicated prefilter plan: many patterns share substrings ("last",
+# "every", ...), so detect_timexes scans each DISTINCT substring once per
+# text and then gates each pattern with a C-speed isdisjoint — instead of
+# one short-circuiting any() generator per pattern (which re-scans shared
+# keys and pays a generator frame per pattern per text).
+_QUICK_SETS = {
+    k: frozenset(v) for k, v in _QUICK_KEYS.items() if v != "digit"
+}
+_QUICK_SUBSTRINGS = tuple(sorted(set().union(*_QUICK_SETS.values())))
+
 
 # Patterns whose every match contains at least one digit AND extends at most
 # 2 whitespace-words left of its first digit ("september 5, 2021": one month
@@ -546,13 +556,14 @@ def detect_timexes(text: str):
         last_digit_end = max(m.end() for m in _DIGIT_RE.finditer(text))
         r_begin, r_end = _digit_region(text, first_digit.start(), last_digit_end)
         region = text[r_begin:r_end]
+    present = {k for k in _QUICK_SUBSTRINGS if k in lower}
     candidates = []
     for prio, (kind, pat) in enumerate(TIMEX_PATTERNS):
         quick = _QUICK_KEYS.get(kind)
         if quick == "digit":
             if not has_digit:
                 continue
-        elif quick is not None and not any(k in lower for k in quick):
+        elif quick is not None and present.isdisjoint(_QUICK_SETS[kind]):
             continue
         if has_digit and kind in _DIGIT_BOUNDED:
             for m in pat.finditer(region):
