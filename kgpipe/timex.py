@@ -315,6 +315,33 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # "[FieldValue:PartOfDay] of [TimeSpan]" (en.grammar:472) over DATED
+    # inners: "the morning of March 5, 2021" -> 2021-03-05TMO. Year-less
+    # inners are out of scope here (they stay with month_day's W7 route)
+    (
+        "tod_of_date",
+        re.compile(
+            rf"\b(?:the\s+)?(morning|afternoon|evening|night)\s+of\s+"
+            rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
+            rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}})\b",
+            re.I,
+        ),
+    ),
+    # "[Period] before/after [TimeSpan]" (en.grammar:414 EndAtStartOf and
+    # the StartAtEndOf mirror) over dated/holiday inners: "two days before
+    # christmas" -> the shifted day
+    (
+        "period_offset_date",
+        re.compile(
+            rf"\b({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+"
+            rf"(before|after)\s+"
+            rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
+            rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
+            r"|christmas|xmas|halloween|thanksgiving"
+            r"|new\s+year'?s?(?:\s+day)?)\b",
+            re.I,
+        ),
+    ),
     # times of day — TimeML YYYY-MM-DDTMO/TAF/TEV/TNI
     (
         "time_of_day",
@@ -456,6 +483,8 @@ _QUICK_KEYS = {
     "suffix_modified": ("later", "earlier", "beyond", "before"),
     "bound_unit": ("beginning", "start", "end"),
     "tod_set": ("morning", "afternoon", "evening", "night"),
+    "tod_of_date": ("morning", "afternoon", "evening", "night"),
+    "period_offset_date": ("before", "after"),
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
     "period_set": ("every", "daily", "weekly", "monthly", "yearly", "annually"),
@@ -603,6 +632,11 @@ def _fmt_week(d: dt.date) -> str:
 
 def _fmt_month(year: int, month: int) -> str:
     return f"{year:04d}-{month:02d}"
+
+
+def _days_in_month(year: int, month: int) -> int:
+    y2, m2 = _shift_month(year, month, 1)
+    return (dt.date(y2, m2, 1) - dt.timedelta(days=1)).day
 
 
 def _shift_month(year: int, month: int, delta: int) -> Tuple[int, int]:
@@ -802,6 +836,59 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 # TimeML recurring weekday: XXXX-WXX-D, ISO day number 1-7
                 return f"XXXX-WXX-{_WEEKDAYS[word] + 1}"
             return f"XXXX-{_MONTHS[word]:02d}"
+        if kind == "tod_of_date":
+            m = re.match(
+                r"(?:the\s+)?(morning|afternoon|evening|night)\s+of\s+(.+)$",
+                s, re.I,
+            )
+            inner = _parse_inner_date(m.group(2))
+            if inner is None:
+                return None
+            part = {"morning": "MO", "afternoon": "AF", "evening": "EV",
+                    "night": "NI"}[m.group(1).lower()]
+            return f"{inner.isoformat()}T{part}"
+        if kind == "period_offset_date":
+            m = re.match(
+                rf"({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+"
+                r"(before|after)\s+(.+)$",
+                s, re.I,
+            )
+            n = _num(m.group(1))
+            if n is None:
+                return None
+            inner = _parse_inner_date(m.group(4))
+            if inner is None:
+                # holiday inner: explicit year never present here (the
+                # pattern's holiday alternative has no year slot), so W7
+                # nearest-anniversary against the anchor
+                hol = re.match(
+                    r"(christmas|xmas|halloween|thanksgiving"
+                    r"|new\s+year'?s?(?:\s+day)?)$",
+                    m.group(4), re.I,
+                )
+                if not hol or anchor is None:
+                    return None
+                name = re.sub(r"\s+", " ", hol.group(1).lower())
+                parses = [
+                    TimexParse(_fmt_day(d), True, d, False)
+                    for y in (anchor.year - 1, anchor.year, anchor.year + 1)
+                    for d in (_holiday_date(name, y),)
+                ]
+                inner = dt.date.fromisoformat(rank_parses(parses, anchor)[0].value)
+            sign = -1 if m.group(3).lower() == "before" else 1
+            unit = m.group(2).lower().rstrip("s")
+            if unit == "day":
+                return _fmt_day(inner + dt.timedelta(days=sign * n))
+            if unit == "week":
+                return _fmt_day(inner + dt.timedelta(days=7 * sign * n))
+            if unit == "month":
+                y, mo = _shift_month(inner.year, inner.month, sign * n)
+                day = min(inner.day, _days_in_month(y, mo))
+                return _fmt_day(dt.date(y, mo, day))
+            # years: same calendar day, clamped for Feb 29
+            y = inner.year + sign * n
+            day = min(inner.day, _days_in_month(y, inner.month))
+            return _fmt_day(dt.date(y, inner.month, day))
         if kind == "past_ref":
             return "PAST_REF"
         if kind == "future_ref":

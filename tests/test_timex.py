@@ -721,3 +721,44 @@ def test_quick_keys_never_span_whitespace():
 )
 def test_rel_synonym_values(surface, expected):
     assert _norm(surface) == expected
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # "[PartOfDay] of [TimeSpan]" over dated inners (en.grammar:472)
+        ("the morning of March 5, 2021", "2021-03-05TMO"),
+        ("afternoon of Mar 5 2021", "2021-03-05TAF"),
+        ("evening of 3/4/2021", "2021-03-04TEV"),
+        ("night of 2021-03-04", "2021-03-04TNI"),
+    ],
+)
+def test_tod_of_date_values(surface, expected):
+    assert _norm(surface) == expected
+    assert _norm(surface, anchor=None) == expected  # dated -> anchor-free
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # "[Period] before/after [TimeSpan]" (en.grammar:414 + mirror)
+        ("two days before christmas", "2023-12-23"),     # W7 vs Mar 2024
+        ("3 weeks after March 5, 2021", "2021-03-26"),
+        ("a month before 1/15/2024", "2023-12-15"),
+        ("one year after 2020-02-29", "2021-02-28"),     # leap clamp
+        ("ten days after thanksgiving", "2023-12-03"),
+        ("twenty-one days before 2024-01-22", "2024-01-01"),
+    ],
+)
+def test_period_offset_date_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_period_offset_regressions():
+    # "the day before yesterday" stays day_offset; "this morning" stays
+    # time_of_day — the new dated patterns must not absorb them
+    assert detect_timexes("the day before yesterday")[0]["kind"] == "day_offset"
+    assert detect_timexes("this morning")[0]["kind"] == "time_of_day"
+    # holiday inner without anchor: silently dropped (O3)
+    d = detect_timexes("two days before christmas")[0]
+    assert normalize_timex(d["surface"], d["kind"], None) is None
