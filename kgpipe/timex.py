@@ -305,6 +305,16 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # "[FieldValue:Partial] [FieldValue:Unspecified]" recurring sets
+    # (en.grammar:528): "monday mornings" -> XXXX-WXX-1TMO. Same begin as
+    # the bare-weekday span but longer, so longest-at-begin wins
+    (
+        "weekday_tod_set",
+        re.compile(
+            rf"\b({_WEEKDAY_ALT})\s+(mornings|afternoons|evenings|nights)\b",
+            re.I,
+        ),
+    ),
     # recurring times of day — en.grammar:508-511,526-532: "every morning",
     # "mornings" -> TIMEX3 SET XXXX-XX-XXTMO/TAF/TEV/TNI
     (
@@ -483,6 +493,7 @@ _QUICK_KEYS = {
     "suffix_modified": ("later", "earlier", "beyond", "before"),
     "bound_unit": ("beginning", "start", "end"),
     "tod_set": ("morning", "afternoon", "evening", "night"),
+    "weekday_tod_set": ("mornings", "afternoons", "evenings", "nights"),
     "tod_of_date": ("morning", "afternoon", "evening", "night"),
     "period_offset_date": ("before", "after"),
     # "tonight" contains the substring "night"
@@ -699,6 +710,14 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             # ON_OR_AFTER/ON_OR_BEFORE mod outside the schema
             m = re.match(r"((?:19|20)\d{2})", s)
             return m.group(1)
+        if kind == "weekday_tod_set":
+            m = re.match(
+                rf"({_WEEKDAY_ALT})\s+(mornings|afternoons|evenings|nights)",
+                s, re.I,
+            )
+            part = {"mornings": "MO", "afternoons": "AF",
+                    "evenings": "EV", "nights": "NI"}[m.group(2).lower()]
+            return f"XXXX-WXX-{_WEEKDAYS[m.group(1).lower()] + 1}T{part}"
         if kind == "tod_set":
             m = re.search(
                 r"(morning|afternoon|evening|night)", s, re.I

@@ -762,3 +762,17 @@ def test_period_offset_regressions():
     # holiday inner without anchor: silently dropped (O3)
     d = detect_timexes("two days before christmas")[0]
     assert normalize_timex(d["surface"], d["kind"], None) is None
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # "[Partial] [Unspecified]" sets (en.grammar:528)
+        ("monday mornings", "XXXX-WXX-1TMO"),
+        ("friday evenings", "XXXX-WXX-5TEV"),
+        ("sunday nights", "XXXX-WXX-7TNI"),
+    ],
+)
+def test_weekday_tod_set_values(surface, expected):
+    assert _norm(surface) == expected
+    assert _norm(surface, anchor=None) == expected
