@@ -73,9 +73,16 @@ def main() -> int:
     from kgpipe.session import get_spark
     from kgpipe.simsearch import brute_force_topk
 
+    import tempfile as _tf
+
     spark = get_spark(
         "explain-plans", master="local[4]", shuffle_partitions=8,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # static conf: needed at session creation for the bucketed
+            # co-located join audit (section 13)
+            "spark.sql.warehouse.dir": _tf.mkdtemp(prefix="kg_plans_wh_"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -324,6 +331,43 @@ def main() -> int:
          "neighbor pairs across reducers; exchange 2 on node sees map-side "
          "partially-combined rows, so per-node shuffle state is O(map "
          "tasks), not O(distinct neighbors); no countDistinct Expand"],
+    ))
+
+    # 13. bucketed co-located join: zero exchanges ------------------------
+    # the multi-stage story at 100 TB: land triples AND per-conversation
+    # rollups bucketed by conv_id once, and every later conv_id-keyed join
+    # between them is exchange-free (bucketed SMJ) — the "pre-partitioning /
+    # bucketing for co-located joins" requirement, proven on the plan
+    trip_small = fused.select("conv_id", "subj", "pred", "obj").limit(200000)
+    conv_dim = fused.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    trip_small.write.mode("overwrite").bucketBy(16, "conv_id").sortBy(
+        "conv_id"
+    ).saveAsTable("kg_plans_triples_b")
+    conv_dim.write.mode("overwrite").bucketBy(16, "conv_id").sortBy(
+        "conv_id"
+    ).saveAsTable("kg_plans_convdim_b")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("kg_plans_triples_b").join(
+            spark.table("kg_plans_convdim_b"), "conv_id"
+        )
+        p = plan_of(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    assert count(r"\bExchange\b", p) == 0, (
+        f"bucketed join still shuffles:\n{p}"
+    )
+    assert "SortMergeJoin" in p, "expected a bucketed sort-merge join"
+    sections.append((
+        "bucketed co-located join (triples ⋈ conv rollup, both bucketed by conv_id)",
+        p,
+        ["Exchange nodes: 0 — both scans are bucketed (16 buckets on "
+         "conv_id), the sort-merge join reads co-located buckets; at 100 TB "
+         "this is the join shape for every conv_id-keyed enrichment against "
+         "the materialized store"],
     ))
 
     print("ALL PLAN ASSERTIONS PASS")
