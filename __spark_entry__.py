@@ -826,6 +826,20 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM-frequency quality signal (textops.unigram_surprisal):
+    integer-log2 token frequencies, engine-exact mean, floor-scaled."""
+    from kgpipe.textops import unigram_surprisal
+
+    u = unigram_surprisal(_documents(spark, sf_dir), raw=True)
+    return u.select(
+        "doc_id", "n_tokens",
+        F.floor(F.col("mean_log2_freq") * 1e6).cast("bigint").alias(
+            "mean_log2_freq_e6"
+        ),
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = doc_fingerprint(_documents(spark, sf_dir), n=3, keep=4)
     return fp.select(
@@ -1212,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round)
         "text_contamination": _q_text_contamination,
         "text_repetition": _q_text_repetition,
+        "text_surprisal": _q_text_surprisal,
         "kg_incremental_materialize": _q_incremental_materialize,
     }
 
@@ -2971,6 +2986,21 @@ SELECT p.doc_id, p.n_shingles,
             AS BIGINT) AS contamination_e6,
        COALESCE(h.n_matched, 0) / CAST(p.n_shingles AS DOUBLE) >= 0.5 AS flagged
 FROM per p LEFT JOIN hits h USING (doc_id)
+""",
+        # unigram-surprisal twin: integer log2 of corpus token frequency
+        # (length(bin(c+1)) - 1), engine-exact mean
+        "text_surprisal": """
+WITH nz AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM nz GROUP BY tok)
+SELECT n.doc_id, COUNT(*) AS n_tokens,
+       CAST(FLOOR(AVG(length(bin(CAST(cnt.c + 1 AS BIGINT))) - 1) * 1e6)
+            AS BIGINT) AS mean_log2_freq_e6
+FROM nz n JOIN cnt USING (tok)
+GROUP BY n.doc_id
 """,
         # Gopher-repetition twin: per-gram counts -> per-doc max/sum ratios
         "text_repetition": """

@@ -48,6 +48,7 @@ __all__ = [
     "curate_corpus",
     "contamination",
     "repetition_stats",
+    "unigram_surprisal",
 ]
 
 
@@ -897,4 +898,52 @@ def repetition_stats(documents: DataFrame, raw: bool = False) -> DataFrame:
                 )
             ).alias("dup_trigram_fraction"),
         )
+    )
+
+
+def unigram_surprisal(
+    documents: DataFrame,
+    score: DataFrame | None = None,
+    raw: bool = False,
+) -> DataFrame:
+    """LM-style frequency quality signal (the CCNet perplexity-filter
+    analog, made engine-exact): train corpus unigram counts, then score
+    each doc by the MEAN INTEGER LOG2 of its tokens' corpus frequencies —
+    ``floor(log2(count+1))`` computed as ``length(bin(count+1)) - 1``,
+    which is exact integer arithmetic in both Spark and DuckDB (no libm
+    ``ln`` whose last-ULP rounding could differ across engines). Low mean
+    = rare/garbled tokens; high = common fluent text. The mean is one
+    division of exactly-representable integers, so the double is
+    bit-identical everywhere.
+
+    ``score`` scores a different table against the ``documents``-trained
+    counts (eval-set scoring); unseen tokens count 0 bits. Scale shape:
+    one vocabulary-keyed count aggregate (map-side combined), one
+    token-keyed join (vocabulary-bounded right side), one doc-keyed
+    aggregate.
+
+    Returns (doc_id, n_tokens, mean_log2_freq).
+    """
+    target = score if score is not None else documents
+    counts = (
+        documents.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    toks = target.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    bits = F.length(F.bin(F.coalesce(F.col("c"), F.lit(0)) + 1)) - 1
+    per = (
+        toks.join(counts, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(bits).alias("mean_log2_freq"),
+        )
+    )
+    rnd = (lambda c: c) if raw else (lambda c: F.round(c, 4))
+    return per.select(
+        "doc_id", "n_tokens", rnd(F.col("mean_log2_freq")).alias("mean_log2_freq")
     )

@@ -513,3 +513,24 @@ def test_contamination_differential_random(spark):
         assert r.n_shingles == len(sh), (doc_id, text)
         assert r.n_matched == matched, (doc_id, text)
         assert r.contamination == round(matched / len(sh), 4)
+
+
+def test_unigram_surprisal_values_and_eval_scoring(spark):
+    from kgpipe.textops import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "zq xv"), (3, "the cat")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+    # 'the' appears 4x -> floor(log2 5)=2; 'cat' 2x -> floor(log2 3)=1;
+    # singletons -> floor(log2 2)=1
+    assert got[1].mean_log2_freq == 1.75    # (2+2+2+1)/4
+    assert got[2].mean_log2_freq == 1.0
+    assert got[3].mean_log2_freq == 1.5
+    # eval-set scoring against the trained counts: unseen tokens = 0 bits
+    ev = spark.createDataFrame(
+        [(100, "the unseen")], "doc_id long, text string"
+    )
+    row = unigram_surprisal(docs, score=ev).collect()[0]
+    assert row.n_tokens == 2 and row.mean_log2_freq == 1.0  # (2+0)/2
