@@ -826,6 +826,21 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composite with the round-4 gates on: exact dedup ->
+    MinHash near-dup -> lang -> quality -> Gopher repetition
+    (top_bigram_e6 > 86000) -> LM-frequency rarity (surprisal_e6 <
+    9_900_000); thresholds sized so both new gates actually fire on the
+    dup-seeded corpus."""
+    from kgpipe.textops import curate_corpus
+
+    return curate_corpus(
+        _docs_plus(spark, sf_dir),
+        max_top_bigram_e6=86_000,
+        min_surprisal_e6=9_900_000,
+    )
+
+
 def _q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM-frequency quality signal (textops.unigram_surprisal):
     integer-log2 token frequencies, engine-exact mean, floor-scaled."""
@@ -1229,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _q_text_contamination,
         "text_repetition": _q_text_repetition,
         "text_surprisal": _q_text_surprisal,
+        "text_curate_v2": _q_text_curate_v2,
         "kg_incremental_materialize": _q_incremental_materialize,
     }
 
@@ -2578,6 +2594,87 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_CURATE_CORE = f"""
+hx AS (SELECT doc_id, md5(text) AS h FROM docs),
+keepx AS (SELECT h, MIN(doc_id) AS keep_id FROM hx GROUP BY h),
+exactx AS (
+  SELECT hx.doc_id, hx.doc_id <> k.keep_id AS is_exact FROM hx JOIN keepx k USING (h)
+),
+nearx AS (
+  SELECT DISTINCT r.doc_id AS doc_id
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id HAVING COUNT(*) >= 2
+),
+lq AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM docs),
+lh AS (
+  SELECT doc_id,
+         CAST(len(list_filter(ws, x -> x = 'der')) + len(list_filter(ws, x -> x = 'die')) + len(list_filter(ws, x -> x = 'und')) AS INT) AS de_h,
+         CAST(len(list_filter(ws, x -> x = 'the')) + len(list_filter(ws, x -> x = 'and')) + len(list_filter(ws, x -> x = 'of')) AS INT) AS en_h,
+         CAST(len(list_filter(ws, x -> x = 'el')) + len(list_filter(ws, x -> x = 'la')) + len(list_filter(ws, x -> x = 'los')) AS INT) AS es_h,
+         CAST(len(list_filter(ws, x -> x = 'le')) + len(list_filter(ws, x -> x = 'les')) + len(list_filter(ws, x -> x = 'des')) AS INT) AS fr_h
+  FROM lq
+),
+lm AS (SELECT *, greatest(de_h, en_h, es_h, fr_h) AS mx FROM lh),
+langx AS (
+  SELECT doc_id,
+         CASE WHEN mx = 0 THEN 'und'
+              WHEN fr_h = mx THEN 'fr' WHEN es_h = mx THEN 'es'
+              WHEN en_h = mx THEN 'en' ELSE 'de' END AS lang_guess
+  FROM lm
+),
+qq AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+  FROM docs
+),
+qualx AS (
+  SELECT doc_id,
+         CAST(FLOOR((least(n_tok / 50.0, 1.0) * 0.3
+            + least(len(list_distinct(ws)) / CAST(n_tok AS DOUBLE) * 2, 1.0) * 0.3
+            + least(len(list_filter(ws, x -> x IN {_STOPWORDS_SQL})) / CAST(n_tok AS DOUBLE) * 5, 1.0) * 0.2
+            + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(len(text) AS DOUBLE) * 10, 1.0)) * 0.2) * 1e6) AS BIGINT) AS quality_e6
+  FROM qq
+),
+red1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_url,
+         regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS text
+  FROM docs
+),
+red2 AS (
+  SELECT doc_id, n_url,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS text
+  FROM red1
+),
+red3 AS (
+  SELECT doc_id, n_url, n_email,
+         CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ipv4,
+         regexp_replace(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g') AS text
+  FROM red2
+),
+redx AS (
+  -- the same PROGRESSIVE scrub chain as redact_pii: each count runs on the
+  -- text with earlier kinds already replaced (nested matches count once)
+  SELECT doc_id,
+         CAST(n_url + n_email + n_ipv4
+            + len(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS INT) AS n_redacted
+  FROM red3
+),
+asm AS (
+  SELECT d.doc_id, e.is_exact,
+         n.doc_id IS NOT NULL AS is_near,
+         l.lang_guess, q.quality_e6, r.n_redacted
+  FROM docs d
+  JOIN exactx e USING (doc_id)
+  LEFT JOIN nearx n USING (doc_id)
+  JOIN langx l USING (doc_id)
+  JOIN qualx q USING (doc_id)
+  JOIN redx r USING (doc_id)
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_transcripts": f"WITH t AS ({_T}) SELECT * FROM t",
@@ -2849,85 +2946,7 @@ SELECT doc_id, text AS redacted, n_url, n_email, n_ipv4, n_phone,
 FROM r4
 """,
         "text_curate": f"""
-WITH {_SHINGLES}, {_MINHASH_SIGS}, {_BANDS},
-hx AS (SELECT doc_id, md5(text) AS h FROM docs),
-keepx AS (SELECT h, MIN(doc_id) AS keep_id FROM hx GROUP BY h),
-exactx AS (
-  SELECT hx.doc_id, hx.doc_id <> k.keep_id AS is_exact FROM hx JOIN keepx k USING (h)
-),
-nearx AS (
-  SELECT DISTINCT r.doc_id AS doc_id
-  FROM banded l JOIN banded r
-    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-  GROUP BY l.doc_id, r.doc_id HAVING COUNT(*) >= 2
-),
-lq AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM docs),
-lh AS (
-  SELECT doc_id,
-         CAST(len(list_filter(ws, x -> x = 'der')) + len(list_filter(ws, x -> x = 'die')) + len(list_filter(ws, x -> x = 'und')) AS INT) AS de_h,
-         CAST(len(list_filter(ws, x -> x = 'the')) + len(list_filter(ws, x -> x = 'and')) + len(list_filter(ws, x -> x = 'of')) AS INT) AS en_h,
-         CAST(len(list_filter(ws, x -> x = 'el')) + len(list_filter(ws, x -> x = 'la')) + len(list_filter(ws, x -> x = 'los')) AS INT) AS es_h,
-         CAST(len(list_filter(ws, x -> x = 'le')) + len(list_filter(ws, x -> x = 'les')) + len(list_filter(ws, x -> x = 'des')) AS INT) AS fr_h
-  FROM lq
-),
-lm AS (SELECT *, greatest(de_h, en_h, es_h, fr_h) AS mx FROM lh),
-langx AS (
-  SELECT doc_id,
-         CASE WHEN mx = 0 THEN 'und'
-              WHEN fr_h = mx THEN 'fr' WHEN es_h = mx THEN 'es'
-              WHEN en_h = mx THEN 'en' ELSE 'de' END AS lang_guess
-  FROM lm
-),
-qq AS (
-  SELECT doc_id, text, string_split(text, ' ') AS ws,
-         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
-  FROM docs
-),
-qualx AS (
-  SELECT doc_id,
-         CAST(FLOOR((least(n_tok / 50.0, 1.0) * 0.3
-            + least(len(list_distinct(ws)) / CAST(n_tok AS DOUBLE) * 2, 1.0) * 0.3
-            + least(len(list_filter(ws, x -> x IN {_STOPWORDS_SQL})) / CAST(n_tok AS DOUBLE) * 5, 1.0) * 0.2
-            + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(len(text) AS DOUBLE) * 10, 1.0)) * 0.2) * 1e6) AS BIGINT) AS quality_e6
-  FROM qq
-),
-red1 AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_url,
-         regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS text
-  FROM docs
-),
-red2 AS (
-  SELECT doc_id, n_url,
-         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
-         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS text
-  FROM red1
-),
-red3 AS (
-  SELECT doc_id, n_url, n_email,
-         CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ipv4,
-         regexp_replace(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g') AS text
-  FROM red2
-),
-redx AS (
-  -- the same PROGRESSIVE scrub chain as redact_pii: each count runs on the
-  -- text with earlier kinds already replaced (nested matches count once)
-  SELECT doc_id,
-         CAST(n_url + n_email + n_ipv4
-            + len(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS INT) AS n_redacted
-  FROM red3
-),
-asm AS (
-  SELECT d.doc_id, e.is_exact,
-         n.doc_id IS NOT NULL AS is_near,
-         l.lang_guess, q.quality_e6, r.n_redacted
-  FROM docs d
-  JOIN exactx e USING (doc_id)
-  LEFT JOIN nearx n USING (doc_id)
-  JOIN langx l USING (doc_id)
-  JOIN qualx q USING (doc_id)
-  JOIN redx r USING (doc_id)
-)
+WITH {_SHINGLES}, {_MINHASH_SIGS}, {_BANDS},{_CURATE_CORE}
 SELECT doc_id,
        CASE WHEN is_exact THEN 'exact_dup'
             WHEN is_near THEN 'near_dup'
@@ -2939,6 +2958,57 @@ SELECT doc_id,
              WHEN quality_e6 < 650000 THEN 'quality' END) IS NULL AS kept,
        lang_guess, quality_e6, n_redacted
 FROM asm
+""",
+        # curation v2: same chain + the Gopher repetition gate and the
+        # LM-frequency (surprisal) gate; extra per-doc columns carried
+        "text_curate_v2": f"""
+WITH {_SHINGLES}, {_MINHASH_SIGS}, {_BANDS},{_CURATE_CORE},
+repb AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM (
+    SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+    FROM (SELECT doc_id, ws, UNNEST(generate_series(1, n - 1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n FROM docs)
+          WHERE n >= 2)
+  ) GROUP BY doc_id, gram
+),
+repx AS (
+  SELECT doc_id,
+         CAST(FLOOR(MAX(c) / CAST(SUM(c) AS DOUBLE) * 1e6) AS BIGINT)
+           AS top_bigram_e6
+  FROM repb GROUP BY doc_id
+),
+snz AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM docs
+  ) WHERE tok <> ''
+),
+scnt AS (SELECT tok, COUNT(*) AS c FROM snz GROUP BY tok),
+surx AS (
+  SELECT n.doc_id,
+         CAST(FLOOR(AVG(length(bin(CAST(scnt.c + 1 AS BIGINT))) - 1) * 1e6)
+              AS BIGINT) AS surprisal_e6
+  FROM snz n JOIN scnt USING (tok) GROUP BY n.doc_id
+),
+asm2 AS (
+  SELECT a.*, COALESCE(r.top_bigram_e6, 0) AS top_bigram_e6, s.surprisal_e6
+  FROM asm a LEFT JOIN repx r USING (doc_id) JOIN surx s USING (doc_id)
+)
+SELECT doc_id,
+       (CASE WHEN is_exact THEN 'exact_dup'
+             WHEN is_near THEN 'near_dup'
+             WHEN lang_guess NOT IN ('en') THEN 'lang'
+             WHEN quality_e6 < 650000 THEN 'quality'
+             WHEN top_bigram_e6 > 86000 THEN 'repetition'
+             WHEN surprisal_e6 < 9900000 THEN 'rare_tokens' END) IS NULL AS kept,
+       CASE WHEN is_exact THEN 'exact_dup'
+            WHEN is_near THEN 'near_dup'
+            WHEN lang_guess NOT IN ('en') THEN 'lang'
+            WHEN quality_e6 < 650000 THEN 'quality'
+            WHEN top_bigram_e6 > 86000 THEN 'repetition'
+            WHEN surprisal_e6 < 9900000 THEN 'rare_tokens' END AS drop_reason,
+       lang_guess, quality_e6, n_redacted, top_bigram_e6, surprisal_e6
+FROM asm2
 """,
         "dedup_minhash": _ORACLE_MINHASH,
         # transitive closure of the minhash pairs via the shared CC chain;

@@ -726,6 +726,8 @@ def curate_corpus(
     langs=("en",),
     min_quality_e6: int = 650_000,
     nb_bands: int = 2,
+    max_top_bigram_e6: int | None = None,
+    min_surprisal_e6: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation — the composite pass a training-data
     pipeline runs before tokenization, as ONE operator over the existing
@@ -738,6 +740,10 @@ def curate_corpus(
       lang       language_id guess not in ``langs``
       quality    floor(quality_score * 1e6) < min_quality_e6 (integer
                  compare so the decision replays exactly cross-engine)
+      repetition floor(top_bigram_fraction * 1e6) > max_top_bigram_e6
+                 (only when that threshold is given — Gopher-style gate)
+      rare_tokens floor(mean_log2_freq * 1e6) < min_surprisal_e6 (only
+                 when given — the LM-frequency gate)
 
     Returns (doc_id, kept, drop_reason, lang_guess, quality_e6,
     n_redacted) — n_redacted from the PII scrub, reported for every doc.
@@ -774,12 +780,37 @@ def curate_corpus(
         .join(qual, "doc_id")
         .join(red, "doc_id")
     )
+    extra_cols = []
+    if max_top_bigram_e6 is not None:
+        rep = repetition_stats(documents, raw=True).select(
+            "doc_id",
+            F.floor(F.col("top_bigram_fraction") * 1e6)
+            .cast("bigint").alias("top_bigram_e6"),
+        )
+        out = out.join(rep, "doc_id")
+        extra_cols.append("top_bigram_e6")
+    if min_surprisal_e6 is not None:
+        sur = unigram_surprisal(documents, raw=True).select(
+            "doc_id",
+            F.floor(F.col("mean_log2_freq") * 1e6)
+            .cast("bigint").alias("surprisal_e6"),
+        )
+        out = out.join(sur, "doc_id")
+        extra_cols.append("surprisal_e6")
     reason = (
         F.when(F.col("is_exact_dup"), "exact_dup")
         .when(F.coalesce(F.col("is_near_dup"), F.lit(False)), "near_dup")
         .when(~F.col("lang_guess").isin(*langs), "lang")
         .when(F.col("quality_e6") < min_quality_e6, "quality")
     )
+    if max_top_bigram_e6 is not None:
+        reason = reason.when(
+            F.col("top_bigram_e6") > max_top_bigram_e6, "repetition"
+        )
+    if min_surprisal_e6 is not None:
+        reason = reason.when(
+            F.col("surprisal_e6") < min_surprisal_e6, "rare_tokens"
+        )
     return out.select(
         "doc_id",
         reason.isNull().alias("kept"),
@@ -787,6 +818,7 @@ def curate_corpus(
         "lang_guess",
         "quality_e6",
         "n_redacted",
+        *extra_cols,
     )
 
 

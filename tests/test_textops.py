@@ -534,3 +534,40 @@ def test_unigram_surprisal_values_and_eval_scoring(spark):
     )
     row = unigram_surprisal(docs, score=ev).collect()[0]
     assert row.n_tokens == 2 and row.mean_log2_freq == 1.0  # (2+0)/2
+
+
+def test_curate_corpus_v2_gates(spark):
+    from kgpipe.textops import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            # fluent unique english, no repetition -> kept
+            (1, "the data and query of the table and the sort of the scan"),
+            # heavy bigram repetition ('spam row' over and over)
+            (2, "spam row spam row spam row spam row spam row spam row"),
+            # rare garbled tokens (appear once each, corpus-wide)
+            (3, "zq1 xv2 qq3 kk4 jj5 pp6 ww7 rr8 tt9 yy0 uu1 ii2"),
+        ],
+        "doc_id long, text string",
+    )
+    # quality is neutralized (min_quality_e6=0) so the NEW gates decide —
+    # precedence puts quality ahead of repetition/rare_tokens
+    kw = dict(langs=("en", "und"), min_quality_e6=0)
+    v1 = {r.doc_id: r for r in curate_corpus(docs, **kw).collect()}
+    assert all(
+        r.drop_reason not in ("repetition", "rare_tokens")
+        for r in v1.values()
+    )
+    v2 = {
+        r.doc_id: r
+        for r in curate_corpus(
+            docs, **kw,
+            max_top_bigram_e6=400_000, min_surprisal_e6=1_100_000,
+        ).collect()
+    }
+    assert v2[2].drop_reason == "repetition" and not v2[2].kept
+    assert v2[3].drop_reason == "rare_tokens" and not v2[3].kept
+    assert v2[1].kept
+    # the extra evidence columns are carried
+    assert v2[2].top_bigram_e6 > 400_000
+    assert v2[3].surprisal_e6 < 1_100_000
