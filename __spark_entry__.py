@@ -374,6 +374,16 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=2, rounds=8)
 
 
+def _q_resolve_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict resolution (graph.resolve_conflicts): majority temporal
+    label per (term, normed) with deterministic tie-break, support/margin
+    evidence — the consumer-facing sibling of the kg_conflicts audit."""
+    from kgpipe.graph import resolve_conflicts
+
+    t = derive_transcripts(spark, sf_dir)
+    return resolve_conflicts(build_triples(t, _GAZ, _BLACKLIST, _CFG, fused=True))
+
+
 def _q_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG QA (graph.tlink_conflicts): (term, normed timex) pairs asserted
     with more than one distinct temporal label across the corpus."""
@@ -1245,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_surprisal": _q_text_surprisal,
         "text_curate_v2": _q_text_curate_v2,
+        "kg_resolved_labels": _q_resolve_conflicts,
         "kg_incremental_materialize": _q_incremental_materialize,
     }
 
@@ -2753,6 +2764,31 @@ SELECT subj_text AS term, obj_text AS normed,
 FROM tl
 GROUP BY subj_text, obj_text
 HAVING COUNT(DISTINCT pred) > 1
+""",
+        # conflict-resolution twin (graph.resolve_conflicts): majority
+        # label, lexicographic tie-break, margin over the runner-up
+        "kg_resolved_labels": f"""
+WITH {_MENTIONS}, {_TLINK},
+votes AS (
+  SELECT subj_text AS term, obj_text AS normed,
+         regexp_replace(pred, '^tlink:', '') AS label,
+         COUNT(*) AS n_support
+  FROM tl GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY term, normed ORDER BY n_support DESC, label ASC
+         ) AS rk,
+         CAST(SUM(n_support) OVER (PARTITION BY term, normed) AS BIGINT)
+           AS n_total
+  FROM votes
+)
+SELECT w.term, w.normed, w.label, w.n_support, w.n_total,
+       CAST(w.n_support - COALESCE(r.n_support, 0) AS BIGINT) AS margin
+FROM ranked w
+LEFT JOIN ranked r ON r.term = w.term AND r.normed = w.normed AND r.rk = 2
+WHERE w.rk = 1
 """,
         # N-Triples serialization twin: literal objects for the attribution
         # predicates (escaped \ then "), urn ids otherwise

@@ -38,6 +38,7 @@ __all__ = [
     "running_entity_counts",
     "connected_components",
     "tlink_conflicts",
+    "resolve_conflicts",
     "entity_episodes",
     "k_core",
 ]
@@ -482,6 +483,52 @@ def entity_episodes(triples: DataFrame, *, max_gap_days: int = 30) -> DataFrame:
         F.min("d").alias("start_date"),
         F.max("d").alias("end_date"),
         F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def resolve_conflicts(triples: DataFrame) -> DataFrame:
+    """KG conflict RESOLUTION — the consumer-facing sibling of
+    tlink_conflicts: for every (entity surface, normalized timex) pair the
+    corpus asserts at least once, pick the majority temporal label
+    (deterministic tie-break: lexicographically smallest label among the
+    tied), with the support count and the margin over the runner-up as
+    confidence evidence. Real timeline consumers read THIS view; the
+    conflicts audit view feeds the review queue.
+
+    Two keyed hash aggregates — (term, normed, label) counts with map-side
+    partial combine, then a (term, normed) max_by reduction over at most
+    |label vocabulary| rows per key — so per-key state is O(10) regardless
+    of corpus size.
+
+    Returns (term, normed, label, n_support, n_total, margin).
+    """
+    t = triples.where(F.col("pred").startswith("tlink:"))
+    votes = (
+        t.groupBy(
+            F.col("subj_text").alias("term"),
+            F.col("obj_text").alias("normed"),
+            F.regexp_replace("pred", "^tlink:", "").alias("label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_support"))
+    )
+    w = Window.partitionBy("term", "normed").orderBy(
+        F.col("n_support").desc(), F.col("label").asc()
+    )
+    ranked = votes.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_total", F.sum("n_support").over(Window.partitionBy("term", "normed"))
+    )
+    runner = ranked.where(F.col("rk") == 2).select(
+        "term", "normed", F.col("n_support").alias("runner_support")
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .join(runner, ["term", "normed"], "left")
+        .select(
+            "term", "normed", "label", "n_support", "n_total",
+            (
+                F.col("n_support") - F.coalesce("runner_support", F.lit(0))
+            ).alias("margin"),
+        )
     )
 
 

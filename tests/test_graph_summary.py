@@ -415,3 +415,27 @@ def test_node_degree_null_endpoint_not_a_neighbor(spark):
     got = {r.node: r for r in node_degree(edges).collect()}
     a = got["a"]
     assert (a.out_degree, a.in_degree, a.degree, a.n_neighbors) == (2, 0, 2, 1)
+
+
+def test_resolve_conflicts_majority_and_tiebreak(spark):
+    from kgpipe.graph import resolve_conflicts
+
+    rows = [
+        ("m1", "tlink:before", "t1", "drug a", "2024-01-01"),
+        ("m2", "tlink:before", "t2", "drug a", "2024-01-01"),
+        ("m3", "tlink:after", "t3", "drug a", "2024-01-01"),
+        # exact tie -> lexicographically smallest label wins ('after')
+        ("m4", "tlink:after", "t4", "drug b", "2024-02-02"),
+        ("m5", "tlink:before", "t5", "drug b", "2024-02-02"),
+        # non-tlink rows are ignored
+        ("m6", "entity-mention", "C1", "x", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, subj_text string, obj_text string"
+    )
+    got = {(r.term, r.normed): r for r in resolve_conflicts(df).collect()}
+    a = got[("drug a", "2024-01-01")]
+    assert (a.label, a.n_support, a.n_total, a.margin) == ("before", 2, 3, 1)
+    b = got[("drug b", "2024-02-02")]
+    assert (b.label, b.n_support, b.n_total, b.margin) == ("after", 1, 2, 0)
+    assert ("x", "y") not in got
