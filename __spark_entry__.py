@@ -2292,7 +2292,9 @@ feat AS (
          (len(text) - (n_tok - 1)) / CAST(n_tok AS DOUBLE) AS mean_token_len,
          len(list_distinct(ws)) / CAST(n_tok AS DOUBLE) AS distinct_ratio,
          len(list_filter(ws, x -> x IN {_STOPWORDS_SQL})) / CAST(n_tok AS DOUBLE) AS stopword_ratio,
-         len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(len(text) AS DOUBLE) AS punct_ratio
+         CASE WHEN len(text) > 0
+              THEN len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(len(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio
   FROM q
 )
 SELECT doc_id, n_tokens,
@@ -2644,7 +2646,7 @@ qualx AS (
          CAST(FLOOR((least(n_tok / 50.0, 1.0) * 0.3
             + least(len(list_distinct(ws)) / CAST(n_tok AS DOUBLE) * 2, 1.0) * 0.3
             + least(len(list_filter(ws, x -> x IN {_STOPWORDS_SQL})) / CAST(n_tok AS DOUBLE) * 5, 1.0) * 0.2
-            + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(len(text) AS DOUBLE) * 10, 1.0)) * 0.2) * 1e6) AS BIGINT) AS quality_e6
+            + (1.0 - least(CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / CAST(len(text) AS DOUBLE) ELSE 0.0 END * 10, 1.0)) * 0.2) * 1e6) AS BIGINT) AS quality_e6
   FROM qq
 ),
 red1 AS (
@@ -3027,8 +3029,12 @@ surx AS (
   FROM snz n JOIN scnt USING (tok) GROUP BY n.doc_id
 ),
 asm2 AS (
+  -- LEFT join surx: a doc with no non-empty tokens has no surprisal row;
+  -- the engine keeps the one-row-per-doc contract and drops it as
+  -- rare_tokens (NULL surprisal = no frequency evidence) — in lockstep
+  -- with kgpipe.textops.curate_corpus
   SELECT a.*, COALESCE(r.top_bigram_e6, 0) AS top_bigram_e6, s.surprisal_e6
-  FROM asm a LEFT JOIN repx r USING (doc_id) JOIN surx s USING (doc_id)
+  FROM asm a LEFT JOIN repx r USING (doc_id) LEFT JOIN surx s USING (doc_id)
 )
 SELECT doc_id,
        (CASE WHEN is_exact THEN 'exact_dup'
@@ -3036,13 +3042,15 @@ SELECT doc_id,
              WHEN lang_guess NOT IN ('en') THEN 'lang'
              WHEN quality_e6 < 650000 THEN 'quality'
              WHEN top_bigram_e6 > 86000 THEN 'repetition'
-             WHEN surprisal_e6 < 9900000 THEN 'rare_tokens' END) IS NULL AS kept,
+             WHEN surprisal_e6 IS NULL OR surprisal_e6 < 9900000
+               THEN 'rare_tokens' END) IS NULL AS kept,
        CASE WHEN is_exact THEN 'exact_dup'
             WHEN is_near THEN 'near_dup'
             WHEN lang_guess NOT IN ('en') THEN 'lang'
             WHEN quality_e6 < 650000 THEN 'quality'
             WHEN top_bigram_e6 > 86000 THEN 'repetition'
-            WHEN surprisal_e6 < 9900000 THEN 'rare_tokens' END AS drop_reason,
+            WHEN surprisal_e6 IS NULL OR surprisal_e6 < 9900000
+              THEN 'rare_tokens' END AS drop_reason,
        lang_guess, quality_e6, n_redacted, top_bigram_e6, surprisal_e6
 FROM asm2
 """,

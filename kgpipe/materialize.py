@@ -158,6 +158,41 @@ class TableSink:
             w = w.partitionBy("bucket")
         w.parquet(self._path(name))
 
+    def replace_snapshot(
+        self, name: str, df: DataFrame, source_snapshot_id: str
+    ) -> None:
+        """Idempotent snapshot-scoped write: atomically-enough replaces ALL
+        rows carrying ``source_snapshot_id`` with ``df``'s rows, leaving
+        every other snapshot untouched. This is the exactly-once primitive
+        for the streaming materializer — a redelivered micro-batch
+        re-writes its own snapshot partition instead of appending a second
+        copy. Replacement is at snapshot granularity (not (snapshot,
+        bucket)) on purpose: a partial crash write may contain bucket
+        sub-partitions the recomputed batch does not, and those must go
+        too. Iceberg branch: ``overwrite(filter)``; parquet branch: delete
+        the snapshot's partition directory via the Hadoop FileSystem API
+        (scheme-agnostic: local/HDFS/S3A), then append."""
+        cols = ["source_snapshot_id", "bucket"]
+        if self.iceberg:
+            ident = self._ident(name)
+            if self._table_exists(ident):
+                df.writeTo(ident).overwrite(
+                    F.col("source_snapshot_id") == F.lit(source_snapshot_id)
+                )
+            else:
+                df.writeTo(ident).partitionedBy(*[F.col(c) for c in cols]).create()
+            return
+        jvm = self.spark._jvm  # noqa: SLF001
+        part_dir = jvm.org.apache.hadoop.fs.Path(
+            self._path(name), f"source_snapshot_id={source_snapshot_id}"
+        )
+        fs = part_dir.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+        if fs.exists(part_dir):
+            fs.delete(part_dir, True)
+        df.write.mode("append").partitionBy(*cols).parquet(self._path(name))
+
     def read(self, name: str) -> Optional[DataFrame]:
         """None ONLY when the target genuinely does not exist yet; any other
         read failure propagates (resume must never mistake an outage for an

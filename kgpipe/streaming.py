@@ -515,14 +515,20 @@ def run_incremental_materialize(
     Exactly-once story, layered:
     * the availableNow checkpoint guarantees each input file feeds exactly
       one COMMITTED batch across restarts;
-    * the crash window *inside* foreachBatch (sink append done, checkpoint
-      commit not yet) is closed by a lineage gate — each batch first checks
-      the lineage table for its own ``source_snapshot_id`` (stream-batch-N)
-      and skips re-delivery, the streaming analog of the batch resume's
-      completed_buckets check. Lineage is appended AFTER the triple append,
-      so a crash between the two re-runs the batch (at-least-once on
-      triples for that window) and the gate turns the re-run into a no-op
-      on the NEXT delivery; the final state converges to exactly-once.
+    * each batch's triples land under their own ``source_snapshot_id``
+      partition via ``TableSink.replace_snapshot`` — a redelivered batch
+      (crash anywhere inside foreachBatch, or a rebuilt checkpoint)
+      REPLACES its own snapshot partition wholesale instead of appending a
+      second copy, so the triple store is exactly-once with no crash
+      window;
+    * a driver-side lineage gate — the committed ``source_snapshot_id`` set
+      is read ONCE at stream start and carried in the closure (O(1) per
+      batch; the streaming analog of the batch resume's completed_buckets
+      check) — short-circuits redelivered batches entirely, skipping both
+      the recompute and a duplicate lineage row. A crash between the triple
+      write and the lineage append re-runs the batch on redelivery: the
+      partition overwrite makes the re-write idempotent and lineage is
+      appended exactly once.
 
     Returns the drained query.
     """
@@ -536,16 +542,30 @@ def run_incremental_materialize(
     )
     sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
 
+    # seed the gate once: one lineage read at stream start, then O(1)
+    # membership per micro-batch (the per-batch full-table re-scan this
+    # replaces grew with the store and ran even with no redelivery)
+    lineage0 = sink.read("lineage")
+    committed: set = (
+        set()
+        if lineage0 is None
+        else {
+            r.source_snapshot_id
+            for r in lineage0.select("source_snapshot_id").distinct().collect()
+        }
+    )
+
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         sid = f"stream-batch-{batch_id}"
-        lineage = sink.read("lineage")
-        if lineage is not None and (
-            lineage.where(F.col("source_snapshot_id") == sid).limit(1).count()
-        ):
+        if sid in committed:
             return  # redelivered batch: already committed, idempotent skip
-        out = with_bucket(batch_df, n_buckets).persist()
+        out = (
+            with_bucket(batch_df, n_buckets)
+            .withColumn("source_snapshot_id", F.lit(sid))
+            .persist()
+        )
         try:
-            sink.append("triples", out)
+            sink.replace_snapshot("triples", out, sid)
             counts = [
                 (r.bucket, r.cnt)
                 for r in out.groupBy("bucket")
@@ -559,6 +579,7 @@ def run_incremental_materialize(
                 bucket_counts=counts,
                 stage_timings={"batch_id": float(batch_id)},
             )
+            committed.add(sid)
         finally:
             out.unpersist()
 

@@ -392,9 +392,13 @@ def quality_scores(documents: DataFrame, raw: bool = False) -> DataFrame:
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
     stop_ratio = stop_hits / n_tok
     mean_tok_len = (F.length("text") - (n_tok - 1)) / n_tok
-    punct_ratio = (
-        F.length(F.regexp_replace("text", r"[A-Za-z0-9 ]", "")) / F.length("text")
-    )
+    # empty text divides by zero under ANSI mode (split('', ' ') is [''] so
+    # n_tok >= 1 always, but length('') is 0) — define the degenerate case
+    # explicitly: no chars -> punct ratio 0.0, same CASE in the SQL twin
+    punct_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9 ]", "")) / F.length("text"),
+    ).otherwise(F.lit(0.0))
     score = (
         F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.3
         + F.least(distinct_ratio * 2, F.lit(1.0)) * 0.3
@@ -795,7 +799,12 @@ def curate_corpus(
             F.floor(F.col("mean_log2_freq") * 1e6)
             .cast("bigint").alias("surprisal_e6"),
         )
-        out = out.join(sur, "doc_id")
+        # LEFT join: a doc whose text has no non-empty tokens emits no
+        # unigram_surprisal row; the one-row-per-doc contract must still
+        # hold, with the degenerate case decided explicitly below (NULL
+        # surprisal -> rare_tokens: no token-frequency evidence of fluent
+        # text is itself a drop signal, matching the gate's direction)
+        out = out.join(sur, "doc_id", "left")
         extra_cols.append("surprisal_e6")
     reason = (
         F.when(F.col("is_exact_dup"), "exact_dup")
@@ -809,7 +818,9 @@ def curate_corpus(
         )
     if min_surprisal_e6 is not None:
         reason = reason.when(
-            F.col("surprisal_e6") < min_surprisal_e6, "rare_tokens"
+            F.col("surprisal_e6").isNull()
+            | (F.col("surprisal_e6") < min_surprisal_e6),
+            "rare_tokens",
         )
     return out.select(
         "doc_id",

@@ -355,7 +355,7 @@ def test_incremental_materialize_lineage_and_restart(
     assert not q.isActive
 
     stored = spark.read.parquet(f"{out_dir}/triples")
-    got = _rows(stored.drop("bucket"))
+    got = _rows(stored.drop("bucket", "source_snapshot_id"))
     want = _rows(build_triples(t, gazetteer, blacklist, DEFAULT_CONFIG, fused=True))
     assert got == want and got
 
@@ -365,10 +365,17 @@ def test_incremental_materialize_lineage_and_restart(
     # lineage counts reconcile with the store, per (snapshot, bucket)
     lin_total = lineage.agg(F.sum("triple_count")).first()[0]
     assert lin_total == stored.count()
-    # bucket column partitions the store on disk
+    # (snapshot, bucket) partitions the store on disk: sid dirs at the top,
+    # bucket dirs inside each — the unit a redelivered batch overwrites
     import os
 
-    assert any(d.startswith("bucket=") for d in os.listdir(f"{out_dir}/triples"))
+    sid_dirs = [d for d in os.listdir(f"{out_dir}/triples")
+                if d.startswith("source_snapshot_id=")]
+    assert len(sid_dirs) >= 2
+    assert any(
+        d.startswith("bucket=")
+        for d in os.listdir(f"{out_dir}/triples/{sid_dirs[0]}")
+    )
 
     # restart on the same checkpoint with no new input: nothing appended
     q2 = run_incremental_materialize(
@@ -376,7 +383,9 @@ def test_incremental_materialize_lineage_and_restart(
         n_buckets=4, max_files_per_trigger=1, timeout_sec=180.0,
     )
     assert not q2.isActive
-    assert _rows(spark.read.parquet(f"{out_dir}/triples").drop("bucket")) == want
+    assert _rows(
+        spark.read.parquet(f"{out_dir}/triples").drop("bucket", "source_snapshot_id")
+    ) == want
 
     # redelivery guard: a fresh checkpoint re-delivers the same batches;
     # the lineage gate must turn them into no-ops (store unchanged)
@@ -387,4 +396,50 @@ def test_incremental_materialize_lineage_and_restart(
         n_buckets=4, max_files_per_trigger=1, timeout_sec=180.0,
     )
     assert not q3.isActive
-    assert _rows(spark.read.parquet(f"{out_dir}/triples").drop("bucket")) == want
+    assert _rows(
+        spark.read.parquet(f"{out_dir}/triples").drop("bucket", "source_snapshot_id")
+    ) == want
+
+
+def test_incremental_materialize_crash_window_exactly_once(
+    spark, gazetteer, blacklist, tmp_path
+):
+    """The crash window inside foreachBatch (triples written, lineage/
+    checkpoint commit lost): the redelivered batch must OVERWRITE its own
+    source_snapshot_id partition, not append a second copy — exactly-once
+    on triples, not just on lineage."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.streaming import run_incremental_materialize
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    t = synthetic_transcripts_df(spark, n_conv=3, turns_per_conv=4, seed=7,
+                                 hot_conv_factor=1)
+    t.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    want_df = build_triples(t, gazetteer, blacklist, DEFAULT_CONFIG, fused=True)
+    want = _rows(want_df)
+
+    # simulate the crash: batch 0's triples (here: a garbage partial subset)
+    # are on disk under its sid partition, but NO lineage row and NO
+    # checkpoint commit exist for it
+    partial = (
+        want_df.limit(3)
+        .withColumn("bucket", F.lit(0))
+        .withColumn("source_snapshot_id", F.lit("stream-batch-0"))
+    )
+    partial.write.partitionBy("source_snapshot_id", "bucket").parquet(
+        f"{out_dir}/triples"
+    )
+
+    q = run_incremental_materialize(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt"), gazetteer, blacklist,
+        DEFAULT_CONFIG, n_buckets=4, timeout_sec=180.0,
+    )
+    assert not q.isActive
+    stored = spark.read.parquet(f"{out_dir}/triples")
+    # partial rows replaced, full batch present exactly once
+    assert _rows(stored.drop("bucket", "source_snapshot_id")) == want
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    assert lineage.agg(F.sum("triple_count")).first()[0] == stored.count()

@@ -571,3 +571,30 @@ def test_curate_corpus_v2_gates(spark):
     # the extra evidence columns are carried
     assert v2[2].top_bigram_e6 > 400_000
     assert v2[3].surprisal_e6 < 1_100_000
+
+
+def test_curate_corpus_degenerate_doc_keeps_row(spark):
+    """One-row-per-doc contract under the surprisal gate: a doc whose text
+    has no non-empty tokens emits no unigram_surprisal row; it must still
+    appear in the output, dropped explicitly as rare_tokens (NULL surprisal
+    = no frequency evidence of fluent text)."""
+    from kgpipe.textops import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the data and query of the table and the sort of the scan"),
+            (2, ""),          # empty text -> zero tokens
+            (3, "   "),       # whitespace-only -> zero non-empty tokens
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(langs=("en", "und"), min_quality_e6=0)
+    out = {
+        r.doc_id: r
+        for r in curate_corpus(docs, **kw, min_surprisal_e6=0).collect()
+    }
+    assert set(out) == {1, 2, 3}  # no doc vanishes
+    assert out[1].kept
+    for d in (2, 3):
+        assert not out[d].kept and out[d].drop_reason == "rare_tokens"
+        assert out[d].surprisal_e6 is None
