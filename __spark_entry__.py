@@ -1329,7 +1329,7 @@ ment_ann AS MATERIALIZED (
   FROM ment_id
 ),
 -- two planted timexes per turn: the slash date after ' on ' and the round-2/3
--- grammar suffix after ' revisit ' (kind = event_id % 18, fixtures.py). The
+-- grammar suffix after ' revisit ' (kind = event_id % 24, fixtures.py). The
 -- extras CTE re-derives the per-turn doc stats the char/token arithmetic
 -- needs (doc_len, doc word count, kind, date string) with the same
 -- deterministic row_number keys as the main derivation.
@@ -1338,14 +1338,16 @@ t_ext AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
          len(d.text) AS doc_len,
          len(string_split(d.text, ' ')) AS wd_doc,
-         CAST(e.event_id % 18 AS INT) AS k,
+         CAST(e.event_id % 24 AS INT) AS k,
          strftime(e.ts, '%-m/%-d/%Y') AS datestr
   FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
   WHERE d.doc_id < 500
 ),
 tmx2 AS (
   -- nearest-anniversary picks (W7 nearest-year, ties to the earlier year
-  -- exactly like rank_parses' stable sort over (y-1, y, y+1) candidates)
+  -- exactly like rank_parses' stable sort over (y-1, y, y+1) candidates);
+  -- jn_pick is the month-granularity W7 for the bare-month 'mid-june'
+  -- inner (nearest June 1 start to the anchor)
   SELECT *,
          CASE WHEN abs(date_diff('day', anchor_date, md1)) <= abs(date_diff('day', anchor_date, md2))
                AND abs(date_diff('day', anchor_date, md1)) <= abs(date_diff('day', anchor_date, md3)) THEN md1
@@ -1354,7 +1356,11 @@ tmx2 AS (
          CASE WHEN abs(date_diff('day', anchor_date, hd1)) <= abs(date_diff('day', anchor_date, hd2))
                AND abs(date_diff('day', anchor_date, hd1)) <= abs(date_diff('day', anchor_date, hd3)) THEN hd1
               WHEN abs(date_diff('day', anchor_date, hd2)) <= abs(date_diff('day', anchor_date, hd3)) THEN hd2
-              ELSE hd3 END AS hd_pick
+              ELSE hd3 END AS hd_pick,
+         CASE WHEN abs(date_diff('day', anchor_date, jn1)) <= abs(date_diff('day', anchor_date, jn2))
+               AND abs(date_diff('day', anchor_date, jn1)) <= abs(date_diff('day', anchor_date, jn3)) THEN jn1
+              WHEN abs(date_diff('day', anchor_date, jn2)) <= abs(date_diff('day', anchor_date, jn3)) THEN jn2
+              ELSE jn3 END AS jn_pick
   FROM (
     SELECT w.conv_id, w.turn_idx, w.anchor_date, w.n_words, w.ts,
            x.doc_len, x.wd_doc, x.k, x.datestr,
@@ -1375,14 +1381,23 @@ tmx2 AS (
                     WHEN 14 THEN 'every monday'
                     WHEN 15 THEN 'the end of the month'
                     WHEN 16 THEN 'every morning'
-                    ELSE 'june of ' || CAST(year(w.ts) AS VARCHAR)
+                    WHEN 17 THEN 'june of ' || CAST(year(w.ts) AS VARCHAR)
+                    WHEN 18 THEN 'a couple of days ago'
+                    WHEN 19 THEN 'the past few weeks'
+                    WHEN 20 THEN 'the 5th of june ' || CAST(year(w.ts) AS VARCHAR)
+                    WHEN 21 THEN 'mid-june'
+                    WHEN 22 THEN 'the first nine months'
+                    ELSE 'every other week'
            END AS surface2,
            make_date(year(w.ts) - 1, 3, 5) AS md1,
            make_date(year(w.ts), 3, 5) AS md2,
            make_date(year(w.ts) + 1, 3, 5) AS md3,
            make_date(year(w.ts) - 1, 12, 25) AS hd1,
            make_date(year(w.ts), 12, 25) AS hd2,
-           make_date(year(w.ts) + 1, 12, 25) AS hd3
+           make_date(year(w.ts) + 1, 12, 25) AS hd3,
+           make_date(year(w.ts) - 1, 6, 1) AS jn1,
+           make_date(year(w.ts), 6, 1) AS jn2,
+           make_date(year(w.ts) + 1, 6, 1) AS jn3
     FROM words w JOIN t_ext x USING (conv_id, turn_idx)
   )
 ),
@@ -1422,12 +1437,29 @@ tmx AS (
                 WHEN 14 THEN 'XXXX-WXX-1'
                 WHEN 15 THEN strftime(ts, '%Y-%m')
                 WHEN 16 THEN 'XXXX-XX-XXTMO'
-                ELSE printf('%04d-06', year(ts))
+                WHEN 17 THEN printf('%04d-06', year(ts))
+                -- round 5: couple -> anchor-2d; past-few -> unspecified
+                -- period; ordinal day with explicit year -> exact; mid-june
+                -- -> W7 month pick; first-nine-months / every-other ->
+                -- period values
+                WHEN 18 THEN strftime(CAST(ts AS DATE) - 2, '%Y-%m-%d')
+                WHEN 19 THEN 'PXW'
+                WHEN 20 THEN strftime(make_date(year(ts), 6, 5), '%Y-%m-%d')
+                WHEN 21 THEN strftime(jn_pick, '%Y-%m')
+                WHEN 22 THEN 'P9M'
+                ELSE 'P2W'
          END AS normed,
+         -- engine-token index of the suffix's last token: the suffix starts
+         -- at wd_doc+7; hyphenated words ('twenty-one', 'mid-june') are ONE
+         -- token; slash dates are 5 ('3','/','5','/','2024')
          CAST(wd_doc + CASE k WHEN 2 THEN 13 WHEN 3 THEN 9 WHEN 7 THEN 7
                               WHEN 8 THEN 9 WHEN 11 THEN 9 WHEN 12 THEN 9
                               WHEN 13 THEN 11 WHEN 15 THEN 11
-                              WHEN 17 THEN 9 ELSE 8 END AS INT) AS t_tok_e,
+                              WHEN 17 THEN 9
+                              WHEN 18 THEN 11 WHEN 19 THEN 10
+                              WHEN 20 THEN 11 WHEN 21 THEN 7
+                              WHEN 22 THEN 10 WHEN 23 THEN 9
+                              ELSE 8 END AS INT) AS t_tok_e,
          -- tlink label vs the anchor (= date(ts)): past seasons/decades/
          -- centuries/years are always 'after'; the anchor's own ISO week
          -- begins-on/ends-on/contains it; a SET value has no interval ->
@@ -1471,6 +1503,23 @@ tmx AS (
                     WHEN anchor_date = make_date(year(ts), 6, 1) THEN 'begins-on'
                     WHEN anchor_date = make_date(year(ts), 6, 30) THEN 'ends-on'
                     ELSE 'contains-1' END)
+                -- k=18 (anchor-2, a day strictly before the anchor) falls to
+                -- the ELSE 'after' like k=11; k=19/22/23 are duration/SET
+                -- values with no interval; k=20 is a single June 5 day;
+                -- k=21 is the picked June month interval
+                WHEN 19 THEN 'none'
+                WHEN 20 THEN (CASE
+                    WHEN anchor_date < make_date(year(ts), 6, 5) THEN 'before'
+                    WHEN anchor_date > make_date(year(ts), 6, 5) THEN 'after'
+                    ELSE 'overlap' END)
+                WHEN 21 THEN (CASE
+                    WHEN anchor_date < jn_pick THEN 'before'
+                    WHEN anchor_date > jn_pick + 29 THEN 'after'
+                    WHEN anchor_date = jn_pick THEN 'begins-on'
+                    WHEN anchor_date = jn_pick + 29 THEN 'ends-on'
+                    ELSE 'contains-1' END)
+                WHEN 22 THEN 'none'
+                WHEN 23 THEN 'none'
                 ELSE 'after' END AS lbl
   FROM tmx2
 ),

@@ -184,10 +184,13 @@ def synthetic_transcripts_df(
 # — the last two exercising W7 nearest-year resolution — plus round 3's
 # centuries, weekends and WithModifier prefixes, plus round 4's spelled
 # tens, spelled-out years, fractional periods, TimeSpanSets, bound units,
-# time-of-day sets and of-phrasings) keyed on event_id % 18 — every kind
-# gets driver-corpus coverage with DuckDB-replayable normalization. All
-# suffix words are outside the gazetteer and the DTR/conmod marker sets, so
-# mention extraction and the marker scorers are unaffected.
+# time-of-day sets and of-phrasings, plus round 5's vague-quantifier
+# periods (couple/few), ordinal day-of-month, hyphenated modifiers with
+# bare-month W7, first-[Int]-[Unit] periods and every-other sets) keyed on
+# event_id % 24 — every kind gets driver-corpus coverage with
+# DuckDB-replayable normalization. All suffix words are outside the
+# gazetteer and the DTR/conmod marker sets, so mention extraction and the
+# marker scorers are unaffected.
 DERIVE_TRANSCRIPTS_SQL = """
 SELECT
   'c' || CAST(e.user_id AS {str_type}) AS conv_id,
@@ -200,7 +203,7 @@ SELECT
     ELSE 'tool'
   END AS role,
   d.text || ' on ' || {date_expr} ||
-  CASE CAST(e.event_id % 18 AS INT)
+  CASE CAST(e.event_id % 24 AS INT)
     WHEN 0 THEN ' revisit summer ' || CAST(year(e.ts) - 1 AS {str_type})
     WHEN 1 THEN ' revisit the 1990s'
     WHEN 2 THEN ' revisit week of ' || {date_expr}
@@ -218,7 +221,13 @@ SELECT
     WHEN 14 THEN ' revisit every monday'
     WHEN 15 THEN ' revisit the end of the month'
     WHEN 16 THEN ' revisit every morning'
-    ELSE ' revisit june of ' || CAST(year(e.ts) AS {str_type})
+    WHEN 17 THEN ' revisit june of ' || CAST(year(e.ts) AS {str_type})
+    WHEN 18 THEN ' revisit a couple of days ago'
+    WHEN 19 THEN ' revisit the past few weeks'
+    WHEN 20 THEN ' revisit the 5th of june ' || CAST(year(e.ts) AS {str_type})
+    WHEN 21 THEN ' revisit mid-june'
+    WHEN 22 THEN ' revisit the first nine months'
+    ELSE ' revisit every other week'
   END AS text,
   CASE WHEN e.event_type = 'error' THEN 'logger' ELSE NULL END AS tool,
   e.ts AS ts

@@ -89,11 +89,19 @@ _UNIT_ALT = "|".join(_UNIT_WORDS)
 _TEEN_ALT = "|".join(sorted(_TEEN_WORDS, key=len, reverse=True))
 _TENS_ALT = "|".join(_TENS_WORDS)
 # composed-tens FIRST so "twenty-one" is consumed whole, teens before
-# units so "sixteen" never stops at "six"
+# units so "sixteen" never stops at "six"; "couple (of)" is the grammar's
+# vague-quantifier Int 2 (en.grammar:77-78), with its optional article
+# folded in so "a couple of days ago" spans from the article like "a year
+# ago" does
 _NUM_ALT = (
-    rf"\d+|(?:{_TENS_ALT})(?:[\s-](?:{_UNIT_ALT}))?"
+    rf"\d+|(?:an?\s+)?couple(?:\s+of)?"
+    rf"|(?:{_TENS_ALT})(?:[\s-](?:{_UNIT_ALT}))?"
     rf"|{_TEEN_ALT}|{_UNIT_ALT}|an?"
 )
+# unspecified-count quantifiers (en.grammar:297-298 "several [Unit]" /
+# "few [Unit]" -> Unspecified [Unit]) — shared by the vague_period pattern
+# and the ago/in_n context extensions
+_VAGUE_ALT = r"(?:a\s+)?few|several"
 
 # Ordered battery; longest-span-wins resolution across patterns.
 TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
@@ -115,6 +123,21 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             rf"\b({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?\b", re.I
         ),
     ),
+    # "[OrdinalDayOfMonth] of [MonthOfYear] (of [Year])" — the grammar's
+    # ordinal-day composition (en.grammar:69-72 OrdinalDayOfMonth,
+    # en.grammar:232 MonthDay, en.grammar:474 [FieldValue:Partial] of
+    # [TimeSpan:Regular]): "the 5th of june 2020" exact; year-less
+    # "the 5th of june" resolves W7 over three candidate years like
+    # month_day. Begins at the article/ordinal, so the sweep prefers it
+    # over the month_year span ("june 2020") that starts two words later
+    (
+        "day_of_month",
+        re.compile(
+            rf"\b(?:the\s+)?(\d{{1,2}})(?:st|nd|rd|th)\s+of\s+({_MONTH_ALT})\.?"
+            rf"(?:\s+(?:of\s+)?(\d{{4}}))?\b",
+            re.I,
+        ),
+    ),
     # holidays — en.grammar [TimeSpan] holiday rules; with an explicit year
     # or W7-resolved against the anchor
     (
@@ -125,11 +148,15 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
-    # "[Period] ago" and its synonym "[Period] earlier" (en.grammar:407-412)
+    # "[Period] ago" and its synonym "[Period] earlier" (en.grammar:407-412).
+    # The count slot also accepts the unspecified quantifiers several/few
+    # (en.grammar:297-298): "several days ago" is a MoveEarlier by an
+    # Unspecified period — normalized to PAST_REF (the offset is
+    # uncomputable; the direction is all the grammar pins down)
     (
         "ago",
         re.compile(
-            rf"\b({_NUM_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\s+(?:ago|earlier)\b",
+            rf"\b({_NUM_ALT}|{_VAGUE_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\s+(?:ago|earlier)\b",
             re.I,
         ),
     ),
@@ -177,14 +204,39 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # vague-quantifier periods (en.grammar:77-78 couple -> Int 2;
+    # en.grammar:297-298 several/few [Unit] -> Unspecified [Unit]), with
+    # the grammar's past/last/next/coming period contexts folded into the
+    # span ("the past few weeks"). Value = the period itself — P2W for
+    # couple, PXW for several/few (TimeML unspecified-count duration);
+    # the direction word is dropped like the WithModifier mod attribute
+    (
+        "vague_period",
+        re.compile(
+            r"\b(?:the\s+)?(?:(?:past|last|next|coming)\s+)?"
+            rf"((?:an?\s+)?couple(?:\s+of)?|{_VAGUE_ALT})\s+"
+            r"(days?|weeks?|months?|years?)\b",
+            re.I,
+        ),
+    ),
+    # "first [Int] [Unit]" periods (en.grammar:280 — "the first nine
+    # months" -> Simple [Int] [Unit] -> P9M)
+    (
+        "first_period",
+        re.compile(
+            rf"\b(?:the\s+)?first\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?)\b",
+            re.I,
+        ),
+    ),
     (
         "in_n",
         # the negative lookahead keeps "in a year and a half" out of this
         # pattern: the in_n span begins EARLIER than the frac_period span,
         # so without the guard the greedy sweep would keep "in a year" and
-        # drop the fraction (same earliest-begin gotcha as past_ref)
+        # drop the fraction (same earliest-begin gotcha as past_ref).
+        # several/few -> FUTURE_REF (unspecified-offset mirror of ago)
         re.compile(
-            rf"\bin\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\b"
+            rf"\bin\s+({_NUM_ALT}|{_VAGUE_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\b"
             r"(?!\s+and\s+a\s+half\b)",
             re.I,
         ),
@@ -270,16 +322,23 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # span to cover the modifier (longest-span-wins hands the whole phrase
     # here). The inner alternation is the closed set of kinds a modifier can
     # grammatically scope over in our rule library.
+    # The modifier-inner separator accepts a hyphen where the grammar's
+    # ignorable [Nil] dash sits (en.grammar:10): "mid-june", "early-2020".
+    # A BARE full month name is a valid inner (value = W7 month resolution
+    # against the anchor), guarded against a following day/year number so
+    # "late march 5, 2021" stays with the longer dated span that begins
+    # one word later (the sweep would otherwise let "late march" eat it).
     (
         "modified",
         re.compile(
             r"\b(?:the\s+)?(?:early|mid|late|middle\s+of|about|around|almost"
-            r"|post)\s+"
+            r"|post)[\s-]+"
             r"(?:(?:the\s+)?(?:19|20)?\d0s|'\d0s"          # decade
             rf"|(?:{_MONTH_ALT})\.?\s+\d{{4}}"             # month-year
             r"|(?:19|20)\d{2}"                             # bare year
             r"|(?:spring|summer|fall|autumn|winter)\s+(?:of\s+)?\d{4}"
-            r"|(?:last|next|this)\s+(?:week|month|year|quarter))\b",
+            r"|(?:last|next|this)\s+(?:week|month|year|quarter)"
+            rf"|(?:{_MONTH_FULL_ALT})(?!\s+(?:of\s+)?\d))\b",
             re.I,
         ),
     ),
@@ -376,12 +435,26 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         ),
     ),
     # PeriodSet — "every week", "every 2 weeks", "daily" -> TIMEX3 SET
-    # values P{n}{U} (Temporal.scala:410-429 analog)
+    # values P{n}{U} (Temporal.scala:410-429 analog; en.grammar:323-331
+    # "every [Period]"). "every other [Unit]" is the every-second-unit
+    # composition -> P2{U}
     (
         "period_set",
         re.compile(
-            rf"\bevery\s+(?:({_NUM_ALT})\s+)?(day|week|month|year)s?\b"
+            rf"\bevery\s+(?:(other)\s+|({_NUM_ALT})\s+)?(day|week|month|year)s?\b"
             r"|\b(daily|weekly|monthly|yearly|annually)\b",
+            re.I,
+        ),
+    ),
+    # frequency sets — "twice a week", "three times a day", "once per
+    # month": TIMEX3 SET with value = the base period (P1W...) and the
+    # freq attribute ("2X") outside our output schema, dropped by the same
+    # convention as the WithModifier mod attribute
+    (
+        "freq_set",
+        re.compile(
+            rf"\b(?:(once|twice|thrice)|({_NUM_ALT})\s+times)\s+(?:a|per)\s+"
+            r"(day|week|month|year)\b",
             re.I,
         ),
     ),
@@ -416,10 +489,14 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         # beginning "in the past" span wins the greedy sweep. The unit
         # alternation is anchored with \b so PLURAL units ("in the past
         # weeks") — which rel_unit does not match — still fall through to
-        # PAST_REF instead of being suppressed by a prefix match.
+        # PAST_REF instead of being suppressed by a prefix match. The
+        # second lookahead hands "in the past few weeks / couple of days"
+        # to vague_period (whose span begins at "the", later than this
+        # pattern's "in" — earliest-begin would otherwise suppress it).
         re.compile(
             r"\b(recently|previously|formerly"
-            r"|in\s+the\s+past\b(?!\s+(?:day|week|month|year|quarter)\b))\b",
+            r"|in\s+the\s+past\b(?!\s+(?:day|week|month|year|quarter)\b)"
+            r"(?!\s+(?:few|several|couple)\b))\b",
             re.I,
         ),
     ),
@@ -470,6 +547,10 @@ _QUICK_KEYS = {
     "word_year": ("nineteen", "twenty"),
     "frac_period": ("half",),
     "span_set": ("each", "every"),
+    "day_of_month": _MONTH_QUICK,
+    "vague_period": ("couple", "few", "several"),
+    "first_period": ("first",),
+    "freq_set": ("once", "twice", "thrice", "times"),
     "in_n": ("in",),
     "day_offset": ("day",),
     # every match spells am/pm (optionally dotted) — "example" false-hits
@@ -656,9 +737,12 @@ def _shift_month(year: int, month: int, delta: int) -> Tuple[int, int]:
 
 
 def _num(tok: str) -> Optional[int]:
-    tok = tok.lower()
+    tok = " ".join(tok.lower().split())
     if tok.isdigit():
         return int(tok)
+    # "couple (of)" with optional article -> Int 2 (en.grammar:77-78)
+    if re.fullmatch(r"(?:an?\s+)?couple(?:\s+of)?", tok):
+        return 2
     if tok in _NUM_WORDS:
         return _NUM_WORDS[tok]
     # composed tens: "twenty-one" / "twenty one"
@@ -705,6 +789,57 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             if not m:
                 return None
             return _fmt_month(int(m.group(2)), _MONTHS[m.group(1).lower()])
+        if kind == "day_of_month":
+            m = re.match(
+                rf"(?:the\s+)?(\d{{1,2}})(?:st|nd|rd|th)\s+of\s+({_MONTH_ALT})\.?"
+                rf"(?:\s+(?:of\s+)?(\d{{4}}))?",
+                s, re.I,
+            )
+            day, month = int(m.group(1)), _MONTHS[m.group(2).lower()]
+            if m.group(3):
+                return _fmt_day(dt.date(int(m.group(3)), month, day))
+            if anchor is None:
+                return None
+            # year-less: W7 three-candidate rank, exactly like month_day
+            parses = []
+            for y in (anchor.year - 1, anchor.year, anchor.year + 1):
+                try:
+                    d = dt.date(y, month, day)
+                except ValueError:
+                    continue
+                parses.append(TimexParse(_fmt_day(d), True, d, False))
+            if not parses:
+                return None
+            return rank_parses(parses, anchor)[0].value
+        if kind == "vague_period":
+            m = re.match(
+                r"(?:the\s+)?(?:(?:past|last|next|coming)\s+)?"
+                rf"((?:an?\s+)?couple(?:\s+of)?|{_VAGUE_ALT})\s+"
+                r"(days?|weeks?|months?|years?)",
+                s, re.I,
+            )
+            unit = m.group(2)[0].upper()
+            if "couple" in m.group(1).lower():
+                return f"P2{unit}"
+            return f"PX{unit}"  # unspecified count (en.grammar:297-298)
+        if kind == "first_period":
+            m = re.match(
+                rf"(?:the\s+)?first\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?)",
+                s, re.I,
+            )
+            n = _num(m.group(1))
+            if n is None:
+                return None
+            return f"P{n}{m.group(2)[0].upper()}"
+        if kind == "freq_set":
+            m = re.match(
+                rf"(?:(once|twice|thrice)|({_NUM_ALT})\s+times)\s+(?:a|per)\s+"
+                r"(day|week|month|year)",
+                s, re.I,
+            )
+            # value = the base period; the 2X/3X freq attribute is outside
+            # the output schema (dropped like the WithModifier mod)
+            return f"P1{m.group(3)[0].upper()}"
         if kind == "suffix_modified":
             # "[year] or later/earlier", "and beyond/before": inner value,
             # ON_OR_AFTER/ON_OR_BEFORE mod outside the schema
@@ -765,33 +900,51 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 return None
             return f"{c - 1:02d}"
         if kind == "modified":
-            # strip the modifier, re-detect the inner expression, emit its
-            # value (the TimeML `mod` attribute is outside our schema)
+            # strip the modifier (space- or [Nil]-dash-separated), re-detect
+            # the inner expression, emit its value (the TimeML `mod`
+            # attribute is outside our schema)
             m = re.match(
                 r"(?:the\s+)?(early|mid|late|middle\s+of|about|around|almost"
-                r"|post)\s+(.*)$",
+                r"|post)[\s-]+(.*)$",
                 s, re.I,
             )
-            inner = detect_timexes(m.group(2))
-            if not inner:
+            inner_txt = m.group(2)
+            inner = detect_timexes(inner_txt)
+            if inner:
+                return normalize_timex(
+                    inner[0]["surface"], inner[0]["kind"], anchor
+                )
+            # bare-month inner ("mid-june"): no standalone bare-month
+            # pattern exists, so resolve the month here — W7 over three
+            # candidate years, nearest month START to the anchor
+            mm = re.fullmatch(rf"({_MONTH_FULL_ALT})", inner_txt, re.I)
+            if not mm or anchor is None:
                 return None
-            return normalize_timex(inner[0]["surface"], inner[0]["kind"], anchor)
+            month = _MONTHS[mm.group(1).lower()]
+            parses = [
+                TimexParse(_fmt_month(y, month), True, dt.date(y, month, 1), False)
+                for y in (anchor.year - 1, anchor.year, anchor.year + 1)
+            ]
+            return rank_parses(parses, anchor)[0].value
         if kind == "period_set":
             m = re.match(
-                rf"every\s+(?:({_NUM_ALT})\s+)?(day|week|month|year)s?"
+                rf"every\s+(?:(other)\s+|({_NUM_ALT})\s+)?(day|week|month|year)s?"
                 r"|(daily|weekly|monthly|yearly|annually)",
                 s, re.I,
             )
-            if m.group(3):
+            if m.group(4):
                 unit = {
                     "daily": "D", "weekly": "W", "monthly": "M",
                     "yearly": "Y", "annually": "Y",
-                }[m.group(3).lower()]
+                }[m.group(4).lower()]
                 return f"P1{unit}"
-            n = _num(m.group(1)) if m.group(1) else 1
+            if m.group(1):  # "every other week" = every second week
+                n = 2
+            else:
+                n = _num(m.group(2)) if m.group(2) else 1
             if n is None:
                 return None
-            return f"P{n}{m.group(2)[0].upper()}"
+            return f"P{n}{m.group(3)[0].upper()}"
         if kind == "holiday":
             m = re.match(
                 r"(christmas|xmas|halloween|thanksgiving|new\s+year'?s?(?:\s+day)?)"
@@ -969,13 +1122,17 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"{anchor.year + direction:04d}"
         if kind in ("ago", "in_n"):
             m = re.match(
-                rf"(?:in\s+)?({_NUM_ALT})\s+"
+                rf"(?:in\s+)?({_NUM_ALT}|{_VAGUE_ALT})\s+"
                 r"(days?|weeks?|months?|years?|decades?|century|centuries)(?:\s+ago)?",
                 s,
                 re.I,
             )
             n = _num(m.group(1))
             if n is None:
+                # several/few: MoveEarlier/MoveLater by an Unspecified
+                # period — only the direction is computable
+                if re.fullmatch(_VAGUE_ALT, m.group(1), re.I):
+                    return "PAST_REF" if kind == "ago" else "FUTURE_REF"
                 return None
             sign = -1 if kind == "ago" else 1
             unit = m.group(2).lower().rstrip("s")

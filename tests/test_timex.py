@@ -776,3 +776,97 @@ def test_period_offset_regressions():
 def test_weekday_tod_set_values(surface, expected):
     assert _norm(surface) == expected
     assert _norm(surface, anchor=None) == expected
+
+
+# ---------------------------------------------------------------- round 5 ---
+# vague quantifiers, ordinal day-of-month, hyphenated modifiers,
+# first-[Int]-[Unit] periods, every-other / frequency sets
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # couple -> Int 2 everywhere (en.grammar:77-78)
+        ("a couple of days ago", "2024-03-13"),
+        ("couple of weeks ago", "2024-W09"),
+        ("in a couple of months", "2024-05"),
+        ("a couple of weeks before christmas", "2023-12-11"),
+        ("every couple of weeks", "P2W"),
+        # several/few -> Unspecified period (en.grammar:297-298)
+        ("several days ago", "PAST_REF"),
+        ("a few weeks earlier", "PAST_REF"),
+        ("in a few days", "FUTURE_REF"),
+        ("the past few weeks", "PXW"),
+        ("the past couple of days", "P2D"),
+        ("the next few months", "PXM"),
+        ("several weeks", "PXW"),
+        # ordinal day-of-month compositions (en.grammar:69-72,232,474)
+        ("the 5th of june 2020", "2020-06-05"),
+        ("the 5th of june", "2024-06-05"),
+        ("the 2nd of december", "2023-12-02"),      # W7 nearest year
+        ("the 15th of october of 2021", "2021-10-15"),
+        # hyphenated WithModifier ([Nil] dash, en.grammar:10) + bare-month
+        # inner via W7 month resolution
+        ("mid-june", "2024-06"),
+        ("mid june", "2024-06"),
+        ("late december", "2023-12"),
+        ("early-2020", "2020"),
+        ("mid-2010s", "201X"),
+        # first [Int] [Unit] periods (en.grammar:280)
+        ("the first nine months", "P9M"),
+        ("first twenty-one days", "P21D"),
+        # every-other / frequency sets
+        ("every other week", "P2W"),
+        ("twice a week", "P1W"),
+        ("three times a day", "P1D"),
+        ("once per month", "P1M"),
+    ],
+)
+def test_round5_grammar_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_round5_calendar_rejects():
+    # O3: calendar-invalid ordinal day silently drops
+    d = detect_timexes("the 31st of february")[0]
+    assert d["kind"] == "day_of_month"
+    assert normalize_timex(d["surface"], d["kind"], ANCHOR) is None
+    # year-less forms need an anchor
+    d = detect_timexes("the 5th of june")[0]
+    assert normalize_timex(d["surface"], d["kind"], None) is None
+    d = detect_timexes("mid-june")[0]
+    assert normalize_timex(d["surface"], d["kind"], None) is None
+
+
+def test_round5_sweep_interactions():
+    # ago beats vague_period at equal begin (longer span)
+    det = detect_timexes("seen a couple of days ago maybe")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("ago", "a couple of days ago")
+    ]
+    # "in the past few weeks": past_ref's lookahead yields to vague_period
+    det = detect_timexes("busy in the past few weeks here")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("vague_period", "the past few weeks")
+    ]
+    # ... but bare "in the past" and "in the past week" are unchanged
+    assert detect_timexes("lived in the past ok")[0]["kind"] == "past_ref"
+    assert detect_timexes("done in the past week")[0]["kind"] == "rel_unit"
+    # day_of_month beats the later-beginning month_year span
+    det = detect_timexes("due the 5th of june 2020 ok")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("day_of_month", "the 5th of june 2020")
+    ]
+    # the modified bare-month guard: "late march 5, 2021" must stay with
+    # the full dated span, not be eaten by "late march"
+    det = detect_timexes("surgery late march 5, 2021 done")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("month_day_year", "march 5, 2021")
+    ]
+    # "every other week" stays one period_set span
+    det = detect_timexes("sync every other week ok")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("period_set", "every other week")
+    ]
+    # freq_set does not fire on bare "once"
+    assert detect_timexes("once again we met") == []
