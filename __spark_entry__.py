@@ -1165,39 +1165,30 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate covers the FIRST 50 registry entries;
-    # the registry holds 72, so coverage rotates each round. Round-3 order:
-    # (a) the 18 queries with no r2 driver row lead (10 first-landed late in
-    #     round 2 + 8 whose only green row is from round 1);
-    # (b) then every query whose output changed this round — the timex-cycle
-    #     extension (% 18) reflows all transcript-derived results, and the
-    #     ntriples/kcore/node_degree code changed;
-    # (c) the tail 22 sit below the window: 11 documents-table queries whose
-    #     code and inputs are untouched this round (r2 driver rows remain
-    #     valid verbatim), 7 transcript-derived queries, and the 4 operators
-    #     NEW this round — all 22 verified this round by
-    #     tools/verify_oracle.py at sf0.01 AND sf0.1
-    #     (reports/oracle_verify_r03*.json); rotate them in next round.
+    # the registry holds 74, so coverage rotates each round. Round-4 order:
+    # (a) the 6 queries that have NEVER had a driver row lead (landed late
+    #     in round 3: the 4 curation/analysis ops + conflict resolution +
+    #     incremental materialize);
+    # (b) then every query whose output or code changed this round — the
+    #     timex-cycle extension (event_id % 24, six new grammar kinds)
+    #     reflows ALL transcript-derived results (kg_* incl. streaming and
+    #     graph ops), and quality_scores/curate_corpus changed (empty-text
+    #     punct guard, surprisal left-join);
+    # (c) the tail 24 sit below the window: documents/embeddings-table
+    #     queries whose code and inputs are untouched this round (r3
+    #     driver rows remain valid verbatim) — all 74 re-verified this
+    #     round by tools/verify_oracle.py at sf0.01 AND sf0.1
+    #     (reports/oracle_verify_r04*.json); rotate the tail in next round.
     return {
-        # (a) never-driver-verified-since-landing — rotate IN
-        "text_vocab": _q_vocab,
-        "text_countmin": _q_countmin,
-        "text_pack": _q_pack,
-        "text_sample_stratified": _q_text_sample,
-        "text_length_quantiles": _q_length_quantiles,
-        "kg_cooccur": _q_cooccur,
-        "text_tfidf": _q_tfidf,
-        "text_redact": _q_text_redact,
-        "text_curate": _q_text_curate,
-        "sim_label_centroids": _q_label_centroids,
-        "kg_degree_histogram": _q_degree_histogram,
-        "sim_topk_bruteforce": _q_topk_bruteforce,
-        "sim_topk_lsh": _q_topk_lsh,
-        "sim_topk_ivf": _q_topk_ivf,
-        "sim_topk_ivf_indexed": _q_topk_ivf_indexed,
-        "mm_media_features": _q_media_features,
-        "mm_media_resize": _q_media_resize,
-        "mm_media_frames": _q_media_frames,
-        # (b) outputs changed this round (timex cycle / code changes)
+        # (a) never-driver-verified — rotate IN
+        "text_contamination": _q_text_contamination,
+        "text_repetition": _q_text_repetition,
+        "text_surprisal": _q_text_surprisal,
+        "text_curate_v2": _q_text_curate_v2,
+        "kg_resolved_labels": _q_resolve_conflicts,
+        "kg_incremental_materialize": _q_incremental_materialize,
+        # (b) outputs/code changed this round (timex cycle %24; curation
+        # edge-case fixes)
         "kg_transcripts": _q_transcripts,
         "kg_attribution": _q_attribution,
         "kg_mentions": _q_mentions,
@@ -1230,7 +1221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": _q_components,
         "kg_episodes": _q_episodes,
         "kg_kcore": _q_kcore,
-        # (c) rotate OUT this round (below the 50-entry window)
         "kg_canon_nodes": _q_canon_nodes,
         "kg_conv_stats": _q_conv_stats,
         "kg_top_entities": _q_top_entities,
@@ -1238,25 +1228,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sessions": _q_sessions,
         "kg_triangles": _q_triangles,
         "kg_running_counts": _q_running_counts,
+        "kg_cooccur": _q_cooccur,
+        "text_quality": _q_text_quality,
+        "text_curate": _q_text_curate,
+        # (slots 49-50) oldest remaining driver rows among unchanged docs
+        # queries
         "dedup_exact": _q_dedup_exact,
+        "text_langid": _q_text_langid,
+        # (c) rotate OUT this round (below the 50-entry window; unchanged,
+        # r3 driver rows + this round's replica reports cover them)
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
-        # new this round (below the window; locally verified, rotate in
-        # next round)
-        "text_contamination": _q_text_contamination,
-        "text_repetition": _q_text_repetition,
-        "text_surprisal": _q_text_surprisal,
-        "text_curate_v2": _q_text_curate_v2,
-        "kg_resolved_labels": _q_resolve_conflicts,
-        "kg_incremental_materialize": _q_incremental_materialize,
+        "text_vocab": _q_vocab,
+        "text_countmin": _q_countmin,
+        "text_pack": _q_pack,
+        "text_sample_stratified": _q_text_sample,
+        "text_length_quantiles": _q_length_quantiles,
+        "text_tfidf": _q_tfidf,
+        "text_redact": _q_text_redact,
+        "sim_label_centroids": _q_label_centroids,
+        "kg_degree_histogram": _q_degree_histogram,
+        "sim_topk_bruteforce": _q_topk_bruteforce,
+        "sim_topk_lsh": _q_topk_lsh,
+        "sim_topk_ivf": _q_topk_ivf,
+        "sim_topk_ivf_indexed": _q_topk_ivf_indexed,
+        "mm_media_features": _q_media_features,
+        "mm_media_resize": _q_media_resize,
+        "mm_media_frames": _q_media_frames,
     }
 
 

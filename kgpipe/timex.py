@@ -436,15 +436,31 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ),
     # PeriodSet — "every week", "every 2 weeks", "daily" -> TIMEX3 SET
     # values P{n}{U} (Temporal.scala:410-429 analog; en.grammar:323-331
-    # "every [Period]"). "every other [Unit]" is the every-second-unit
-    # composition -> P2{U}
+    # "every [Period]" / "each [Period]"; quarterly = QUARTER_YEARS ->
+    # unit char "Q", Temporal.scala:45). "every other [Unit]" is the
+    # every-second-unit composition -> P2{U}
     (
         "period_set",
         re.compile(
-            rf"\bevery\s+(?:(other)\s+|({_NUM_ALT})\s+)?(day|week|month|year)s?\b"
-            r"|\b(daily|weekly|monthly|yearly|annually)\b",
+            rf"\b(?:every|each)\s+(?:(other)\s+|({_NUM_ALT})\s+)?(day|week|month|year)s?\b"
+            r"|\b(daily|weekly|monthly|quarterly|yearly|annually)\b",
             re.I,
         ),
+    ),
+    # "[Int] [Unit] period" (en.grammar:282 — "a three-year period" ->
+    # Simple [Int] [Unit]); the hyphen is the ignorable [Nil] dash
+    (
+        "period_phrase",
+        re.compile(
+            rf"\b(?:a\s+)?({_NUM_ALT})[\s-]+(day|week|month|year)\s+period\b",
+            re.I,
+        ),
+    ),
+    # "recent [Unit:Plural]" (en.grammar:299 — Unspecified [Unit:Plural]):
+    # "in recent weeks" -> PXW
+    (
+        "recent_period",
+        re.compile(r"\brecent\s+(days|weeks|months|years)\b", re.I),
     ),
     # frequency sets — "twice a week", "three times a day", "once per
     # month": TIMEX3 SET with value = the base period (P1W...) and the
@@ -551,6 +567,8 @@ _QUICK_KEYS = {
     "vague_period": ("couple", "few", "several"),
     "first_period": ("first",),
     "freq_set": ("once", "twice", "thrice", "times"),
+    "period_phrase": ("period",),
+    "recent_period": ("recent",),
     "in_n": ("in",),
     "day_offset": ("day",),
     # every match spells am/pm (optionally dotted) — "example" false-hits
@@ -579,7 +597,10 @@ _QUICK_KEYS = {
     "period_offset_date": ("before", "after"),
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
-    "period_set": ("every", "daily", "weekly", "monthly", "yearly", "annually"),
+    "period_set": (
+        "every", "each", "daily", "weekly", "monthly", "quarterly",
+        "yearly", "annually",
+    ),
     "rel_unit": (
         "last", "next", "this", "following", "preceding", "coming", "past",
         "previous", "current", "latest", "that",
@@ -831,6 +852,18 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             if n is None:
                 return None
             return f"P{n}{m.group(2)[0].upper()}"
+        if kind == "period_phrase":
+            m = re.match(
+                rf"(?:a\s+)?({_NUM_ALT})[\s-]+(day|week|month|year)\s+period",
+                s, re.I,
+            )
+            n = _num(m.group(1))
+            if n is None:
+                return None
+            return f"P{n}{m.group(2)[0].upper()}"
+        if kind == "recent_period":
+            m = re.match(r"recent\s+(days|weeks|months|years)", s, re.I)
+            return f"PX{m.group(1)[0].upper()}"
         if kind == "freq_set":
             m = re.match(
                 rf"(?:(once|twice|thrice)|({_NUM_ALT})\s+times)\s+(?:a|per)\s+"
@@ -928,13 +961,14 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return rank_parses(parses, anchor)[0].value
         if kind == "period_set":
             m = re.match(
-                rf"every\s+(?:(other)\s+|({_NUM_ALT})\s+)?(day|week|month|year)s?"
-                r"|(daily|weekly|monthly|yearly|annually)",
+                rf"(?:every|each)\s+(?:(other)\s+|({_NUM_ALT})\s+)?(day|week|month|year)s?"
+                r"|(daily|weekly|monthly|quarterly|yearly|annually)",
                 s, re.I,
             )
             if m.group(4):
                 unit = {
                     "daily": "D", "weekly": "W", "monthly": "M",
+                    "quarterly": "Q",  # QUARTER_YEARS unit char, Temporal.scala:45
                     "yearly": "Y", "annually": "Y",
                 }[m.group(4).lower()]
                 return f"P1{unit}"

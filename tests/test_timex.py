@@ -870,3 +870,30 @@ def test_round5_sweep_interactions():
     ]
     # freq_set does not fire on bare "once"
     assert detect_timexes("once again we met") == []
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # "each [Period]" (en.grammar:331) + quarterly (en.grammar:327,
+        # QUARTER_YEARS unit char "Q" per Temporal.scala:45)
+        ("each week", "P1W"),
+        ("quarterly", "P1Q"),
+        # "[Int] [Unit] period" (en.grammar:282), [Nil] dash accepted
+        ("a three-year period", "P3Y"),
+        ("a 30-day period", "P30D"),
+        # "recent [Unit:Plural]" (en.grammar:299)
+        ("recent weeks", "PXW"),
+    ],
+)
+def test_round5b_period_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_round5b_sweep_interactions():
+    # "each June" / "each morning" keep their set kinds
+    assert detect_timexes("each June")[0]["kind"] == "span_set"
+    assert detect_timexes("each morning")[0]["kind"] == "tod_set"
+    # "recently" stays past_ref; bare "period" detects nothing
+    assert detect_timexes("seen recently ok")[0]["kind"] == "past_ref"
+    assert detect_timexes("the reporting period closed") == []
