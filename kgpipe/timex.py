@@ -140,10 +140,15 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ),
     # holidays — en.grammar [TimeSpan] holiday rules; with an explicit year
     # or W7-resolved against the anchor
+    # "election day": the grammar's NamedDay rule (en.grammar:225 —
+    # DAY_OF_WEEK 2 + MONTH 11 + ALIGNED_WEEK_OF_MONTH 1 = the first
+    # Tuesday of November; the battery requires the "day" word where the
+    # grammar accepts bare "election", which is ambiguous in conversation)
     (
         "holiday",
         re.compile(
-            r"\b(christmas|xmas|halloween|thanksgiving|new\s+year'?s?(?:\s+day)?)"
+            r"\b(christmas|xmas|halloween|thanksgiving|election\s+day"
+            r"|new\s+year'?s?(?:\s+day)?)"
             r"(?:\s+(?:of\s+)?(\d{4}))?\b",
             re.I,
         ),
@@ -462,6 +467,16 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "recent_period",
         re.compile(r"\brecent\s+(days|weeks|months|years)\b", re.I),
     ),
+    # fully-unspecified periods (en.grammar:294-296 — "a while" /
+    # "some time" / "lengthy period" -> Unspecified UNSPECIFIED): both the
+    # amount and the unit are unknown -> "PX" (amount X, unit char X per
+    # Temporal.scala:41 UNSPECIFIED -> "X")
+    (
+        "unspecified_period",
+        re.compile(
+            r"\b(?:a\s+while|some\s+time|(?:a\s+)?lengthy\s+period)\b", re.I
+        ),
+    ),
     # frequency sets — "twice a week", "three times a day", "once per
     # month": TIMEX3 SET with value = the base period (P1W...) and the
     # freq attribute ("2X") outside our output schema, dropped by the same
@@ -553,7 +568,9 @@ _QUICK_KEYS = {
     "month_day_year": _MONTH_QUICK,
     "month_year": _MONTH_QUICK,
     "month_day": _MONTH_QUICK,
-    "holiday": ("christmas", "xmas", "halloween", "thanksgiving", "year"),
+    "holiday": (
+        "christmas", "xmas", "halloween", "thanksgiving", "election", "year",
+    ),
     "ago": ("ago", "earlier"),
     "month_rel_year": ("year",),
     "word_decade": (
@@ -613,6 +630,7 @@ _QUICK_KEYS = {
         "friday", "saturday", "sunday",
     ),
     "rel_day": ("yesterday", "today", "tomorrow"),
+    "unspecified_period": ("while", "time", "lengthy"),
     "past_ref": ("recently", "previously", "formerly", "past"),
     "future_ref": ("soon", "eventually", "future", "later"),
     "present_ref": (
@@ -864,6 +882,10 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
         if kind == "recent_period":
             m = re.match(r"recent\s+(days|weeks|months|years)", s, re.I)
             return f"PX{m.group(1)[0].upper()}"
+        if kind == "unspecified_period":
+            # Unspecified UNSPECIFIED (en.grammar:294-296): amount X +
+            # unit char X (Temporal.scala:41)
+            return "PX"
         if kind == "freq_set":
             m = re.match(
                 rf"(?:(once|twice|thrice)|({_NUM_ALT})\s+times)\s+(?:a|per)\s+"
@@ -981,7 +1003,8 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"P{n}{m.group(3)[0].upper()}"
         if kind == "holiday":
             m = re.match(
-                r"(christmas|xmas|halloween|thanksgiving|new\s+year'?s?(?:\s+day)?)"
+                r"(christmas|xmas|halloween|thanksgiving|election\s+day"
+                r"|new\s+year'?s?(?:\s+day)?)"
                 r"(?:\s+(?:of\s+)?(\d{4}))?",
                 s, re.I,
             )
@@ -1389,13 +1412,19 @@ _SEASON_BOUNDS = {"SP": (3, 5), "SU": (6, 8), "FA": (9, 11), "WI": (12, 2)}
 
 
 def _holiday_date(name: str, year: int) -> dt.date:
-    """Fixed-date holidays + thanksgiving (4th Thursday of November)."""
+    """Fixed-date holidays + thanksgiving (4th Thursday of November) +
+    election day (first Tuesday of November — the grammar's
+    ALIGNED_WEEK_OF_MONTH 1 rule, en.grammar:225, which the reference uses
+    in place of the statutory first-Tuesday-after-first-Monday)."""
     if name in ("christmas", "xmas"):
         return dt.date(year, 12, 25)
     if name == "halloween":
         return dt.date(year, 10, 31)
     if name.startswith("new year"):
         return dt.date(year, 1, 1)
+    if name.startswith("election"):
+        first_tue = 1 + (1 - dt.date(year, 11, 1).weekday()) % 7
+        return dt.date(year, 11, first_tue)
     # thanksgiving: Nov 1 weekday (Mon=0); first Thursday = 1 + (3 - wd) % 7
     first_thu = 1 + (3 - dt.date(year, 11, 1).weekday()) % 7
     return dt.date(year, 11, first_thu + 21)

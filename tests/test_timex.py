@@ -897,3 +897,26 @@ def test_round5b_sweep_interactions():
     # "recently" stays past_ref; bare "period" detects nothing
     assert detect_timexes("seen recently ok")[0]["kind"] == "past_ref"
     assert detect_timexes("the reporting period closed") == []
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # Unspecified UNSPECIFIED periods (en.grammar:294-296)
+        ("a while", "PX"),
+        ("some time", "PX"),
+        ("a lengthy period", "PX"),
+        # election day: first Tuesday of November (the grammar's
+        # ALIGNED_WEEK_OF_MONTH 1 rule, en.grammar:225), W7 year-resolved
+        ("election day", "2023-11-07"),
+        ("election day 2020", "2020-11-03"),
+    ],
+)
+def test_round5c_values(surface, expected):
+    assert _norm(surface) == expected
+
+
+def test_round5c_no_false_positives():
+    for text in ("sometimes it works", "meanwhile at the office",
+                 "the election results", "at the same time"):
+        assert detect_timexes(text) == [], text
