@@ -48,6 +48,9 @@ __all__ = [
     "iceberg_available",
     "TableSink",
     "triple_delta",
+    "compact_snapshots",
+    "read_triples",
+    "cleanup_compacted",
 ]
 
 
@@ -334,3 +337,180 @@ def run_with_resume(
         "triples_written": int(sum(c for _, c in counts)),
         "metrics": metrics,
     }
+
+
+# --------------------------------------------------------------------------
+# snapshot compaction — the maintenance pass for the streaming store's
+# exactly-once layout. run_incremental_materialize lands every micro-batch
+# under its own source_snapshot_id partition (that is what makes redelivery
+# an idempotent overwrite); at 10^12-turn scale that accumulates one
+# partition per batch. Compaction folds all stream-batch snapshots into one
+# compacted snapshot, crash-safely:
+#
+#   1. write every source snapshot's rows under the target snapshot id via
+#      replace_snapshot (idempotent: a crashed-and-rerun compaction
+#      overwrites its own partial output);
+#   2. COMMIT POINT: append (target_sid, source_sid) rows to the
+#      'compactions' manifest table;
+#   3. delete the source partitions (pure cleanup; idempotent).
+#
+# Readers go through read_triples, which applies the manifest as a
+# visibility rule — a compacted target is visible only once its manifest
+# rows exist, and manifest sources are always hidden — so a reader sees
+# exactly-once data in EVERY crash window (before the commit point the
+# half-written target is invisible; after it the not-yet-deleted sources
+# are filtered). On the Iceberg branch step 1+3 collapse into one ATOMIC
+# overwrite(filter) commit and the manifest is audit trail only.
+#
+# Lineage rows for compacted sources are kept: the incremental
+# materializer's redelivery gate seeds from lineage, so a re-delivered
+# old batch is still skipped after its data moved into a compacted
+# snapshot.
+# --------------------------------------------------------------------------
+
+_COMPACT_PREFIX = "compact-"
+
+
+def _compactions_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("target_sid", T.StringType()),
+            T.StructField("source_sid", T.StringType()),
+            T.StructField("compacted_at", T.TimestampType()),
+        ]
+    )
+
+
+def _store_sids(sink: TableSink) -> set:
+    df = sink.read("triples")
+    if df is None or "source_snapshot_id" not in df.columns:
+        return set()
+    return {
+        r.source_snapshot_id
+        for r in df.select("source_snapshot_id").distinct().collect()
+    }
+
+
+def _manifest(sink: TableSink):
+    return sink.read("compactions")
+
+
+def read_triples(sink: TableSink) -> Optional[DataFrame]:
+    """Exactly-once view of the snapshot-partitioned triple store under
+    concurrent/crashed compaction. Visibility rule per snapshot id:
+
+    * hidden if it appears as a SOURCE in the compactions manifest (its
+      rows live on in the committed target; the partition itself is
+      pending-delete cleanup);
+    * a ``compact-*`` target is visible only if its manifest rows exist
+      (a target written by a compaction that crashed before the commit
+      point is invisible — its sources still are visible);
+    * every other snapshot (live stream batches) is visible.
+    """
+    df = sink.read("triples")
+    if df is None:
+        return None
+    if "source_snapshot_id" not in df.columns:
+        return df  # batch-path store: no snapshot partitions, nothing to do
+    man = _manifest(sink)
+    if man is None:
+        # no compaction ever ran: uncommitted targets are still possible
+        return df.where(~F.col("source_snapshot_id").startswith(_COMPACT_PREFIX))
+    sources = man.select(F.col("source_sid").alias("source_snapshot_id")).distinct()
+    targets = man.select(F.col("target_sid").alias("source_snapshot_id")).distinct()
+    df = df.join(F.broadcast(sources), "source_snapshot_id", "left_anti")
+    uncommitted_target = F.col("source_snapshot_id").startswith(
+        _COMPACT_PREFIX
+    ) & F.col("_t").isNull()
+    return (
+        df.join(
+            F.broadcast(targets.withColumn("_t", F.lit(1))),
+            "source_snapshot_id",
+            "left",
+        )
+        .where(~uncommitted_target)
+        .drop("_t")
+    )
+
+
+def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict:
+    """Fold every currently-visible snapshot partition (stream batches and
+    previously-committed compact targets alike) into one new compacted
+    snapshot. Idempotent and crash-safe per the module-level protocol.
+    Returns {"target_sid", "source_sids", "rows"}."""
+    visible = read_triples(sink)
+    if visible is None:
+        return {"target_sid": None, "source_sids": [], "rows": 0}
+    sids = sorted(
+        r.source_snapshot_id
+        for r in visible.select("source_snapshot_id").distinct().collect()
+    )
+    if len(sids) < 2:
+        return {"target_sid": None, "source_sids": [], "rows": 0}
+    # deterministic target name from the fold generation count
+    man = _manifest(sink)
+    gen = 0 if man is None else man.select("target_sid").distinct().count()
+    target = target_sid or f"{_COMPACT_PREFIX}{gen}"
+    data = visible.withColumn("source_snapshot_id", F.lit(target)).persist()
+    try:
+        n = data.count()
+        # 1. idempotent write of the target partition
+        sink.replace_snapshot("triples", data, target)
+        # 2. commit point: manifest rows make the target visible and the
+        #    sources hidden, in one append
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        sink.append(
+            "compactions",
+            sink.spark.createDataFrame(
+                [(target, s, now) for s in sids], _compactions_schema()
+            ),
+            partitioned=False,
+        )
+        # lineage row for the compacted snapshot (audit + bucket counts);
+        # source lineage rows are kept on purpose — the streaming
+        # redelivery gate seeds from them
+        counts = [
+            (r.bucket, r.cnt)
+            for r in data.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+        ]
+        append_lineage(
+            sink,
+            run_id=f"compact-gen{gen}",
+            source_snapshot_id=target,
+            bucket_counts=counts,
+            stage_timings={"n_sources": float(len(sids))},
+        )
+    finally:
+        data.unpersist()
+    # 3. cleanup (idempotent; safe to crash anywhere inside)
+    cleanup_compacted(sink)
+    return {"target_sid": target, "source_sids": sids, "rows": int(n)}
+
+
+def cleanup_compacted(sink: TableSink) -> list:
+    """Delete snapshot partitions superseded by a committed compaction
+    (manifest sources still on disk). Pure idempotent cleanup — visibility
+    already excludes them — callable any time, including after a crash
+    between a compaction's commit point and its cleanup. Iceberg branch:
+    rows were replaced atomically at commit, nothing to clean."""
+    if sink.iceberg:
+        return []
+    man = _manifest(sink)
+    if man is None:
+        return []
+    sources = {r.source_sid for r in man.select("source_sid").distinct().collect()}
+    on_disk = _store_sids(sink)
+    removed = []
+    jvm = sink.spark._jvm  # noqa: SLF001
+    conf = sink.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    for sid in sorted(sources & on_disk):
+        p = jvm.org.apache.hadoop.fs.Path(
+            sink._path("triples"), f"source_snapshot_id={sid}"
+        )
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed.append(sid)
+    return removed

@@ -86,6 +86,12 @@ def main(argv=None) -> int:
         "scan at 100-TB scale; turns/turns_per_sec become null in the "
         "metrics line)",
     )
+    p.add_argument(
+        "--compact", action="store_true",
+        help="maintenance mode: fold the streaming store's per-micro-batch "
+        "snapshot partitions under <output> into one compacted snapshot "
+        "(crash-safe manifest protocol; no extraction is run)",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -94,6 +100,16 @@ def main(argv=None) -> int:
         "kgpipe-run", master=args.master, shuffle_partitions=args.shuffle_partitions
     )
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.compact:
+        from .materialize import TableSink, compact_snapshots
+
+        sink = TableSink(
+            spark, out_dir=args.output, table_prefix=args.iceberg_table_prefix
+        )
+        res = compact_snapshots(sink)
+        print(json.dumps(res))
+        return 0
 
     if args.input:
         transcripts = spark.read.parquet(args.input)

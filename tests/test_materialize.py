@@ -149,3 +149,142 @@ def test_triple_delta_multiset_semantics(spark):
         "c": (0, 1, "added"),
         "d": (2, 1, "count_changed"),
     }
+
+
+# ------------------------------------------------------------ compaction ---
+
+
+def _incr_store(spark, gazetteer, blacklist, tmp_path, tag):
+    """Build a small sid-partitioned streaming store with >=2 micro-batches;
+    returns (out_dir, expected sorted triples)."""
+    from kgpipe.streaming import run_incremental_materialize
+    from kgpipe.config import DEFAULT_CONFIG
+
+    in_dir = str(tmp_path / f"in_{tag}")
+    out_dir = str(tmp_path / f"out_{tag}")
+    t = synthetic_transcripts_df(spark, n_conv=4, turns_per_conv=4, seed=11,
+                                 hot_conv_factor=1)
+    a = t.where(F.col("conv_id") < "conv0002")
+    b = t.where(F.col("conv_id") >= "conv0002")
+    a.coalesce(1).write.mode("append").parquet(in_dir)
+    b.coalesce(1).write.mode("append").parquet(in_dir)
+    run_incremental_materialize(
+        spark, in_dir, out_dir, str(tmp_path / f"ckpt_{tag}"), gazetteer,
+        blacklist, DEFAULT_CONFIG, n_buckets=4, max_files_per_trigger=1,
+        timeout_sec=180.0,
+    )
+    want = _sorted(
+        build_triples(t, gazetteer, blacklist, PipelineConfig(), fused=True)
+        .toPandas()
+    )
+    return out_dir, want
+
+
+def _visible(spark, sink):
+    from kgpipe.materialize import read_triples
+
+    return _sorted(read_triples(sink).toPandas())
+
+
+def test_compact_snapshots_folds_store(spark, gazetteer, blacklist, tmp_path):
+    """Compaction folds the per-micro-batch snapshot partitions into one,
+    the visible data is unchanged, the source dirs are gone, and a second
+    compaction is a no-op."""
+    from kgpipe.materialize import compact_snapshots, read_triples
+
+    out_dir, want = _incr_store(spark, gazetteer, blacklist, tmp_path, "a")
+    sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
+
+    before_dirs = {d for d in os.listdir(f"{out_dir}/triples")
+                   if d.startswith("source_snapshot_id=")}
+    assert len(before_dirs) >= 2
+    assert _visible(spark, sink).equals(want)
+
+    res = compact_snapshots(sink)
+    assert res["target_sid"] == "compact-0"
+    assert sorted(res["source_sids"]) == sorted(
+        d.split("=", 1)[1] for d in before_dirs
+    )
+    # data unchanged through the reader
+    assert _visible(spark, sink).equals(want)
+    # exactly one snapshot dir remains, and it's the target
+    after_dirs = {d for d in os.listdir(f"{out_dir}/triples")
+                  if d.startswith("source_snapshot_id=")}
+    assert after_dirs == {"source_snapshot_id=compact-0"}
+    # bucket sub-partitioning survives compaction
+    assert any(
+        d.startswith("bucket=")
+        for d in os.listdir(f"{out_dir}/triples/source_snapshot_id=compact-0")
+    )
+    # second compaction: single visible snapshot -> no-op
+    res2 = compact_snapshots(sink)
+    assert res2["target_sid"] is None
+    assert _visible(spark, sink).equals(want)
+
+
+def test_compact_crash_before_manifest_is_invisible(
+    spark, gazetteer, blacklist, tmp_path
+):
+    """Crash window 1: target partition written, manifest NOT committed.
+    The reader must hide the half-written target and show the sources;
+    re-running compaction converges."""
+    from kgpipe.materialize import compact_snapshots, read_triples
+
+    out_dir, want = _incr_store(spark, gazetteer, blacklist, tmp_path, "b")
+    sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
+
+    # simulate: write a garbage partial target, no manifest
+    partial = (
+        sink.read("triples").limit(5)
+        .withColumn("source_snapshot_id", F.lit("compact-0"))
+    )
+    sink.replace_snapshot("triples", partial, "compact-0")
+    assert _visible(spark, sink).equals(want)  # target invisible
+
+    res = compact_snapshots(sink)  # re-run: same gen -> same target name
+    assert res["target_sid"] == "compact-0"
+    assert _visible(spark, sink).equals(want)
+
+
+def test_compact_crash_before_cleanup_hides_sources(
+    spark, gazetteer, blacklist, tmp_path
+):
+    """Crash window 2: manifest committed, source dirs not yet deleted.
+    The reader must hide the superseded sources (no duplicates);
+    cleanup_compacted finishes the job."""
+    import datetime as dt
+
+    from kgpipe.materialize import (
+        _compactions_schema, cleanup_compacted, read_triples,
+    )
+
+    out_dir, want = _incr_store(spark, gazetteer, blacklist, tmp_path, "c")
+    sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
+    store = sink.read("triples")
+    sids = sorted(
+        r.source_snapshot_id
+        for r in store.select("source_snapshot_id").distinct().collect()
+    )
+    # simulate the committed-but-uncleaned state: full target + manifest,
+    # sources still on disk
+    target_rows = store.where(
+        F.col("source_snapshot_id").isin(sids)
+    ).withColumn("source_snapshot_id", F.lit("compact-0")).persist()
+    target_rows.count()
+    sink.replace_snapshot("triples", target_rows, "compact-0")
+    target_rows.unpersist()
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    sink.append(
+        "compactions",
+        spark.createDataFrame([("compact-0", s, now) for s in sids],
+                              _compactions_schema()),
+        partitioned=False,
+    )
+    # duplicates on disk, but the reader sees exactly-once
+    assert _visible(spark, sink).equals(want)
+    removed = cleanup_compacted(sink)
+    assert sorted(removed) == sids
+    assert _visible(spark, sink).equals(want)
+    after = {d for d in os.listdir(f"{out_dir}/triples")
+             if d.startswith("source_snapshot_id=")}
+    assert after == {"source_snapshot_id=compact-0"}
