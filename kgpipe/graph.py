@@ -38,6 +38,7 @@ __all__ = [
     "running_entity_counts",
     "connected_components",
     "tlink_conflicts",
+    "triples_prf",
     "resolve_conflicts",
     "entity_episodes",
     "k_core",
@@ -758,4 +759,53 @@ def cross_turn_event_edges(
         "conv_id",
         "turn_idx",
         F.lit(1.0).alias("weight"),
+    )
+
+
+def triples_prf(
+    system: DataFrame,
+    gold: DataFrame,
+    key_cols=("subj", "pred", "obj", "conv_id", "turn_idx"),
+) -> DataFrame:
+    """Distributed micro precision/recall/F1 of a system triple table
+    against a gold one — the north rule's acceptance gate (triple P/R ≥
+    0.95 vs the reference extractor) expressed as an operator that never
+    collects either side (the golden pytest does this with Python sets;
+    at 10^12-turn scale only the join form survives).
+
+    Multiset semantics: each side aggregates to per-key occurrence counts
+    (map-side combined), one full-outer sort-merge join on the triple key,
+    then tp = Σ min(n_sys, n_gold), fp = Σ(n_sys − tp_k),
+    fn = Σ(n_gold − tp_k) — the same scale shape as triple_delta.
+
+    Returns ONE row: (tp, fp, fn, precision_e6, recall_e6, f1_e6) —
+    metrics floor-scaled to integers so the decision replays exactly
+    cross-engine (house convention; P=R=F1=1 ⇒ 1_000_000).
+    """
+    keys = list(key_cols)
+    s = system.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_sys"))
+    g = gold.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_gold"))
+    j = s.join(g, keys, "full")
+    n_sys = F.coalesce("n_sys", F.lit(0).cast("long"))
+    n_gold = F.coalesce("n_gold", F.lit(0).cast("long"))
+    tp_k = F.least(n_sys, n_gold)
+    agg = j.agg(
+        F.sum(tp_k).alias("tp"),
+        F.sum(n_sys - tp_k).alias("fp"),
+        F.sum(n_gold - tp_k).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(
+        2 * tp + fp + fn > 0, (2 * tp) / (2 * tp + fp + fn)
+    ).otherwise(F.lit(0.0))
+    e6 = lambda c: F.floor(c * 1e6).cast("bigint")  # noqa: E731
+    return agg.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        e6(prec).alias("precision_e6"),
+        e6(rec).alias("recall_e6"),
+        e6(f1).alias("f1_e6"),
     )

@@ -439,3 +439,45 @@ def test_resolve_conflicts_majority_and_tiebreak(spark):
     b = got[("drug b", "2024-02-02")]
     assert (b.label, b.n_support, b.n_total, b.margin) == ("after", 1, 2, 0)
     assert ("x", "y") not in got
+
+
+# ------------------------------------------------------------- triples_prf ---
+
+
+def test_triples_prf_perturbations(spark):
+    """The distributed acceptance-gate evaluator on planted perturbations:
+    exact tp/fp/fn under set AND multiset (duplicate-count) differences."""
+    from kgpipe.graph import triples_prf
+
+    cols = "subj string, pred string, obj string, conv_id string, turn_idx int"
+    gold = spark.createDataFrame(
+        [("a", "p", "x", "c1", 0), ("b", "p", "y", "c1", 1),
+         ("c", "p", "z", "c2", 0)], cols,
+    )
+    # one hit dropped, one spurious added
+    sys1 = spark.createDataFrame(
+        [("a", "p", "x", "c1", 0), ("b", "p", "y", "c1", 1),
+         ("d", "p", "w", "c2", 1)], cols,
+    )
+    r = triples_prf(sys1, gold).first()
+    assert (r.tp, r.fp, r.fn) == (2, 1, 1)
+    assert r.precision_e6 == r.recall_e6 == r.f1_e6 == 666_666
+
+    # duplicate counts: system doubles a key the gold has once
+    sys2 = spark.createDataFrame(
+        [("a", "p", "x", "c1", 0), ("a", "p", "x", "c1", 0),
+         ("b", "p", "y", "c1", 1), ("c", "p", "z", "c2", 0)], cols,
+    )
+    r = triples_prf(sys2, gold).first()
+    assert (r.tp, r.fp, r.fn) == (3, 1, 0)
+    assert (r.precision_e6, r.recall_e6) == (750_000, 1_000_000)
+
+    # empty system: zero-denominator branches
+    r = triples_prf(gold.limit(0), gold).first()
+    assert (r.tp, r.fp, r.fn) == (0, 0, 3)
+    assert (r.precision_e6, r.recall_e6, r.f1_e6) == (0, 0, 0)
+
+    # perfect agreement: the north-rule gate reads exactly 1e6
+    r = triples_prf(gold, gold).first()
+    assert (r.tp, r.fp, r.fn) == (3, 0, 0)
+    assert r.precision_e6 == r.recall_e6 == r.f1_e6 == 1_000_000
