@@ -2818,9 +2818,11 @@ jj AS (
   FROM sc s FULL JOIN gc g USING (subj, pred, obj, conv_id, turn_idx)
 ),
 tot AS (
-  SELECT CAST(SUM(tp_k) AS BIGINT) AS tp,
-         CAST(SUM(n_sys - tp_k) AS BIGINT) AS fp,
-         CAST(SUM(n_gold - tp_k) AS BIGINT) AS fn
+  -- COALESCE in lockstep with graph.triples_prf: empty-join sums are
+  -- honest zeros, not NULLs
+  SELECT CAST(COALESCE(SUM(tp_k), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(n_sys - tp_k), 0) AS BIGINT) AS fp,
+         CAST(COALESCE(SUM(n_gold - tp_k), 0) AS BIGINT) AS fn
   FROM jj
 )
 SELECT tp, fp, fn,

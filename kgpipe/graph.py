@@ -789,10 +789,14 @@ def triples_prf(
     n_sys = F.coalesce("n_sys", F.lit(0).cast("long"))
     n_gold = F.coalesce("n_gold", F.lit(0).cast("long"))
     tp_k = F.least(n_sys, n_gold)
+    # coalesce: with BOTH sides empty the join has zero rows and the sums
+    # come back NULL — the counts must still be honest zeros (same
+    # COALESCE in the DuckDB twin)
+    zero = F.lit(0).cast("long")
     agg = j.agg(
-        F.sum(tp_k).alias("tp"),
-        F.sum(n_sys - tp_k).alias("fp"),
-        F.sum(n_gold - tp_k).alias("fn"),
+        F.coalesce(F.sum(tp_k), zero).alias("tp"),
+        F.coalesce(F.sum(n_sys - tp_k), zero).alias("fp"),
+        F.coalesce(F.sum(n_gold - tp_k), zero).alias("fn"),
     )
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
     prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))

@@ -51,6 +51,7 @@ __all__ = [
     "compact_snapshots",
     "read_triples",
     "cleanup_compacted",
+    "migrate_legacy_store",
 ]
 
 
@@ -399,7 +400,14 @@ def _manifest(sink: TableSink):
 
 def read_triples(sink: TableSink) -> Optional[DataFrame]:
     """Exactly-once view of the snapshot-partitioned triple store under
-    concurrent/crashed compaction. Visibility rule per snapshot id:
+    concurrent/crashed compaction.
+
+    Iceberg branch: compaction commits in ONE atomic ``overwrite(filter)``
+    (sources replaced by the target in the same snapshot), so neither
+    crash window can exist — the plain table read is already
+    exactly-once.
+
+    Parquet branch, visibility rule per snapshot id:
 
     * hidden if it appears as a SOURCE in the compactions manifest (its
       rows live on in the committed target; the partition itself is
@@ -414,6 +422,8 @@ def read_triples(sink: TableSink) -> Optional[DataFrame]:
         return None
     if "source_snapshot_id" not in df.columns:
         return df  # batch-path store: no snapshot partitions, nothing to do
+    if sink.iceberg:
+        return df  # atomic compaction: no crash window to filter
     man = _manifest(sink)
     if man is None:
         # no compaction ever ran: uncommitted targets are still possible
@@ -436,38 +446,93 @@ def read_triples(sink: TableSink) -> Optional[DataFrame]:
 
 
 def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict:
-    """Fold every currently-visible snapshot partition (stream batches and
-    previously-committed compact targets alike) into one new compacted
-    snapshot. Idempotent and crash-safe per the module-level protocol.
-    Returns {"target_sid", "source_sids", "rows"}."""
+    """Fold the live STREAM-BATCH snapshot partitions into one new
+    compacted snapshot. Previously-committed ``compact-*`` targets are
+    left in place on purpose: each run therefore costs O(newly-arrived
+    data), not O(whole store) — folding the ever-growing prior target
+    back in every time would make lifetime maintenance I/O quadratic.
+    Generations accumulate one partition per run, at the (slow)
+    compaction cadence rather than the micro-batch cadence.
+
+    Idempotent and crash-safe per the module-level protocol; always
+    starts by finishing any crashed prior run's cleanup. A caller-chosen
+    ``target_sid`` must carry the ``compact-`` prefix (the reader's
+    visibility rule is keyed on it) and must not collide with an existing
+    committed generation. Returns {"target_sid", "source_sids", "rows"}.
+    """
+    # recovery first: a crash between a prior run's commit point and its
+    # cleanup leaves superseded source dirs behind; finish that job even
+    # if this run then has nothing to fold
+    cleanup_compacted(sink)
     visible = read_triples(sink)
-    if visible is None:
+    if visible is None or "source_snapshot_id" not in visible.columns:
+        # empty or batch-path store (bucket-only layout): nothing to fold
         return {"target_sid": None, "source_sids": [], "rows": 0}
-    sids = sorted(
+    all_sids = {
         r.source_snapshot_id
         for r in visible.select("source_snapshot_id").distinct().collect()
-    )
+    }
+    sids = sorted(s for s in all_sids if not s.startswith(_COMPACT_PREFIX))
     if len(sids) < 2:
         return {"target_sid": None, "source_sids": [], "rows": 0}
-    # deterministic target name from the fold generation count
-    man = _manifest(sink)
-    gen = 0 if man is None else man.select("target_sid").distinct().count()
-    target = target_sid or f"{_COMPACT_PREFIX}{gen}"
-    data = visible.withColumn("source_snapshot_id", F.lit(target)).persist()
+    # deterministic target name. Parquet: generation = committed targets
+    # in the manifest (a crashed, manifest-less target dir is garbage the
+    # rerun SHOULD overwrite under the same name). Iceberg: generation =
+    # compact-* sids observed in the table (the overwrite is the atomic
+    # commit, so a present target IS committed and must not be reused —
+    # re-overwriting it with only-new batches would drop its rows).
+    if sink.iceberg:
+        committed = {s for s in all_sids if s.startswith(_COMPACT_PREFIX)}
+    else:
+        man = _manifest(sink)
+        committed = (
+            set()
+            if man is None
+            else {r.target_sid for r in man.select("target_sid").distinct().collect()}
+        )
+    target = target_sid or f"{_COMPACT_PREFIX}{len(committed)}"
+    if not target.startswith(_COMPACT_PREFIX):
+        raise ValueError(
+            f"compaction target {target!r} must start with "
+            f"{_COMPACT_PREFIX!r} — the reader's crash-window visibility "
+            "rule is keyed on the prefix"
+        )
+    if target in committed:
+        raise ValueError(
+            f"compaction target {target!r} is an already-committed "
+            "generation; folding into it would corrupt the store"
+        )
+    gen = len(committed)
+    data = (
+        visible.where(F.col("source_snapshot_id").isin(sids))
+        .withColumn("source_snapshot_id", F.lit(target))
+        .persist()
+    )
     try:
         n = data.count()
-        # 1. idempotent write of the target partition
-        sink.replace_snapshot("triples", data, target)
-        # 2. commit point: manifest rows make the target visible and the
-        #    sources hidden, in one append
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        sink.append(
-            "compactions",
-            sink.spark.createDataFrame(
-                [(target, s, now) for s in sids], _compactions_schema()
-            ),
-            partitioned=False,
-        )
+        manifest_df = sink.spark.createDataFrame(
+            [(target, s, now) for s in sids], _compactions_schema()
+        ).coalesce(1)
+        if sink.iceberg:
+            # ONE atomic commit: sources replaced by the target together.
+            # (The target is in the filter only for rerun idempotence; a
+            # committed target can never reach here — guarded above.)
+            ident = sink._ident("triples")
+            data.writeTo(ident).overwrite(
+                F.col("source_snapshot_id").isin(sids + [target])
+            )
+            # manifest is audit trail only on this branch
+            sink.append("compactions", manifest_df, partitioned=False)
+        else:
+            # 1. idempotent write of the target partition
+            sink.replace_snapshot("triples", data, target)
+            # 2. commit point: ONE manifest file (coalesce(1)) so the
+            #    commit is a single task-file rename — all-or-nothing on
+            #    local/HDFS (single PUT on object stores); a multi-file
+            #    append could persist a subset of source rows and leave
+            #    the target visible with some sources unhidden
+            sink.append("compactions", manifest_df, partitioned=False)
         # lineage row for the compacted snapshot (audit + bucket counts);
         # source lineage rows are kept on purpose — the streaming
         # redelivery gate seeds from them
@@ -493,8 +558,10 @@ def cleanup_compacted(sink: TableSink) -> list:
     """Delete snapshot partitions superseded by a committed compaction
     (manifest sources still on disk). Pure idempotent cleanup — visibility
     already excludes them — callable any time, including after a crash
-    between a compaction's commit point and its cleanup. Iceberg branch:
-    rows were replaced atomically at commit, nothing to clean."""
+    between a compaction's commit point and its cleanup (compact_snapshots
+    also runs it first, so simply re-running the maintenance verb finishes
+    a crashed run's cleanup). Iceberg branch: rows were replaced atomically
+    at commit, nothing to clean."""
     if sink.iceberg:
         return []
     man = _manifest(sink)
@@ -514,3 +581,34 @@ def cleanup_compacted(sink: TableSink) -> list:
             fs.delete(p, True)
             removed.append(sid)
     return removed
+
+
+def migrate_legacy_store(sink: TableSink) -> bool:
+    """One-time layout migration for streaming stores written BEFORE the
+    snapshot-partitioned exactly-once layout: a legacy store has top-level
+    ``bucket=*`` directories; mixing a new ``source_snapshot_id=*`` write
+    into it would make the whole store unreadable ('conflicting directory
+    structures'). Moves every top-level ``bucket=*`` dir under
+    ``source_snapshot_id=legacy-0/``. Idempotent: a crash mid-way leaves a
+    mixed layout that the next call finishes migrating (each move is one
+    directory rename). Returns True if anything was moved."""
+    if sink.iceberg or sink.out_dir is None:
+        return False
+    root = sink._path("triples")
+    if not os.path.exists(root):
+        return False
+    legacy = [d for d in os.listdir(root) if d.startswith("bucket=")]
+    if not legacy:
+        return False
+    jvm = sink.spark._jvm  # noqa: SLF001
+    conf = sink.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    dest_root = jvm.org.apache.hadoop.fs.Path(
+        root, "source_snapshot_id=legacy-0"
+    )
+    fs = dest_root.getFileSystem(conf)
+    if not fs.exists(dest_root):
+        fs.mkdirs(dest_root)
+    for d in legacy:
+        src = jvm.org.apache.hadoop.fs.Path(root, d)
+        fs.rename(src, jvm.org.apache.hadoop.fs.Path(dest_root, d))
+    return True

@@ -530,17 +530,31 @@ def run_incremental_materialize(
       partition overwrite makes the re-write idempotent and lineage is
       appended exactly once.
 
+    Snapshot ids are CHECKPOINT-scoped (``stream-batch-{batch_id}``): one
+    store belongs to one checkpointed stream. Feeding the same store from
+    a second, fresh checkpoint would reuse batch ids 0,1,… and the
+    redelivery gate would wrongly skip them — append new input files to
+    the same source dir and resume the same checkpoint instead (the
+    continued stream numbers them as fresh batches).
+
     Returns the drained query.
     """
     from pyspark.sql import functions as F
 
-    from .materialize import TableSink, append_lineage, with_bucket
+    from .materialize import (
+        TableSink, append_lineage, migrate_legacy_store, with_bucket,
+    )
 
     triples = stream_triples(
         spark, input_dir, gazetteer, blacklist, cfg,
         max_files_per_trigger=max_files_per_trigger,
     )
     sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
+    # stores written before the snapshot-partitioned layout hold top-level
+    # bucket=* dirs; one new sid-partitioned batch would make the mixed
+    # store unreadable — migrate them under source_snapshot_id=legacy-0
+    # first (idempotent, no-op on new/empty stores)
+    migrate_legacy_store(sink)
 
     # seed the gate once: one lineage read at stream start, then O(1)
     # membership per micro-batch (the per-batch full-table re-scan this

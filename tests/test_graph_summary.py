@@ -481,3 +481,9 @@ def test_triples_prf_perturbations(spark):
     r = triples_prf(gold, gold).first()
     assert (r.tp, r.fp, r.fn) == (3, 0, 0)
     assert r.precision_e6 == r.recall_e6 == r.f1_e6 == 1_000_000
+
+    # BOTH sides empty: counts must be honest zeros, never NULL (the
+    # zero-row join's sums coalesce)
+    r = triples_prf(gold.limit(0), gold.limit(0)).first()
+    assert (r.tp, r.fp, r.fn) == (0, 0, 0)
+    assert (r.precision_e6, r.recall_e6, r.f1_e6) == (0, 0, 0)

@@ -282,9 +282,141 @@ def test_compact_crash_before_cleanup_hides_sources(
     )
     # duplicates on disk, but the reader sees exactly-once
     assert _visible(spark, sink).equals(want)
-    removed = cleanup_compacted(sink)
-    assert sorted(removed) == sids
+    # re-running the maintenance verb finishes the crashed run's cleanup
+    # (compact_snapshots runs cleanup_compacted first, then no-ops: no
+    # live stream batches remain to fold)
+    from kgpipe.materialize import compact_snapshots
+
+    res = compact_snapshots(sink)
+    assert res["target_sid"] is None
     assert _visible(spark, sink).equals(want)
     after = {d for d in os.listdir(f"{out_dir}/triples")
              if d.startswith("source_snapshot_id=")}
     assert after == {"source_snapshot_id=compact-0"}
+    # direct cleanup remains an idempotent no-op afterwards
+    assert cleanup_compacted(sink) == []
+
+
+def test_compact_generations_are_incremental(
+    spark, gazetteer, blacklist, tmp_path
+):
+    """Each compaction folds ONLY the live stream batches; committed
+    targets stay in place (O(new data) per run, not O(store)). A second
+    round of batches lands in compact-1 next to compact-0."""
+    from kgpipe.config import DEFAULT_CONFIG
+    from kgpipe.materialize import compact_snapshots
+    from kgpipe.streaming import run_incremental_materialize
+
+    out_dir, want1 = _incr_store(spark, gazetteer, blacklist, tmp_path, "g")
+    sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
+    r1 = compact_snapshots(sink)
+    assert r1["target_sid"] == "compact-0"
+
+    # second wave of input: two more files into the SAME input dir,
+    # resumed on the SAME checkpoint (snapshot ids are checkpoint-scoped:
+    # the continued stream numbers the new files as batches 2, 3)
+    t2 = synthetic_transcripts_df(spark, n_conv=4, turns_per_conv=4, seed=23,
+                                  hot_conv_factor=1).withColumn(
+        "conv_id", F.concat(F.lit("w2"), F.col("conv_id")))
+    in_dir = str(tmp_path / "in_g")
+    a = t2.where(F.col("conv_id") < "w2conv0002")
+    b = t2.where(F.col("conv_id") >= "w2conv0002")
+    a.coalesce(1).write.mode("append").parquet(in_dir)
+    b.coalesce(1).write.mode("append").parquet(in_dir)
+    run_incremental_materialize(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt_g"), gazetteer,
+        blacklist, DEFAULT_CONFIG, n_buckets=4, max_files_per_trigger=1,
+        timeout_sec=180.0,
+    )
+    r2 = compact_snapshots(sink)
+    assert r2["target_sid"] == "compact-1"
+    assert all(s.startswith("stream-batch-") for s in r2["source_sids"])
+    dirs = {d for d in os.listdir(f"{out_dir}/triples")
+            if d.startswith("source_snapshot_id=")}
+    assert dirs == {"source_snapshot_id=compact-0",
+                    "source_snapshot_id=compact-1"}
+    want2 = _sorted(
+        build_triples(t2, gazetteer, blacklist, PipelineConfig(), fused=True)
+        .toPandas()
+    )
+    import pandas as pd
+
+    both = _sorted(pd.concat([want1, want2], ignore_index=True))
+    assert _visible(spark, sink).equals(both)
+
+
+def test_compact_target_name_validation(spark, gazetteer, blacklist, tmp_path):
+    """A custom target must carry the compact- prefix (the reader's
+    visibility rule is keyed on it) and must not collide with a committed
+    generation."""
+    from kgpipe.materialize import compact_snapshots
+
+    out_dir, _ = _incr_store(spark, gazetteer, blacklist, tmp_path, "v")
+    sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
+    with pytest.raises(ValueError, match="must start with"):
+        compact_snapshots(sink, target_sid="nightly")
+    assert compact_snapshots(sink)["target_sid"] == "compact-0"
+
+
+def test_compact_batch_store_noop(spark, gazetteer, blacklist, tmp_path):
+    """Pointing the maintenance verb at a batch-path store (bucket-only
+    layout, no snapshot column) must no-op gracefully, not crash."""
+    from kgpipe.materialize import compact_snapshots
+
+    out = str(tmp_path / "batch_out")
+    t = synthetic_transcripts_df(spark, n_conv=2, turns_per_conv=3, seed=5,
+                                 hot_conv_factor=1)
+    run_with_resume(
+        spark, t, out,
+        lambda df: build_triples(df, gazetteer, blacklist, PipelineConfig(),
+                                 fused=True),
+        run_id="b", source_snapshot_id="s", n_buckets=4,
+    )
+    sink = TableSink(spark, out_dir=out, table_prefix=None)
+    res = compact_snapshots(sink)
+    assert res == {"target_sid": None, "source_sids": [], "rows": 0}
+
+
+def test_migrate_legacy_store_layout(spark, gazetteer, blacklist, tmp_path):
+    """A pre-snapshot-layout streaming store (top-level bucket=* dirs) is
+    migrated under source_snapshot_id=legacy-0 before the first new
+    micro-batch, so the mixed-layout read failure can never happen; the
+    legacy rows stay visible alongside new batches."""
+    import pandas as pd
+
+    from kgpipe.config import DEFAULT_CONFIG
+    from kgpipe.streaming import run_incremental_materialize
+
+    out_dir = str(tmp_path / "legacy_out")
+    t_old = synthetic_transcripts_df(spark, n_conv=2, turns_per_conv=3,
+                                     seed=31, hot_conv_factor=1)
+    old_triples = build_triples(t_old, gazetteer, blacklist, PipelineConfig(),
+                                fused=True)
+    # legacy layout: bucket-only partitioning at the top level
+    with_bucket(old_triples, 4).write.partitionBy("bucket").parquet(
+        f"{out_dir}/triples"
+    )
+    assert any(d.startswith("bucket=")
+               for d in os.listdir(f"{out_dir}/triples"))
+
+    t_new = synthetic_transcripts_df(spark, n_conv=2, turns_per_conv=3,
+                                     seed=37, hot_conv_factor=1).withColumn(
+        "conv_id", F.concat(F.lit("nn"), F.col("conv_id")))
+    in_dir = str(tmp_path / "legacy_in")
+    t_new.coalesce(1).write.parquet(in_dir)
+    run_incremental_materialize(
+        spark, in_dir, out_dir, str(tmp_path / "legacy_ckpt"), gazetteer,
+        blacklist, DEFAULT_CONFIG, n_buckets=4, timeout_sec=180.0,
+    )
+    top = {d for d in os.listdir(f"{out_dir}/triples")
+           if not d.startswith(("_", "."))}
+    assert all(d.startswith("source_snapshot_id=") for d in top)
+    assert "source_snapshot_id=legacy-0" in top
+
+    sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
+    new_triples = build_triples(t_new, gazetteer, blacklist, PipelineConfig(),
+                                fused=True)
+    want = _sorted(pd.concat(
+        [old_triples.toPandas(), new_triples.toPandas()], ignore_index=True
+    ))
+    assert _visible(spark, sink).equals(want)
