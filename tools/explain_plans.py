@@ -370,6 +370,33 @@ def main() -> int:
          "the materialized store"],
     ))
 
+    # 14. acceptance-gate evaluator: no broadcast, partial aggregation ----
+    # triples_prf at 100 TB joins two full extraction outputs: both sides
+    # must reach the full-outer join via partially-aggregated (map-side
+    # combined) per-key counts through hash exchanges — never a broadcast
+    # (either side can be the whole corpus) and never a collect
+    from kgpipe.graph import triples_prf
+
+    p = plan_of(triples_prf(fused, fused.limit(500000)))
+    assert count(r"BroadcastHashJoin|BroadcastNestedLoopJoin", p) == 0, (
+        f"evaluator must not broadcast a corpus-sized side:\n{p}"
+    )
+    assert count(r"SortMergeJoin.*FullOuter|FullOuter.*SortMergeJoin", p) >= 1 or (
+        "SortMergeJoin" in p and "FullOuter" in p
+    ), f"expected a full-outer sort-merge join:\n{p}"
+    assert count(r"HashAggregate", p) >= 4, (
+        f"expected partial+final aggregates on both sides:\n{p}"
+    )
+    sections.append((
+        "acceptance-gate evaluator (triples_prf system ⋈ gold)",
+        p,
+        ["both sides collapse to per-key counts with map-side partial "
+         "aggregation BEFORE the shuffle, the compare is one full-outer "
+         "sort-merge join on the triple key, and the final metric row is "
+         "a global aggregate — no broadcast of either corpus-sized side, "
+         "no driver-side collection of triples"],
+    ))
+
     print("ALL PLAN ASSERTIONS PASS")
     if write:
         out = ["# PLANS — physical-plan audit (tools/explain_plans.py)\n"]
