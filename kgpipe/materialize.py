@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import re
 import time
 from typing import Optional
 
@@ -404,8 +405,13 @@ def read_triples(sink: TableSink) -> Optional[DataFrame]:
 
     Iceberg branch: compaction commits in ONE atomic ``overwrite(filter)``
     (sources replaced by the target in the same snapshot), so neither
-    crash window can exist — the plain table read is already
-    exactly-once.
+    crash window can exist for stores compacted under the CURRENT
+    protocol. The manifest SOURCE filter is still applied when a manifest
+    exists: a table compacted under the earlier append-style protocol
+    physically retains its superseded source rows, and the filter keeps
+    such a store exactly-once until ``cleanup_compacted`` (DELETE-based
+    on this branch) heals it; on current-protocol stores the sources have
+    no rows, so the anti-join is a no-op.
 
     Parquet branch, visibility rule per snapshot id:
 
@@ -423,7 +429,13 @@ def read_triples(sink: TableSink) -> Optional[DataFrame]:
     if "source_snapshot_id" not in df.columns:
         return df  # batch-path store: no snapshot partitions, nothing to do
     if sink.iceberg:
-        return df  # atomic compaction: no crash window to filter
+        man = _manifest(sink)
+        if man is None:
+            return df
+        sources = man.select(
+            F.col("source_sid").alias("source_snapshot_id")
+        ).distinct()
+        return df.join(F.broadcast(sources), "source_snapshot_id", "left_anti")
     man = _manifest(sink)
     if man is None:
         # no compaction ever ran: uncommitted targets are still possible
@@ -460,10 +472,22 @@ def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict
     visibility rule is keyed on it) and must not collide with an existing
     committed generation. Returns {"target_sid", "source_sids", "rows"}.
     """
+    # a misconfigured custom name must fail on the FIRST call, not only
+    # once two batches have accumulated past the no-op early-return below
+    if target_sid is not None and not target_sid.startswith(_COMPACT_PREFIX):
+        raise ValueError(
+            f"compaction target {target_sid!r} must start with "
+            f"{_COMPACT_PREFIX!r} — the reader's crash-window visibility "
+            "rule is keyed on the prefix"
+        )
+    # one manifest read serves recovery-cleanup and the committed set;
+    # read_triples necessarily re-reads after cleanup may have changed
+    # what is on disk
+    man = _manifest(sink)
     # recovery first: a crash between a prior run's commit point and its
     # cleanup leaves superseded source dirs behind; finish that job even
     # if this run then has nothing to fold
-    cleanup_compacted(sink)
+    cleanup_compacted(sink, man=man)
     visible = read_triples(sink)
     if visible is None or "source_snapshot_id" not in visible.columns:
         # empty or batch-path store (bucket-only layout): nothing to fold
@@ -475,34 +499,36 @@ def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict
     sids = sorted(s for s in all_sids if not s.startswith(_COMPACT_PREFIX))
     if len(sids) < 2:
         return {"target_sid": None, "source_sids": [], "rows": 0}
-    # deterministic target name. Parquet: generation = committed targets
-    # in the manifest (a crashed, manifest-less target dir is garbage the
-    # rerun SHOULD overwrite under the same name). Iceberg: generation =
-    # compact-* sids observed in the table (the overwrite is the atomic
-    # commit, so a present target IS committed and must not be reused —
-    # re-overwriting it with only-new batches would drop its rows).
+    # deterministic target name. Parquet: generations committed in the
+    # manifest (a crashed, manifest-less target dir is garbage the rerun
+    # SHOULD overwrite under the same name). Iceberg: compact-* sids
+    # observed in the table (the overwrite is the atomic commit, so a
+    # present target IS committed and must not be reused — re-overwriting
+    # it with only-new batches would drop its rows). Auto-naming takes
+    # max(existing generation index) + 1, NOT set cardinality: a
+    # caller-chosen committed name like compact-7 must never wedge the
+    # auto-named path into a permanent collision error.
     if sink.iceberg:
         committed = {s for s in all_sids if s.startswith(_COMPACT_PREFIX)}
     else:
-        man = _manifest(sink)
         committed = (
             set()
             if man is None
             else {r.target_sid for r in man.select("target_sid").distinct().collect()}
         )
-    target = target_sid or f"{_COMPACT_PREFIX}{len(committed)}"
-    if not target.startswith(_COMPACT_PREFIX):
-        raise ValueError(
-            f"compaction target {target!r} must start with "
-            f"{_COMPACT_PREFIX!r} — the reader's crash-window visibility "
-            "rule is keyed on the prefix"
-        )
+    gen_indexes = [
+        int(m.group(1))
+        for s in committed
+        for m in [re.fullmatch(rf"{_COMPACT_PREFIX}(\d+)", s)]
+        if m
+    ]
+    next_gen = (max(gen_indexes) + 1) if gen_indexes else 0
+    target = target_sid or f"{_COMPACT_PREFIX}{next_gen}"
     if target in committed:
         raise ValueError(
             f"compaction target {target!r} is an already-committed "
             "generation; folding into it would corrupt the store"
         )
-    gen = len(committed)
     data = (
         visible.where(F.col("source_snapshot_id").isin(sids))
         .withColumn("source_snapshot_id", F.lit(target))
@@ -540,9 +566,11 @@ def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict
             (r.bucket, r.cnt)
             for r in data.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
         ]
+        # run_id carries the target name itself: an audit row must
+        # self-attribute even when the caller chose the generation name
         append_lineage(
             sink,
-            run_id=f"compact-gen{gen}",
+            run_id=f"compact:{target}",
             source_snapshot_id=target,
             bucket_counts=counts,
             stage_timings={"n_sources": float(len(sids))},
@@ -554,25 +582,40 @@ def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict
     return {"target_sid": target, "source_sids": sids, "rows": int(n)}
 
 
-def cleanup_compacted(sink: TableSink) -> list:
-    """Delete snapshot partitions superseded by a committed compaction
-    (manifest sources still on disk). Pure idempotent cleanup — visibility
-    already excludes them — callable any time, including after a crash
-    between a compaction's commit point and its cleanup (compact_snapshots
-    also runs it first, so simply re-running the maintenance verb finishes
-    a crashed run's cleanup). Iceberg branch: rows were replaced atomically
-    at commit, nothing to clean."""
-    if sink.iceberg:
-        return []
-    man = _manifest(sink)
+def cleanup_compacted(sink: TableSink, man: Optional[DataFrame] = None) -> list:
+    """Delete snapshot rows/partitions superseded by a committed
+    compaction. Pure idempotent cleanup — visibility already excludes
+    them — callable any time, including after a crash between a
+    compaction's commit point and its cleanup (compact_snapshots also
+    runs it first, so simply re-running the maintenance verb finishes a
+    crashed run's cleanup). ``man`` lets a caller that already read the
+    compactions manifest skip the re-read.
+
+    Iceberg branch: a store compacted under the CURRENT protocol has
+    nothing to clean (sources were replaced in the atomic commit), but a
+    table compacted under the earlier append-style protocol physically
+    retains its superseded source rows — those are removed here with a
+    row-level ``DELETE`` (itself one atomic Iceberg commit), healing the
+    old store in place."""
+    if man is None:
+        man = _manifest(sink)
     if man is None:
         return []
     sources = {r.source_sid for r in man.select("source_sid").distinct().collect()}
-    on_disk = _store_sids(sink)
+    stale = sorted(sources & _store_sids(sink))
+    if not stale:
+        return []
+    if sink.iceberg:
+        in_list = ", ".join(f"'{s}'" for s in stale)
+        sink.spark.sql(
+            f"DELETE FROM {sink._ident('triples')} "
+            f"WHERE source_snapshot_id IN ({in_list})"
+        )
+        return stale
     removed = []
     jvm = sink.spark._jvm  # noqa: SLF001
     conf = sink.spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    for sid in sorted(sources & on_disk):
+    for sid in stale:
         p = jvm.org.apache.hadoop.fs.Path(
             sink._path("triples"), f"source_snapshot_id={sid}"
         )
@@ -610,5 +653,13 @@ def migrate_legacy_store(sink: TableSink) -> bool:
         fs.mkdirs(dest_root)
     for d in legacy:
         src = jvm.org.apache.hadoop.fs.Path(root, d)
-        fs.rename(src, jvm.org.apache.hadoop.fs.Path(dest_root, d))
+        # Hadoop FileSystem.rename signals failure by RETURNING FALSE, not
+        # by raising — a swallowed failure would leave a mixed layout that
+        # makes every later read fail, while this function claims success
+        if not fs.rename(src, jvm.org.apache.hadoop.fs.Path(dest_root, d)):
+            raise IOError(
+                f"legacy-store migration failed to move {src} under "
+                f"{dest_root}; store layout left partially migrated "
+                "(re-running the stream retries the remaining moves)"
+            )
     return True

@@ -348,14 +348,45 @@ def test_compact_generations_are_incremental(
 def test_compact_target_name_validation(spark, gazetteer, blacklist, tmp_path):
     """A custom target must carry the compact- prefix (the reader's
     visibility rule is keyed on it) and must not collide with a committed
-    generation."""
+    generation; a bad prefix fails on the FIRST call even when the store
+    has nothing to fold yet, and a committed custom generation never
+    wedges the auto-named path (max-index+1 naming)."""
     from kgpipe.materialize import compact_snapshots
+
+    # bad prefix raises even on an empty/fresh sink (before any early
+    # no-op return) — a misconfigured nightly job must not look healthy
+    empty_sink = TableSink(spark, out_dir=str(tmp_path / "noexist"),
+                           table_prefix=None)
+    with pytest.raises(ValueError, match="must start with"):
+        compact_snapshots(empty_sink, target_sid="nightly")
 
     out_dir, _ = _incr_store(spark, gazetteer, blacklist, tmp_path, "v")
     sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
     with pytest.raises(ValueError, match="must start with"):
         compact_snapshots(sink, target_sid="nightly")
-    assert compact_snapshots(sink)["target_sid"] == "compact-0"
+    # caller-chosen generation name commits fine...
+    assert compact_snapshots(sink, target_sid="compact-7")["target_sid"] == "compact-7"
+
+    # ...and auto-naming continues PAST it (max-index+1), instead of
+    # computing compact-1 from set cardinality and wedging forever on the
+    # collision guard
+    from kgpipe.config import DEFAULT_CONFIG
+    from kgpipe.streaming import run_incremental_materialize
+
+    t2 = synthetic_transcripts_df(spark, n_conv=4, turns_per_conv=3, seed=41,
+                                  hot_conv_factor=1).withColumn(
+        "conv_id", F.concat(F.lit("v2"), F.col("conv_id")))
+    in_dir = str(tmp_path / "in_v")
+    t2.where(F.col("conv_id") < "v2conv0002").coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    t2.where(F.col("conv_id") >= "v2conv0002").coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    run_incremental_materialize(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt_v"), gazetteer,
+        blacklist, DEFAULT_CONFIG, n_buckets=4, max_files_per_trigger=1,
+        timeout_sec=180.0,
+    )
+    assert compact_snapshots(sink)["target_sid"] == "compact-8"
 
 
 def test_compact_batch_store_noop(spark, gazetteer, blacklist, tmp_path):
