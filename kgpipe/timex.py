@@ -360,12 +360,14 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ),
     # "beginning/start/end of the [Unit]" — en.grammar:481-494 WithModifier
     # START/END over FindEnclosing PRESENT [Unit]: value = the anchor's
-    # enclosing unit, mod dropped
+    # enclosing unit, mod dropped. The "[Unit] end" inversion ("year end",
+    # "month-end") is en.grammar:482 with the grammar's [Nil] dash
     (
         "bound_unit",
         re.compile(
-            r"\b(?:the\s+)?(beginning|start|end)\s+of\s+(?:the\s+)?"
-            r"(week|month|year|quarter)\b",
+            r"\b(?:(?:the\s+)?(beginning|start|end)\s+of\s+(?:the\s+)?"
+            r"(week|month|year|quarter)"
+            r"|(week|month|year|quarter)[\s-]+end)\b",
             re.I,
         ),
     ),
@@ -475,6 +477,42 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "unspecified_period",
         re.compile(
             r"\b(?:a\s+while|some\s+time|(?:a\s+)?lengthy\s+period)\b", re.I
+        ),
+    ),
+    # period modifiers that keep the period value: "[Period] or so" ->
+    # APPROX (en.grammar:311), "up to [Period]" -> EQUAL_OR_LESS
+    # (en.grammar:318); the mod attribute is outside the schema, dropped
+    # by the WithModifier convention
+    (
+        "period_approx",
+        re.compile(
+            rf"\b(?:({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+or\s+so"
+            rf"|up\s+to\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?)"
+            # "up to two weeks AGO" must stay an anchored MoveEarlier,
+            # not an EQUAL_OR_LESS period — without this lookahead the
+            # sweep's earliest-begin rule would let "up to..." eat it
+            rf"(?!\s+(?:ago|earlier)\b))\b",
+            re.I,
+        ),
+    ),
+    # "[Period] ago [FieldValue:Partial]" (en.grammar:418 FindEnclosed —
+    # "a year ago january"): the named month inside the year that ended
+    # [Period] before the anchor's
+    (
+        "ago_partial",
+        re.compile(
+            rf"\b({_NUM_ALT})\s+years?[\s-]+ago\s+({_MONTH_FULL_ALT})\b",
+            re.I,
+        ),
+    ),
+    # "[TimeSpan]'s [FieldValue:Partial]" (en.grammar:476 FindEnclosed —
+    # "2019's june", "2019's third quarter")
+    (
+        "year_possessive",
+        re.compile(
+            rf"\b((?:19|20)\d{{2}})\s*'\s*s\s+"
+            rf"(?:({_MONTH_FULL_ALT})|(first|second|third|fourth|1st|2nd|3rd|4th)\s+quarter)\b",
+            re.I,
         ),
     ),
     # frequency sets — "twice a week", "three times a day", "once per
@@ -631,6 +669,11 @@ _QUICK_KEYS = {
     ),
     "rel_day": ("yesterday", "today", "tomorrow"),
     "unspecified_period": ("while", "time", "lengthy"),
+    # branch 1 ("... or so") needs "so"; branch 2 ("up to ...") needs "up"
+    "period_approx": ("so", "up"),
+    "ago_partial": ("ago",),
+    # the apostrophe alone: "'s" would miss the grammar's spaced "' s" form
+    "year_possessive": ("'",),
     "past_ref": ("recently", "previously", "formerly", "past"),
     "future_ref": ("soon", "eventually", "future", "later"),
     "present_ref": (
@@ -882,6 +925,34 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
         if kind == "recent_period":
             m = re.match(r"recent\s+(days|weeks|months|years)", s, re.I)
             return f"PX{m.group(1)[0].upper()}"
+        if kind == "period_approx":
+            # "[Period] or so" (APPROX, en.grammar:311) / "up to [Period]"
+            # (EQUAL_OR_LESS, en.grammar:318): value = the period itself;
+            # the mod attribute is outside the schema, dropped by the
+            # WithModifier convention
+            m = re.match(
+                rf"(?:up\s+to\s+)?({_NUM_ALT})\s+(days?|weeks?|months?|years?)",
+                s, re.I,
+            )
+            n = _num(m.group(1))
+            if n is None:
+                return None
+            return f"P{n}{m.group(2)[0].upper()}"
+        if kind == "year_possessive":
+            # "[TimeSpan]'s [FieldValue:Partial]" (en.grammar:476
+            # FindEnclosed): the month / quarter inside the named year
+            m = re.match(
+                rf"((?:19|20)\d{{2}})\s*'\s*s\s+"
+                rf"(?:({_MONTH_FULL_ALT})"
+                r"|(first|second|third|fourth|1st|2nd|3rd|4th)\s+quarter)",
+                s, re.I,
+            )
+            year = int(m.group(1))
+            if m.group(2):
+                return _fmt_month(year, _MONTHS[m.group(2).lower()])
+            q = {"first": 1, "1st": 1, "second": 2, "2nd": 2,
+                 "third": 3, "3rd": 3, "fourth": 4, "4th": 4}[m.group(3).lower()]
+            return f"{year:04d}-Q{q}"
         if kind == "unspecified_period":
             # Unspecified UNSPECIFIED (en.grammar:294-296): amount X +
             # unit char X (Temporal.scala:41)
@@ -1205,6 +1276,18 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             if unit in ("century", "centurie"):  # 'centuries'.rstrip('s')
                 return f"{anchor.year + sign * 100 * n:04d}"
             return f"{anchor.year + sign * n:04d}"
+        if kind == "ago_partial":
+            # "[Period] ago [FieldValue:Partial]" (en.grammar:418
+            # FindEnclosed over MoveEarlier — "a year ago january"): the
+            # named month inside the year lying n years before the anchor's
+            m = re.match(
+                rf"({_NUM_ALT})\s+years?[\s-]+ago\s+({_MONTH_FULL_ALT})",
+                s, re.I,
+            )
+            n = _num(m.group(1))
+            if n is None:
+                return None
+            return _fmt_month(anchor.year - n, _MONTHS[m.group(2).lower()])
         if kind == "day_offset":
             m = re.match(
                 r"(?:the\s+)?day\s+(before|after)\s+(yesterday|tomorrow)", s, re.I
