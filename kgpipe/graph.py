@@ -42,6 +42,7 @@ __all__ = [
     "resolve_conflicts",
     "entity_episodes",
     "k_core",
+    "tlink_closure",
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -813,3 +814,57 @@ def triples_prf(
         e6(rec).alias("recall_e6"),
         e6(f1).alias("f1_e6"),
     )
+
+
+def tlink_closure(
+    triples: DataFrame,
+    *,
+    pred: str = "ee-tlink:BEFORE",
+    keys: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """One-step transitive inference over a BEFORE-style edge set:
+    (a BEFORE b) ∧ (b BEFORE c) ⇒ (a BEFORE c) — the interval-algebra
+    composition the reference leaves to its downstream consumer
+    (timeline_delegator.py:468-477 exports raw pairwise links only).
+    Emits INFERRED pairs — 2-hop reachable, not directly asserted — with
+    the number of distinct witnessing middle nodes as evidence.
+
+    ``keys`` scopes the composition: the default ``(conv_id, turn_idx)``
+    composes the within-turn event-event graph; ``("conv_id",)`` composes
+    the cross-turn entity graph (entity_graph edges carry the source turn
+    in the node id, so conversation scope is the natural unit there).
+
+    Scale: edges are clamped to a local window (±60 tokens within a turn,
+    ≤8 turns across turns), so per-node degree is bounded by the window's
+    capacity — the self-join on (keys, middle node) has constant fanout
+    per edge, never quadratic in the conversation. One equi-join + one
+    keyed aggregate + one anti-join, all on the same keys-prefixed join
+    columns, so a single hash partitioning serves all three.
+
+    Returns (*keys, subj, obj, n_paths).
+    """
+    ks = list(keys)
+    e = (
+        triples.where(F.col("pred") == pred)
+        .select(*ks, "subj", "obj")
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.obj") == F.col("b.subj")
+    for k in ks:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    comp = (
+        a.join(b, cond)
+        .select(
+            *[F.col(f"a.{k}").alias(k) for k in ks],
+            F.col("a.subj").alias("subj"),
+            F.col("b.obj").alias("obj"),
+        )
+        .where(F.col("subj") != F.col("obj"))
+    )
+    # comp rows are (subj, mid, obj) with distinct (subj,mid),(mid,obj)
+    # edges, so count(*) per (subj, obj) IS the distinct-witness count
+    inferred = comp.groupBy(*ks, "subj", "obj").agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+    return inferred.join(e, ks + ["subj", "obj"], "left_anti")

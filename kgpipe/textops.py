@@ -49,6 +49,9 @@ __all__ = [
     "contamination",
     "repetition_stats",
     "unigram_surprisal",
+    "mixture_rates_permille",
+    "mixture_sample",
+    "passage_dup_stats",
 ]
 
 
@@ -989,4 +992,150 @@ def unigram_surprisal(
     rnd = (lambda c: c) if raw else (lambda c: F.round(c, 4))
     return per.select(
         "doc_id", "n_tokens", rnd(F.col("mean_log2_freq")).alias("mean_log2_freq")
+    )
+
+
+# ------------------------------------------------------- corpus mixing ---
+
+def mixture_rates_permille(
+    weights: dict, temperature: float = 1.0, scale_permille: int = 500
+) -> dict:
+    """Temperature-scaled source-mixing rates — pure Python, PLAN-TIME.
+
+    ``p_s ∝ w_s^(1/T)``; the largest ``p`` samples at ``scale_permille``,
+    the rest proportionally less. ``T > 1`` flattens toward uniform
+    (upweights small sources — the standard pre-training mixing move);
+    ``T < 1`` sharpens toward the natural distribution; ``T = 1`` is
+    proportional to the supplied weights. Production sets ``weights`` to
+    per-source token counts (``token_stats`` rollup).
+
+    Returned permilles are plain ints computed here, on the driver, once —
+    both the Spark plan and the DuckDB oracle consume the SAME integers,
+    so no cross-engine libm ``pow`` rounding can ever diverge.
+    """
+    if not weights:
+        return {}
+    inv = 1.0 / float(temperature)
+    p = {s: float(w) ** inv for s, w in weights.items()}
+    top = max(p.values())
+    return {
+        s: min(1000, int(round(scale_permille * v / top)))
+        for s, v in sorted(p.items())
+    }
+
+
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict,
+    *,
+    temperature: float = 1.0,
+    scale_permille: int = 500,
+    seed: int = 11,
+    default_permille: int = 0,
+) -> DataFrame:
+    """Deterministic temperature-mixture sampling by ``source`` — the
+    training-mix primitive ("sample the web dump at T=2 against books"):
+    per-source keep rates from :func:`mixture_rates_permille`, decided by
+    the same portable hash threshold as :func:`stratified_sample`, so the
+    sample is a pure function of (doc_id, seed) — stable across runs,
+    engines, and cluster sizes, and monotone in the rate (raising a
+    source's weight later yields a superset).
+
+    Scale: the rate table is O(#sources) literals folded into the plan; the
+    filter fuses into the scan — zero shuffles, zero aggregates.
+
+    Returns kept rows (doc_id, source, lang, n_chars, mix_rate_permille,
+    sample_bucket).
+    """
+    rates = mixture_rates_permille(weights, temperature, scale_permille)
+    rate = F.lit(default_permille)
+    for src, permille in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(permille)).otherwise(rate)
+    bucket = _portable_hash(F.col("doc_id").cast("string"), seed) % 1000
+    return (
+        documents.withColumn("mix_rate_permille", rate.cast("int"))
+        .withColumn("sample_bucket", bucket.cast("int"))
+        .where(F.col("sample_bucket") < F.col("mix_rate_permille"))
+        .select(
+            "doc_id", "source", "lang", "n_chars",
+            "mix_rate_permille", "sample_bucket",
+        )
+    )
+
+
+# -------------------------------------------------- passage duplication ---
+
+def passage_dup_stats(documents: DataFrame, *, n: int = 8) -> DataFrame:
+    """Passage-level duplication signal (the word-n-gram analog of
+    substring dedup in Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): per doc, how much of its text is covered by
+    n-grams that ALSO occur in another document. Doc-level dedup
+    (exact/MinHash) misses boilerplate passages pasted into otherwise
+    distinct docs; this measures exactly that.
+
+    dup n-gram = one occurring in >= 2 DISTINCT docs. A token position is
+    covered iff any dup n-gram instance overlaps it. ``dup_ppm`` =
+    ``covered_tokens * 1e6 DIV n_tokens`` — integer division, engine-exact.
+
+    Scale shape: distinct (doc, gram) BEFORE the per-gram doc count (the
+    hub-safe two-level aggregate — per-gram shuffle state never exceeds the
+    doc-distinct gram set); instances join the dup-gram set on the gram key
+    (no cross product; the dup set is corpus-bounded); coverage is an
+    explode of exactly n positions per dup instance, aggregated map-side
+    per doc. Docs shorter than n yield no grams and report 0.
+
+    Returns (doc_id, n_tokens, dup_gram_instances, covered_tokens, dup_ppm).
+    """
+    d = documents.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).withColumn("nt", F.size("ws"))
+    grams = (
+        d.where(F.col("nt") >= n)
+        .select(
+            "doc_id", "nt",
+            F.explode(
+                F.sequence(F.lit(1), F.col("nt") - F.lit(n - 1))
+            ).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id", "i",
+            F.concat_ws(" ", F.slice("ws", F.col("i"), n)).alias("shingle"),
+        )
+    )
+    dup = (
+        grams.select("doc_id", "shingle").distinct()
+        .groupBy("shingle").agg(F.count("*").alias("docs"))
+        .where(F.col("docs") >= 2)
+        .select("shingle")
+    )
+    hits = grams.join(dup, "shingle")
+    covered = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    inst = hits.groupBy("doc_id").agg(
+        F.count("*").alias("dup_gram_instances")
+    )
+    return (
+        d.select("doc_id", F.col("nt").cast("long").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .join(inst, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("dup_gram_instances", F.lit(0)).cast("long")
+            .alias("dup_gram_instances"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "coalesce(covered_tokens, 0) * 1000000 DIV n_tokens"
+            ).cast("long").alias("dup_ppm"),
+        )
     )

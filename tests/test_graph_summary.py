@@ -487,3 +487,55 @@ def test_triples_prf_perturbations(spark):
     r = triples_prf(gold.limit(0), gold.limit(0)).first()
     assert (r.tp, r.fp, r.fn) == (0, 0, 0)
     assert (r.precision_e6, r.recall_e6, r.f1_e6) == (0, 0, 0)
+
+
+# ------------------------------------------------------------ tlink_closure ---
+
+def test_tlink_closure_infers_two_hop_before(spark):
+    from kgpipe.graph import tlink_closure
+
+    B = "ee-tlink:BEFORE"
+    rows = [
+        # chain e1 -> e2 -> e3 -> e4, plus a direct e1 -> e3 shortcut
+        ("c1", 0, "e1", B, "e2"),
+        ("c1", 0, "e2", B, "e3"),
+        ("c1", 0, "e3", B, "e4"),
+        ("c1", 0, "e1", B, "e3"),
+        # other predicate: never composed
+        ("c1", 0, "e4", "ee-tlink:OVERLAP", "e5"),
+        # same events in ANOTHER turn: isolated scope
+        ("c1", 1, "e1", B, "e2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, obj string"
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.subj, r.obj): r.n_paths
+        for r in tlink_closure(df).collect()
+    }
+    # e1->e3 is 2-hop reachable but DIRECTLY asserted -> excluded
+    assert ("c1", 0, "e1", "e3") not in got
+    # e2->e4 via e3; e1->e4 via e2->? no, only via e3 (from the shortcut)
+    assert got[("c1", 0, "e2", "e4")] == 1
+    assert got[("c1", 0, "e1", "e4")] == 1
+    # turn 1 has a single edge: nothing to compose
+    assert not any(k[1] == 1 for k in got)
+    assert len(got) == 2
+
+
+def test_tlink_closure_counts_distinct_witnesses(spark):
+    from kgpipe.graph import tlink_closure
+
+    B = "ee-tlink:BEFORE"
+    rows = [
+        ("c1", 0, "a", B, "m1"),
+        ("c1", 0, "a", B, "m2"),
+        ("c1", 0, "m1", B, "z"),
+        ("c1", 0, "m2", B, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, obj string"
+    )
+    got = tlink_closure(df).collect()
+    assert len(got) == 1
+    assert (got[0].subj, got[0].obj, got[0].n_paths) == ("a", "z", 2)

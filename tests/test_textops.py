@@ -598,3 +598,96 @@ def test_curate_corpus_degenerate_doc_keeps_row(spark):
     for d in (2, 3):
         assert not out[d].kept and out[d].drop_reason == "rare_tokens"
         assert out[d].surprisal_e6 is None
+
+
+# ----------------------------------------------------------- mixture_sample ---
+
+def test_mixture_rates_permille_temperature():
+    from kgpipe.textops import mixture_rates_permille
+
+    # T=1: proportional to weights; largest gets scale
+    r1 = mixture_rates_permille({"a": 100, "b": 10}, temperature=1.0)
+    assert r1 == {"a": 500, "b": 50}
+    # T=2: sqrt flattening — small source upweighted relative to T=1
+    r2 = mixture_rates_permille({"a": 100, "b": 10}, temperature=2.0)
+    assert r2["a"] == 500 and r2["b"] > r1["b"]
+    # clamp at 1000
+    r3 = mixture_rates_permille({"a": 1, "b": 1}, scale_permille=1500)
+    assert r3 == {"a": 1000, "b": 1000}
+    assert mixture_rates_permille({}) == {}
+
+
+def test_mixture_sample_deterministic_and_thresholded(spark):
+    from kgpipe.textops import mixture_rates_permille, mixture_sample
+
+    rows = [
+        (i, f"text {i}", "en", "srcA" if i % 2 == 0 else "srcB", 7)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    weights = {"srcA": 100.0, "srcB": 10.0}
+    got = mixture_sample(df, weights, temperature=2.0).collect()
+    rates = mixture_rates_permille(weights, 2.0)
+    # every kept row satisfies the threshold with ITS source's rate
+    for r in got:
+        assert r.sample_bucket < r.mix_rate_permille
+        assert r.mix_rate_permille == rates[r.source]
+    # decision is a pure function of (doc_id, seed): rerun identical
+    again = mixture_sample(df, weights, temperature=2.0).collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again)
+    # a source without a weight is dropped entirely (default 0)
+    none_kept = mixture_sample(df, {"srcA": 1.0}).collect()
+    assert all(r.source == "srcA" for r in none_kept)
+    # flattening monotonicity: at T=2 the small source keeps MORE docs
+    t1 = mixture_sample(df, weights, temperature=1.0).collect()
+    b1 = sum(1 for r in t1 if r.source == "srcB")
+    b2 = sum(1 for r in got if r.source == "srcB")
+    assert b2 >= b1
+
+
+# -------------------------------------------------------- passage_dup_stats ---
+
+def test_passage_dup_stats_coverage(spark):
+    from kgpipe.textops import passage_dup_stats
+
+    shared = "a b c d e f g h"  # one 8-gram shared by docs 1 and 2
+    rows = [
+        (1, shared + " i j", "en", "s", 1),        # 10 toks, covered 1..8
+        (2, "z " + shared, "en", "s", 1),          # 9 toks, covered 2..9
+        (3, "p q r s t u v w x y", "en", "s", 1),  # no dup grams
+        (4, "tiny doc", "en", "s", 1),             # shorter than n
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: r for r in passage_dup_stats(df, n=8).collect()}
+    assert len(got) == 4
+    r1, r2, r3, r4 = got[1], got[2], got[3], got[4]
+    assert (r1.n_tokens, r1.dup_gram_instances, r1.covered_tokens) == (10, 1, 8)
+    assert r1.dup_ppm == 8 * 1_000_000 // 10
+    assert (r2.n_tokens, r2.dup_gram_instances, r2.covered_tokens) == (9, 1, 8)
+    assert r2.dup_ppm == 8 * 1_000_000 // 9
+    assert (r3.dup_gram_instances, r3.covered_tokens, r3.dup_ppm) == (0, 0, 0)
+    assert (r4.n_tokens, r4.dup_ppm) == (2, 0)
+
+
+def test_passage_dup_stats_overlapping_instances_union(spark):
+    from kgpipe.textops import passage_dup_stats
+
+    # doc 1 repeats a 9-token run also present in doc 2: two overlapping
+    # dup 8-grams; coverage is the UNION of positions (9, not 16)
+    run = "a b c d e f g h i"
+    rows = [
+        (1, run + " x", "en", "s", 1),   # 10 toks: grams at 1,2 dup -> 1..9
+        (2, run, "en", "s", 1),          # 9 toks: grams at 1,2 dup -> all 9
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: r for r in passage_dup_stats(df, n=8).collect()}
+    assert (got[1].dup_gram_instances, got[1].covered_tokens) == (2, 9)
+    assert got[1].dup_ppm == 9 * 1_000_000 // 10
+    assert (got[2].dup_gram_instances, got[2].covered_tokens) == (2, 9)
+    assert got[2].dup_ppm == 1_000_000
