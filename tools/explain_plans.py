@@ -397,6 +397,70 @@ def main() -> int:
          "no driver-side collection of triples"],
     ))
 
+    # 15. mixture sampling: rate table folded into the plan, zero exchange -
+    from kgpipe.textops import mixture_sample, passage_dup_stats
+
+    p = plan_of(
+        mixture_sample(docs, {f"src{i}": (i + 1) ** 2 for i in range(10)},
+                       temperature=2.0)
+    )
+    assert "Exchange" not in p, "mixture_sample must be a narrow map"
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, (
+        "mixture_sample must stay JVM-side"
+    )
+    sections.append((
+        "training-mix sampling (mixture_sample)",
+        p,
+        ["Exchange nodes: 0; no Python eval — the per-source permille rate "
+         "table is O(#sources) CASE literals folded into the scan filter, "
+         "so sampling scales with input splits at any corpus size"],
+    ))
+
+    # 16. passage-level duplication: hub-safe shape, no cross product -----
+    p = plan_of(passage_dup_stats(docs, n=8))
+    assert count(r"CartesianProduct|BroadcastNestedLoopJoin", p) == 0, (
+        f"passage_dup_stats must never cross-join:\n{p}"
+    )
+    assert "Expand" not in p and "count(distinct" not in p.lower(), (
+        "dup-gram detection must use the two-level aggregate, not "
+        "countDistinct's Expand"
+    )
+    assert count(r"HashAggregate", p) >= 6, (
+        f"expected partial+final aggregates for dup set/coverage/instances:\n{p}"
+    )
+    sections.append((
+        "passage-level duplication (passage_dup_stats)",
+        p,
+        ["no cartesian anywhere: instances meet the dup-gram set on the "
+         "gram equi-key; the dup set itself is the hub-safe two-level "
+         "(doc,gram)→gram aggregate (distinct before count, no Expand); "
+         "coverage explodes exactly n positions per dup instance and "
+         "partially aggregates map-side per doc"],
+    ))
+
+    # 17. BEFORE-closure inference: every exchange keyed on conv_id -------
+    from kgpipe.graph import cross_turn_event_edges, tlink_closure
+
+    cedges = cross_turn_event_edges(
+        ann["mentions_f"], DEFAULT_CONFIG
+    ).selectExpr("conv_id", "src as subj", "pred", "dst as obj")
+    p = plan_of(tlink_closure(cedges, pred="before", keys=("conv_id",)))
+    keyed = keyed_exchange_args(p)
+    for ln in keyed:
+        assert "conv_id" in ln, f"closure exchange not keyed on conv_id: {ln}"
+    assert count(r"CartesianProduct", p) == 0, (
+        f"closure must compose via equi-join:\n{p}"
+    )
+    sections.append((
+        "BEFORE-closure inference (tlink_closure over cross-turn edges)",
+        p,
+        [f"keyed exchanges: {len(keyed)}, all on conv_id — the composition "
+         "self-join, witness aggregate, and direct-assertion anti-join all "
+         "hash on conv_id-prefixed keys, so one partitioning of the edge "
+         "set serves the whole operator; window-clamped edges bound the "
+         "self-join fanout per node"],
+    ))
+
     print("ALL PLAN ASSERTIONS PASS")
     if write:
         out = ["# PLANS — physical-plan audit (tools/explain_plans.py)\n"]
