@@ -1230,7 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     incremental materialize), then the 4 NEW-this-round ops
     #     (kg_eval_prf, kg_before_closure, text_mixture, text_passage_dup);
     # (b) then every query whose OUTPUT changed this round — the
-    #     timex-cycle extension (event_id % 24, six new grammar kinds)
+    #     timex-cycle extension (event_id % 28, ten new grammar kinds)
     #     reflows ALL transcript-derived results (kg_* incl. streaming and
     #     graph ops);
     # (c) the tail sits below the window: documents/embeddings-table
@@ -1253,7 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_before_closure": _q_before_closure,
         "text_mixture": _q_text_mixture,
         "text_passage_dup": _q_text_passage_dup,
-        # (b) outputs/code changed this round (timex cycle %24; curation
+        # (b) outputs/code changed this round (timex cycle %28; curation
         # edge-case fixes)
         "kg_transcripts": _q_transcripts,
         "kg_attribution": _q_attribution,
@@ -1399,7 +1399,7 @@ ment_ann AS MATERIALIZED (
   FROM ment_id
 ),
 -- two planted timexes per turn: the slash date after ' on ' and the round-2/3
--- grammar suffix after ' revisit ' (kind = event_id % 24, fixtures.py). The
+-- grammar suffix after ' revisit ' (kind = event_id % 28, fixtures.py). The
 -- extras CTE re-derives the per-turn doc stats the char/token arithmetic
 -- needs (doc_len, doc word count, kind, date string) with the same
 -- deterministic row_number keys as the main derivation.
@@ -1408,7 +1408,7 @@ t_ext AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
          len(d.text) AS doc_len,
          len(string_split(d.text, ' ')) AS wd_doc,
-         CAST(e.event_id % 24 AS INT) AS k,
+         CAST(e.event_id % 28 AS INT) AS k,
          strftime(e.ts, '%-m/%-d/%Y') AS datestr
   FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
   WHERE d.doc_id < 500
@@ -1430,7 +1430,18 @@ tmx2 AS (
          CASE WHEN abs(date_diff('day', anchor_date, jn1)) <= abs(date_diff('day', anchor_date, jn2))
                AND abs(date_diff('day', anchor_date, jn1)) <= abs(date_diff('day', anchor_date, jn3)) THEN jn1
               WHEN abs(date_diff('day', anchor_date, jn2)) <= abs(date_diff('day', anchor_date, jn3)) THEN jn2
-              ELSE jn3 END AS jn_pick
+              ELSE jn3 END AS jn_pick,
+         -- qp_pick: W7 nearest Q1 start (Jan 1 of y-1/y/y+1, ties earlier)
+         CASE WHEN abs(date_diff('day', anchor_date, qp1)) <= abs(date_diff('day', anchor_date, qp2))
+               AND abs(date_diff('day', anchor_date, qp1)) <= abs(date_diff('day', anchor_date, qp3)) THEN qp1
+              WHEN abs(date_diff('day', anchor_date, qp2)) <= abs(date_diff('day', anchor_date, qp3)) THEN qp2
+              ELSE qp3 END AS qp_pick,
+         -- mo_pick: W7 nearest monday (back vs forward, ties to back —
+         -- rank_parses' stable sort over (anchor-back, anchor+fwd))
+         CASE WHEN (isodow(anchor_date) - 1) <= ((8 - isodow(anchor_date)) % 7)
+              THEN anchor_date - CAST(isodow(anchor_date) - 1 AS INT)
+              ELSE anchor_date + CAST((8 - isodow(anchor_date)) % 7 AS INT)
+         END AS mo_pick
   FROM (
     SELECT w.conv_id, w.turn_idx, w.anchor_date, w.n_words, w.ts,
            x.doc_len, x.wd_doc, x.k, x.datestr,
@@ -1457,6 +1468,10 @@ tmx2 AS (
                     WHEN 20 THEN 'the 5th of june ' || CAST(year(w.ts) AS VARCHAR)
                     WHEN 21 THEN 'mid-june'
                     WHEN 22 THEN 'the first nine months'
+                    WHEN 24 THEN 'the first quarter'
+                    WHEN 25 THEN 'the week of march 5'
+                    WHEN 26 THEN 'monday morning'
+                    WHEN 27 THEN 'this year''s third quarter'
                     ELSE 'every other week'
            END AS surface2,
            make_date(year(w.ts) - 1, 3, 5) AS md1,
@@ -1467,7 +1482,10 @@ tmx2 AS (
            make_date(year(w.ts) + 1, 12, 25) AS hd3,
            make_date(year(w.ts) - 1, 6, 1) AS jn1,
            make_date(year(w.ts), 6, 1) AS jn2,
-           make_date(year(w.ts) + 1, 6, 1) AS jn3
+           make_date(year(w.ts) + 1, 6, 1) AS jn3,
+           make_date(year(w.ts) - 1, 1, 1) AS qp1,
+           make_date(year(w.ts), 1, 1) AS qp2,
+           make_date(year(w.ts) + 1, 1, 1) AS qp3
     FROM words w JOIN t_ext x USING (conv_id, turn_idx)
   )
 ),
@@ -1517,6 +1535,13 @@ tmx AS (
                 WHEN 20 THEN strftime(make_date(year(ts), 6, 5), '%Y-%m-%d')
                 WHEN 21 THEN strftime(jn_pick, '%Y-%m')
                 WHEN 22 THEN 'P9M'
+                -- late round 5: bare quarter -> W7 Q1 pick; year-less
+                -- week-of -> ISO week of the W7 march-5 pick; weekday+tod
+                -- -> W7 monday pick + TMO; possessive -> anchor-year Q3
+                WHEN 24 THEN strftime(qp_pick, '%Y') || '-Q1'
+                WHEN 25 THEN strftime(md_pick, '%G-W%V')
+                WHEN 26 THEN strftime(mo_pick, '%Y-%m-%d') || 'TMO'
+                WHEN 27 THEN printf('%04d-Q3', year(ts))
                 ELSE 'P2W'
          END AS normed,
          -- engine-token index of the suffix's last token: the suffix starts
@@ -1529,6 +1554,8 @@ tmx AS (
                               WHEN 18 THEN 11 WHEN 19 THEN 10
                               WHEN 20 THEN 11 WHEN 21 THEN 7
                               WHEN 22 THEN 10 WHEN 23 THEN 9
+                              WHEN 24 THEN 9 WHEN 25 THEN 11
+                              WHEN 27 THEN 10
                               ELSE 8 END AS INT) AS t_tok_e,
          -- tlink label vs the anchor (= date(ts)): past seasons/decades/
          -- centuries/years are always 'after'; the anchor's own ISO week
@@ -1590,6 +1617,32 @@ tmx AS (
                     ELSE 'contains-1' END)
                 WHEN 22 THEN 'none'
                 WHEN 23 THEN 'none'
+                -- k=24: the picked Q1 interval [Jan 1, Mar 31]; k=25: the
+                -- ISO week containing the march-5 pick; k=26: the picked
+                -- monday's day interval (TOD lives inside its day); k=27:
+                -- Q3 of the anchor year [Jul 1, Sep 30]
+                WHEN 24 THEN (CASE
+                    WHEN anchor_date < qp_pick THEN 'before'
+                    WHEN anchor_date > make_date(year(qp_pick), 3, 31) THEN 'after'
+                    WHEN anchor_date = qp_pick THEN 'begins-on'
+                    WHEN anchor_date = make_date(year(qp_pick), 3, 31) THEN 'ends-on'
+                    ELSE 'contains-1' END)
+                WHEN 25 THEN (CASE
+                    WHEN anchor_date < date_trunc('week', md_pick) THEN 'before'
+                    WHEN anchor_date > date_trunc('week', md_pick) + 6 THEN 'after'
+                    WHEN anchor_date = date_trunc('week', md_pick) THEN 'begins-on'
+                    WHEN anchor_date = date_trunc('week', md_pick) + 6 THEN 'ends-on'
+                    ELSE 'contains-1' END)
+                WHEN 26 THEN (CASE
+                    WHEN anchor_date < mo_pick THEN 'before'
+                    WHEN anchor_date > mo_pick THEN 'after'
+                    ELSE 'overlap' END)
+                WHEN 27 THEN (CASE
+                    WHEN anchor_date < make_date(year(ts), 7, 1) THEN 'before'
+                    WHEN anchor_date > make_date(year(ts), 9, 30) THEN 'after'
+                    WHEN anchor_date = make_date(year(ts), 7, 1) THEN 'begins-on'
+                    WHEN anchor_date = make_date(year(ts), 9, 30) THEN 'ends-on'
+                    ELSE 'contains-1' END)
                 ELSE 'after' END AS lbl
   FROM tmx2
 ),

@@ -186,11 +186,15 @@ def synthetic_transcripts_df(
 # tens, spelled-out years, fractional periods, TimeSpanSets, bound units,
 # time-of-day sets and of-phrasings, plus round 5's vague-quantifier
 # periods (couple/few), ordinal day-of-month, hyphenated modifiers with
-# bare-month W7, first-[Int]-[Unit] periods and every-other sets) keyed on
-# event_id % 24 — every kind gets driver-corpus coverage with
+# bare-month W7, first-[Int]-[Unit] periods and every-other sets, plus the
+# late-round-5 Partial compositions: bare quarters (W7 nearest Q1 start),
+# year-less week-of (W7 day pick -> enclosing ISO week), singular
+# weekday+part-of-day, and relative-year possessive quarters) keyed on
+# event_id % 28 — every kind gets driver-corpus coverage with
 # DuckDB-replayable normalization. All suffix words are outside the
 # gazetteer and the DTR/conmod marker sets, so mention extraction and the
-# marker scorers are unaffected.
+# marker scorers are unaffected ("year's" is one engine token — the
+# apostrophe is a joiner in _TOKEN_RE, like the hyphen).
 DERIVE_TRANSCRIPTS_SQL = """
 SELECT
   'c' || CAST(e.user_id AS {str_type}) AS conv_id,
@@ -203,7 +207,7 @@ SELECT
     ELSE 'tool'
   END AS role,
   d.text || ' on ' || {date_expr} ||
-  CASE CAST(e.event_id % 24 AS INT)
+  CASE CAST(e.event_id % 28 AS INT)
     WHEN 0 THEN ' revisit summer ' || CAST(year(e.ts) - 1 AS {str_type})
     WHEN 1 THEN ' revisit the 1990s'
     WHEN 2 THEN ' revisit week of ' || {date_expr}
@@ -227,6 +231,10 @@ SELECT
     WHEN 20 THEN ' revisit the 5th of june ' || CAST(year(e.ts) AS {str_type})
     WHEN 21 THEN ' revisit mid-june'
     WHEN 22 THEN ' revisit the first nine months'
+    WHEN 24 THEN ' revisit the first quarter'
+    WHEN 25 THEN ' revisit the week of march 5'
+    WHEN 26 THEN ' revisit monday morning'
+    WHEN 27 THEN ' revisit this year''s third quarter'
     ELSE ' revisit every other week'
   END AS text,
   CASE WHEN e.event_type = 'error' THEN 'logger' ELSE NULL END AS tool,

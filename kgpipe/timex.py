@@ -272,16 +272,33 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "quarter_year",
         re.compile(
-            r"\b(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)\s+quarter(?:\s+of)?)\s+(\d{4})\b",
+            r"\b(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter(?:\s+of)?)\s+(\d{4})\b",
+            re.I,
+        ),
+    ),
+    # bare quarter — [FieldValue:Partial] QuarterOfYear (en.grammar:191-198,
+    # 255; hyphen = the ignorable [Nil] dash, en.grammar:195-198): year-less
+    # "the first quarter" resolves via W7 three-candidate nearest-start
+    # (TEP.scala:238-243). The year lookahead keeps dated quarters with the
+    # longer quarter_year span (the sweep would otherwise let the
+    # article-anchored bare form eat "the first quarter of 2021")
+    (
+        "bare_quarter",
+        re.compile(
+            r"\b(?:the\s+)?(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter)\b"
+            r"(?!\s+(?:of\s+)?\d)",
             re.I,
         ),
     ),
     # "the week of <date>" — en.grammar "week of" rules; the span covers the
     # inner date so longest-wins hands the whole phrase here
+    # the month-day inner's year is optional (en.grammar:465 "the week of
+    # March 6"): year-less inners resolve via the month_day W7 route first,
+    # then take the enclosing ISO week
     (
         "week_of",
         re.compile(
-            rf"\b(?:the\s+)?week\s+of\s+(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
+            rf"\b(?:the\s+)?week\s+of\s+(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:\s*,?\s+\d{{4}})?"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}})\b",
             re.I,
         ),
@@ -378,6 +395,18 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "weekday_tod_set",
         re.compile(
             rf"\b({_WEEKDAY_ALT})\s+(mornings|afternoons|evenings|nights)\b",
+            re.I,
+        ),
+    ),
+    # singular "[TimeSpan] [FieldValue:PartOfDay]" composition
+    # (en.grammar:471-472 FindEnclosed): "monday morning" -> the W7-resolved
+    # weekday date + TMO. Same begin as the bare weekday, longer span, so
+    # longest-at-begin wins; the singular alternation cannot match the
+    # plural set forms ("monday mornings" stays with weekday_tod_set)
+    (
+        "weekday_tod",
+        re.compile(
+            rf"\b({_WEEKDAY_ALT})\s+(morning|afternoon|evening|night)\b",
             re.I,
         ),
     ),
@@ -510,8 +539,9 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "year_possessive",
         re.compile(
-            rf"\b((?:19|20)\d{{2}})\s*'\s*s\s+"
-            rf"(?:({_MONTH_FULL_ALT})|(first|second|third|fourth|1st|2nd|3rd|4th)\s+quarter)\b",
+            rf"\b(?:((?:19|20)\d{{2}})|(this|last|next|past|previous|current|coming|following)\s+year)\s*'\s*s\s+"
+            rf"(?:({_MONTH_FULL_ALT})|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter"
+            r"|q([1-4])|(spring|summer|fall|autumn|winter))\b",
             re.I,
         ),
     ),
@@ -633,7 +663,9 @@ _QUICK_KEYS = {
     # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
     # extends 3 words left of its first digit
     "quarter_year": ("quarter", "q1", "q2", "q3", "q4"),
+    "bare_quarter": ("quarter", "q1", "q2", "q3", "q4"),
     "week_of": ("week",),
+    "weekday_tod": ("morning", "afternoon", "evening", "night"),
     "season_year": ("spring", "summer", "fall", "autumn", "winter"),
     "rel_season": ("spring", "summer", "fall", "autumn", "winter"),
     "decade": ("0s",),
@@ -940,19 +972,34 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"P{n}{m.group(2)[0].upper()}"
         if kind == "year_possessive":
             # "[TimeSpan]'s [FieldValue:Partial]" (en.grammar:476
-            # FindEnclosed): the month / quarter inside the named year
+            # FindEnclosed): the month / quarter / season inside the named
+            # year; the possessor may also be a relative year ("this
+            # year's third quarter"), resolved like rel_unit
             m = re.match(
-                rf"((?:19|20)\d{{2}})\s*'\s*s\s+"
+                rf"(?:((?:19|20)\d{{2}})|(this|last|next|past|previous|current|coming|following)\s+year)\s*'\s*s\s+"
                 rf"(?:({_MONTH_FULL_ALT})"
-                r"|(first|second|third|fourth|1st|2nd|3rd|4th)\s+quarter)",
+                r"|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter"
+                r"|q([1-4])|(spring|summer|fall|autumn|winter))",
                 s, re.I,
             )
-            year = int(m.group(1))
-            if m.group(2):
-                return _fmt_month(year, _MONTHS[m.group(2).lower()])
-            q = {"first": 1, "1st": 1, "second": 2, "2nd": 2,
-                 "third": 3, "3rd": 3, "fourth": 4, "4th": 4}[m.group(3).lower()]
-            return f"{year:04d}-Q{q}"
+            if m.group(1):
+                year = int(m.group(1))
+            else:
+                year = anchor.year + {
+                    "this": 0, "current": 0,
+                    "last": -1, "past": -1, "previous": -1,
+                    "next": 1, "coming": 1, "following": 1,
+                }[m.group(2).lower()]
+            if m.group(3):
+                return _fmt_month(year, _MONTHS[m.group(3).lower()])
+            if m.group(4) or m.group(5):
+                q = (
+                    int(m.group(5))
+                    if m.group(5)
+                    else _QUARTER_WORDS[m.group(4).lower()]
+                )
+                return f"{year:04d}-Q{q}"
+            return f"{year:04d}-{_SEASONS[m.group(6).lower()][0]}"
         if kind == "unspecified_period":
             # Unspecified UNSPECIFIED (en.grammar:294-296): amount X +
             # unit char X (Temporal.scala:41)
@@ -990,7 +1037,7 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"{int(s):04d}"
         if kind == "quarter_year":
             m = re.match(
-                r"(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)\s+quarter(?:\s+of)?)\s+(\d{4})",
+                r"(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter(?:\s+of)?)\s+(\d{4})",
                 s, re.I,
             )
             if not m:
@@ -1001,9 +1048,50 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 else _QUARTER_WORDS[m.group(2).lower()]
             )
             return f"{int(m.group(3)):04d}-Q{q}"
+        if kind == "bare_quarter":
+            # W7 over three candidate years, nearest quarter START to the
+            # anchor (the quarter-granularity branch of TEP.scala:219-251)
+            m = re.match(
+                r"(?:the\s+)?(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter)",
+                s, re.I,
+            )
+            q = (
+                int(m.group(1))
+                if m.group(1)
+                else _QUARTER_WORDS[m.group(2).lower()]
+            )
+            parses = [
+                TimexParse(
+                    f"{y:04d}-Q{q}", True, dt.date(y, 3 * (q - 1) + 1, 1), False
+                )
+                for y in (anchor.year - 1, anchor.year, anchor.year + 1)
+            ]
+            return rank_parses(parses, anchor)[0].value
         if kind == "week_of":
             inner = _parse_inner_date(s)
-            return _fmt_week(inner) if inner else None
+            if inner is None:
+                # year-less month-day inner: the month_day W7 route
+                # (three candidate years, nearest day, invalid dates drop),
+                # then the enclosing ISO week
+                m = re.search(
+                    rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})\b", s, re.I
+                )
+                if not m:
+                    return None
+                month, day = _MONTHS[m.group(1).lower()], int(m.group(2))
+                parses = []
+                for y in (anchor.year - 1, anchor.year, anchor.year + 1):
+                    try:
+                        d = dt.date(y, month, day)
+                    except ValueError:
+                        continue
+                    parses.append(TimexParse(_fmt_day(d), True, d, False))
+                if not parses:
+                    return None
+                inner = dt.date.fromisoformat(
+                    rank_parses(parses, anchor)[0].value
+                )
+            return _fmt_week(inner)
         if kind == "season_year":
             m = re.match(
                 r"(spring|summer|fall|autumn|winter)\s+(?:of\s+)?(\d{4})", s, re.I
@@ -1404,6 +1492,26 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 ]
             delta = {"this": 0, "tomorrow": 1, "yesterday": -1, "last": -1}[word]
             return (anchor + dt.timedelta(days=delta)).isoformat() + "T" + part
+        if kind == "weekday_tod":
+            # W7-resolved weekday date (same two-candidate rank as the bare
+            # weekday) + the FindEnclosed part of day (en.grammar:471-472)
+            m = re.match(
+                rf"({_WEEKDAY_ALT})\s+(morning|afternoon|evening|night)",
+                s, re.I,
+            )
+            part = {"morning": "MO", "afternoon": "AF",
+                    "evening": "EV", "night": "NI"}[m.group(2).lower()]
+            target = _WEEKDAYS[m.group(1).lower()]
+            back = (anchor.weekday() - target) % 7
+            fwd = (target - anchor.weekday()) % 7
+            parses = [
+                TimexParse(_fmt_day(d), True, d, False)
+                for d in (
+                    anchor - dt.timedelta(days=back),
+                    anchor + dt.timedelta(days=fwd),
+                )
+            ]
+            return rank_parses(parses, anchor)[0].value + "T" + part
         if kind == "weekday":
             # W7: a bare weekday parses ambiguously (previous vs next
             # occurrence); both parses go through the reference's full
