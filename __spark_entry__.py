@@ -1217,6 +1217,17 @@ def _q_text_passage_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dup_stats(_docs_plus(spark, sf_dir), n=8)
 
 
+def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (textops.chunk_documents): 32-token windows
+    every 24 tokens — the corpus' 10-99-token docs yield 1-4 overlapping
+    chunks each, exercising the short-doc, exact-fit and short-tail arms."""
+    from kgpipe.textops import chunk_documents
+
+    return chunk_documents(
+        _documents(spark, sf_dir), max_tokens=32, stride=24
+    )
+
+
 # weights for the mixture query: (i+1)^2 at T=2 → p ∝ i+1 → permille
 # rates 50,100,...,500 exactly (no float rounding at any source)
 _MIX_WEIGHTS = {f"src{i}": (i + 1) ** 2 for i in range(10)}
@@ -1230,7 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     incremental materialize), then the 4 NEW-this-round ops
     #     (kg_eval_prf, kg_before_closure, text_mixture, text_passage_dup);
     # (b) then every query whose OUTPUT changed this round — the
-    #     timex-cycle extension (event_id % 28, ten new grammar kinds)
+    #     timex-cycle extension (event_id % 30, twelve new grammar kinds)
     #     reflows ALL transcript-derived results (kg_* incl. streaming and
     #     graph ops);
     # (c) the tail sits below the window: documents/embeddings-table
@@ -1253,7 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_before_closure": _q_before_closure,
         "text_mixture": _q_text_mixture,
         "text_passage_dup": _q_text_passage_dup,
-        # (b) outputs/code changed this round (timex cycle %28; curation
+        "text_chunks": _q_text_chunks,
+        # (b) outputs/code changed this round (timex cycle %30; curation
         # edge-case fixes)
         "kg_transcripts": _q_transcripts,
         "kg_attribution": _q_attribution,
@@ -1292,13 +1304,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_entities": _q_top_entities,
         "kg_tool_transitions": _q_tool_transitions,
         "kg_sessions": _q_sessions,
-        "kg_triangles": _q_triangles,
         "kg_running_counts": _q_running_counts,
         "kg_cooccur": _q_cooccur,
         # (c) rotate OUT this round (below the 50-entry window; outputs
-        # unchanged, r3 driver rows + this round's replica reports cover
-        # them — incl. text_quality/text_curate, whose round-4 code edits
-        # only touch degenerate docs absent from both SF corpora)
+        # unchanged or replica-covered at both SFs — kg_triangles' r2
+        # driver row plus this round's 79/79 replica reports cover its
+        # corpus reflow; text_quality/text_curate round-4 code edits only
+        # touch degenerate docs absent from both SF corpora)
+        "kg_triangles": _q_triangles,
         "text_quality": _q_text_quality,
         "text_curate": _q_text_curate,
         "dedup_exact": _q_dedup_exact,
@@ -1399,7 +1412,7 @@ ment_ann AS MATERIALIZED (
   FROM ment_id
 ),
 -- two planted timexes per turn: the slash date after ' on ' and the round-2/3
--- grammar suffix after ' revisit ' (kind = event_id % 28, fixtures.py). The
+-- grammar suffix after ' revisit ' (kind = event_id % 30, fixtures.py). The
 -- extras CTE re-derives the per-turn doc stats the char/token arithmetic
 -- needs (doc_len, doc word count, kind, date string) with the same
 -- deterministic row_number keys as the main derivation.
@@ -1408,7 +1421,7 @@ t_ext AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
          len(d.text) AS doc_len,
          len(string_split(d.text, ' ')) AS wd_doc,
-         CAST(e.event_id % 28 AS INT) AS k,
+         CAST(e.event_id % 30 AS INT) AS k,
          strftime(e.ts, '%-m/%-d/%Y') AS datestr
   FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
   WHERE d.doc_id < 500
@@ -1472,6 +1485,8 @@ tmx2 AS (
                     WHEN 25 THEN 'the week of march 5'
                     WHEN 26 THEN 'monday morning'
                     WHEN 27 THEN 'this year''s third quarter'
+                    WHEN 28 THEN 'monday last week'
+                    WHEN 29 THEN 'the third quarter last year'
                     ELSE 'every other week'
            END AS surface2,
            make_date(year(w.ts) - 1, 3, 5) AS md1,
@@ -1542,6 +1557,10 @@ tmx AS (
                 WHEN 25 THEN strftime(md_pick, '%G-W%V')
                 WHEN 26 THEN strftime(mo_pick, '%Y-%m-%d') || 'TMO'
                 WHEN 27 THEN printf('%04d-Q3', year(ts))
+                -- [Partial] last [Unit] compositions: the monday INSIDE
+                -- last week (anchor week start - 7); last year's Q3
+                WHEN 28 THEN strftime(date_trunc('week', anchor_date) - 7, '%Y-%m-%d')
+                WHEN 29 THEN printf('%04d-Q3', year(ts) - 1)
                 ELSE 'P2W'
          END AS normed,
          -- engine-token index of the suffix's last token: the suffix starts
@@ -1556,6 +1575,7 @@ tmx AS (
                               WHEN 22 THEN 10 WHEN 23 THEN 9
                               WHEN 24 THEN 9 WHEN 25 THEN 11
                               WHEN 27 THEN 10
+                              WHEN 28 THEN 9 WHEN 29 THEN 11
                               ELSE 8 END AS INT) AS t_tok_e,
          -- tlink label vs the anchor (= date(ts)): past seasons/decades/
          -- centuries/years are always 'after'; the anchor's own ISO week
@@ -1643,6 +1663,8 @@ tmx AS (
                     WHEN anchor_date = make_date(year(ts), 7, 1) THEN 'begins-on'
                     WHEN anchor_date = make_date(year(ts), 9, 30) THEN 'ends-on'
                     ELSE 'contains-1' END)
+                -- k=28 (monday of last week) and k=29 (last year's Q3) end
+                -- strictly before any anchor day -> the ELSE 'after'
                 ELSE 'after' END AS lbl
   FROM tmx2
 ),
@@ -2976,6 +2998,26 @@ JOIN t_ext x ON x.conv_id = a.conv_id AND x.turn_idx = a.turn_idx
         "kg_before_closure": _ORACLE_BEFORE_CLOSURE,
         "text_mixture": _mixture_oracle(),
         "text_passage_dup": _ORACLE_PASSAGE_DUP,
+        # chunk_documents twin: same integer window arithmetic
+        # (max_tokens=32, stride=24), inclusive-slice chunk text
+        "text_chunks": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                  len(string_split(text, ' ')) AS n FROM documents),
+c AS (
+  SELECT doc_id, ws, n,
+         UNNEST(generate_series(0, CASE WHEN n <= 32 THEN 0
+                ELSE (n - 32 + 23) // 24 END)) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * 24 + 1 AS INT) AS start_tok,
+       CAST(least(32, n - (chunk_idx * 24 + 1) + 1) AS BIGINT) AS chunk_len,
+       array_to_string(
+         ws[(chunk_idx * 24 + 1):
+            (chunk_idx * 24 + least(32, n - chunk_idx * 24))], ' '
+       ) AS chunk_text
+FROM c
+""",
         # micro P/R/F1 computed honestly from two instantiations of the
         # canonical triple derivation (per-key counts -> full join ->
         # least/sums), mirroring graph.triples_prf; MATERIALIZED because

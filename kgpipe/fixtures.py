@@ -189,8 +189,9 @@ def synthetic_transcripts_df(
 # bare-month W7, first-[Int]-[Unit] periods and every-other sets, plus the
 # late-round-5 Partial compositions: bare quarters (W7 nearest Q1 start),
 # year-less week-of (W7 day pick -> enclosing ISO week), singular
-# weekday+part-of-day, and relative-year possessive quarters) keyed on
-# event_id % 28 — every kind gets driver-corpus coverage with
+# weekday+part-of-day, relative-year possessive quarters, and the
+# [Partial] this/last/next [Unit] compositions) keyed on
+# event_id % 30 — every kind gets driver-corpus coverage with
 # DuckDB-replayable normalization. All suffix words are outside the
 # gazetteer and the DTR/conmod marker sets, so mention extraction and the
 # marker scorers are unaffected ("year's" is one engine token — the
@@ -207,7 +208,7 @@ SELECT
     ELSE 'tool'
   END AS role,
   d.text || ' on ' || {date_expr} ||
-  CASE CAST(e.event_id % 28 AS INT)
+  CASE CAST(e.event_id % 30 AS INT)
     WHEN 0 THEN ' revisit summer ' || CAST(year(e.ts) - 1 AS {str_type})
     WHEN 1 THEN ' revisit the 1990s'
     WHEN 2 THEN ' revisit week of ' || {date_expr}
@@ -235,6 +236,8 @@ SELECT
     WHEN 25 THEN ' revisit the week of march 5'
     WHEN 26 THEN ' revisit monday morning'
     WHEN 27 THEN ' revisit this year''s third quarter'
+    WHEN 28 THEN ' revisit monday last week'
+    WHEN 29 THEN ' revisit the third quarter last year'
     ELSE ' revisit every other week'
   END AS text,
   CASE WHEN e.event_type = 'error' THEN 'logger' ELSE NULL END AS tool,

@@ -52,6 +52,7 @@ __all__ = [
     "mixture_rates_permille",
     "mixture_sample",
     "passage_dup_stats",
+    "chunk_documents",
 ]
 
 
@@ -1138,4 +1139,57 @@ def passage_dup_stats(documents: DataFrame, *, n: int = 8) -> DataFrame:
                 "coalesce(covered_tokens, 0) * 1000000 DIV n_tokens"
             ).cast("long").alias("dup_ppm"),
         )
+    )
+
+
+# ----------------------------------------------------- document chunking ---
+
+def chunk_documents(
+    documents: DataFrame, *, max_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window document chunking — the max-sequence-length
+    splitting step of a training-data pipeline (long docs become
+    overlapping ``max_tokens``-token windows every ``stride`` tokens;
+    ``stride < max_tokens`` keeps cross-boundary context, the standard
+    LM-pretraining move). Complements :func:`pack_documents`, which packs
+    the resulting short sequences into fixed budgets.
+
+    Chunk count = 1 for docs with <= ``max_tokens`` tokens, else
+    ``ceil((n - max_tokens) / stride) + 1`` — every token is covered, the
+    last window may be shorter, and no window starts past the text.
+    Tokens are space-split words (the module's tokenizer convention), so
+    every step is integer arithmetic + array slicing and the DuckDB twin
+    replays it exactly.
+
+    Scale: a narrow map — per-doc fanout is ``O(n_tokens / stride)``,
+    bounded and local; the explode fuses over the scan with ZERO
+    shuffles, so chunking scales with input splits at any corpus size
+    (plan-asserted).
+
+    Returns (doc_id, chunk_idx, start_tok, chunk_len, chunk_text).
+    """
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    d = documents.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).withColumn("n", F.size("ws"))
+    n_chunks = F.when(F.col("n") <= max_tokens, F.lit(1)).otherwise(
+        (F.col("n") - max_tokens + stride - 1) / stride + 1
+    ).cast("int")
+    c = d.select(
+        "doc_id", "ws", "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn(
+        "start_tok", (F.col("chunk_idx") * stride + 1).cast("int")
+    ).withColumn(
+        "chunk_len",
+        F.least(F.lit(max_tokens), F.col("n") - F.col("start_tok") + 1)
+        .cast("int"),
+    )
+    return c.select(
+        "doc_id", "chunk_idx", "start_tok",
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        F.concat_ws(
+            " ", F.slice("ws", F.col("start_tok"), F.col("chunk_len"))
+        ).alias("chunk_text"),
     )

@@ -410,6 +410,42 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # "[FieldValue:Partial] this/last/next [Unit]" (en.grammar:391,416,434
+    # FindEnclosed over the present/previous/next enclosing unit): "monday
+    # last week" is ONE timex — the monday INSIDE last week — not the
+    # W7-nearest monday plus a separate week. Combos restricted to the
+    # partials that live inside the unit: weekday-in-week and
+    # quarter/season-in-year (month-in-year is month_rel_year's). Same
+    # begin as the bare partial, longer span, so longest-at-begin wins.
+    (
+        "partial_rel_unit",
+        re.compile(
+            rf"\b(?:({_WEEKDAY_ALT})\s+(this|last|next)\s+week"
+            r"|(?:(?:the\s+)?(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter)"
+            r"|(spring|summer|fall|autumn|winter))\s+(this|last|next)\s+year)\b",
+            re.I,
+        ),
+    ),
+    # recurring seasons / quarters — en.grammar:512-520 Unspecified field
+    # values + the TimeSpanSet rules at 526-533 ("each Thursday" family,
+    # "the past three summers", bare "fourth quarters"): SET values
+    # XXXX-SP/SU/FA/WI and XXXX-Q[1-4]. Precision gate (deliberate
+    # deviation, documented): bare-plural "springs"/"falls" are common
+    # verbs, so those two require an each/every/past context; the
+    # unambiguous plurals (summers/winters/autumns, ordinal quarters)
+    # detect bare exactly like the grammar.
+    (
+        "season_set",
+        re.compile(
+            rf"\b(?:(?:every|each)\s+(spring|summer|fall|autumn|winter)"
+            rf"|(?:the\s+)?past\s+({_NUM_ALT})\s+"
+            r"(springs|summers|falls|autumns|winters)"
+            r"|(summers|autumns|winters)"
+            rf"|(?:(?:the\s+)?past\s+({_NUM_ALT})\s+)?"
+            r"(first|second|third|fourth)\s+quarters)\b",
+            re.I,
+        ),
+    ),
     # recurring times of day — en.grammar:508-511,526-532: "every morning",
     # "mornings" -> TIMEX3 SET XXXX-XX-XXTMO/TAF/TEV/TNI
     (
@@ -438,12 +474,15 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "period_offset_date",
         re.compile(
-            rf"\b({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+"
+            rf"\b(?:({_NUM_ALT})\s+(days?|weeks?|months?|years?)"
+            r"|(?:the\s+)?(day|week|month|year))\s+"
             rf"(before|after)\s+"
             rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
             r"|christmas|xmas|halloween|thanksgiving"
-            r"|new\s+year'?s?(?:\s+day)?)\b",
+            r"|new\s+year'?s?(?:\s+day)?"
+            rf"|(?:last|next|following|preceding|coming|past|previous|this)\s+({_WEEKDAY_ALT})"
+            rf"|({_WEEKDAY_ALT}))\b",
             re.I,
         ),
     ),
@@ -666,6 +705,10 @@ _QUICK_KEYS = {
     "bare_quarter": ("quarter", "q1", "q2", "q3", "q4"),
     "week_of": ("week",),
     "weekday_tod": ("morning", "afternoon", "evening", "night"),
+    "partial_rel_unit": ("this", "last", "next"),
+    "season_set": (
+        "spring", "summer", "fall", "autumn", "winter", "quarters",
+    ),
     "season_year": ("spring", "summer", "fall", "autumn", "winter"),
     "rel_season": ("spring", "summer", "fall", "autumn", "winter"),
     "decade": ("0s",),
@@ -1026,6 +1069,15 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             part = {"mornings": "MO", "afternoons": "AF",
                     "evenings": "EV", "nights": "NI"}[m.group(2).lower()]
             return f"XXXX-WXX-{_WEEKDAYS[m.group(1).lower()] + 1}T{part}"
+        if kind == "season_set":
+            m = re.search(
+                r"(spring|summer|fall|autumn|winter)s?\b|"
+                r"(first|second|third|fourth)\s+quarters",
+                s, re.I,
+            )
+            if m.group(1):
+                return f"XXXX-{_SEASONS[m.group(1).lower()][0]}"
+            return f"XXXX-Q{_QUARTER_WORDS[m.group(2).lower()]}"
         if kind == "tod_set":
             m = re.search(
                 r"(morning|afternoon|evening|night)", s, re.I
@@ -1237,14 +1289,20 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"{inner.isoformat()}T{part}"
         if kind == "period_offset_date":
             m = re.match(
-                rf"({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+"
+                rf"(?:({_NUM_ALT})\s+(days?|weeks?|months?|years?)"
+                r"|(?:the\s+)?(day|week|month|year))\s+"
                 r"(before|after)\s+(.+)$",
                 s, re.I,
             )
-            n = _num(m.group(1))
+            if m.group(3):
+                # "the day before X" = Simple(Int 1) (en.grammar:413-414)
+                n, unit_word = 1, m.group(3)
+            else:
+                n, unit_word = _num(m.group(1)), m.group(2)
             if n is None:
                 return None
-            inner = _parse_inner_date(m.group(4))
+            inner_txt = m.group(5)
+            inner = _parse_inner_date(inner_txt)
             if inner is None:
                 # holiday inner: explicit year never present here (the
                 # pattern's holiday alternative has no year slot), so W7
@@ -1252,19 +1310,55 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 hol = re.match(
                     r"(christmas|xmas|halloween|thanksgiving"
                     r"|new\s+year'?s?(?:\s+day)?)$",
-                    m.group(4), re.I,
+                    inner_txt, re.I,
                 )
-                if not hol or anchor is None:
+                if hol and anchor is not None:
+                    name = re.sub(r"\s+", " ", hol.group(1).lower())
+                    parses = [
+                        TimexParse(_fmt_day(d), True, d, False)
+                        for y in (anchor.year - 1, anchor.year, anchor.year + 1)
+                        for d in (_holiday_date(name, y),)
+                    ]
+                    inner = dt.date.fromisoformat(
+                        rank_parses(parses, anchor)[0].value
+                    )
+            if inner is None and anchor is not None:
+                # weekday inner — resolved exactly like rel_weekday /
+                # the bare-weekday W7 ("the day before last tuesday",
+                # en.grammar:413-414)
+                wm = re.match(
+                    rf"(?:(last|next|following|preceding|coming|past|previous|this)\s+)?"
+                    rf"({_WEEKDAY_ALT})$",
+                    inner_txt, re.I,
+                )
+                if not wm:
                     return None
-                name = re.sub(r"\s+", " ", hol.group(1).lower())
-                parses = [
-                    TimexParse(_fmt_day(d), True, d, False)
-                    for y in (anchor.year - 1, anchor.year, anchor.year + 1)
-                    for d in (_holiday_date(name, y),)
-                ]
-                inner = dt.date.fromisoformat(rank_parses(parses, anchor)[0].value)
-            sign = -1 if m.group(3).lower() == "before" else 1
-            unit = m.group(2).lower().rstrip("s")
+                target = _WEEKDAYS[wm.group(2).lower()]
+                word = (wm.group(1) or "").lower()
+                if word in ("last", "preceding", "past", "previous"):
+                    back = (anchor.weekday() - target - 1) % 7 + 1
+                    inner = anchor - dt.timedelta(days=back)
+                elif word in ("next", "following", "coming"):
+                    fwd = (target - anchor.weekday() - 1) % 7 + 1
+                    inner = anchor + dt.timedelta(days=fwd)
+                else:
+                    # bare / "this": W7 nearest occurrence
+                    back = (anchor.weekday() - target) % 7
+                    fwd = (target - anchor.weekday()) % 7
+                    parses = [
+                        TimexParse(_fmt_day(d), True, d, False)
+                        for d in (
+                            anchor - dt.timedelta(days=back),
+                            anchor + dt.timedelta(days=fwd),
+                        )
+                    ]
+                    inner = dt.date.fromisoformat(
+                        rank_parses(parses, anchor)[0].value
+                    )
+            if inner is None:
+                return None
+            sign = -1 if m.group(4).lower() == "before" else 1
+            unit = unit_word.lower().rstrip("s")
             if unit == "day":
                 return _fmt_day(inner + dt.timedelta(days=sign * n))
             if unit == "week":
@@ -1492,6 +1586,35 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 ]
             delta = {"this": 0, "tomorrow": 1, "yesterday": -1, "last": -1}[word]
             return (anchor + dt.timedelta(days=delta)).isoformat() + "T" + part
+        if kind == "partial_rel_unit":
+            # FindEnclosed([Partial], this/last/next [Unit]): resolve the
+            # enclosing unit relative to the anchor, then the partial
+            # inside it (en.grammar:391,416,434)
+            m = re.match(
+                rf"(?:({_WEEKDAY_ALT})\s+(this|last|next)\s+week"
+                r"|(?:(?:the\s+)?(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter)"
+                r"|(spring|summer|fall|autumn|winter))\s+(this|last|next)\s+year)",
+                s, re.I,
+            )
+            delta = {"this": 0, "last": -1, "next": 1}
+            if m.group(1):
+                # the weekday inside the anchor-relative ISO week
+                wy, ww, _ = (
+                    anchor + dt.timedelta(weeks=delta[m.group(2).lower()])
+                ).isocalendar()
+                d = dt.date.fromisocalendar(
+                    wy, ww, _WEEKDAYS[m.group(1).lower()] + 1
+                )
+                return d.isoformat()
+            year = anchor.year + delta[m.group(6).lower()]
+            if m.group(3) or m.group(4):
+                q = (
+                    int(m.group(3))
+                    if m.group(3)
+                    else _QUARTER_WORDS[m.group(4).lower()]
+                )
+                return f"{year:04d}-Q{q}"
+            return f"{year:04d}-{_SEASONS[m.group(5).lower()][0]}"
         if kind == "weekday_tod":
             # W7-resolved weekday date (same two-candidate rank as the bare
             # weekday) + the FindEnclosed part of day (en.grammar:471-472)

@@ -691,3 +691,60 @@ def test_passage_dup_stats_overlapping_instances_union(spark):
     assert got[1].dup_ppm == 9 * 1_000_000 // 10
     assert (got[2].dup_gram_instances, got[2].covered_tokens) == (2, 9)
     assert got[2].dup_ppm == 1_000_000
+
+
+# ---------------------------------------------------------- chunk_documents ---
+
+def test_chunk_documents_windows(spark):
+    from kgpipe.textops import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10)), "en", "s", 1),  # 10 toks
+        (2, "a b c", "en", "s", 1),                               # short doc
+        (3, " ".join(f"t{i}" for i in range(9)), "en", "s", 1),   # 9 toks
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {}
+    for r in chunk_documents(df, max_tokens=4, stride=3).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    for chunks in got.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+
+    # doc 1: n=10 -> ceil((10-4)/3)+1 = 3 chunks at starts 1,4,7
+    c1 = got[1]
+    assert [(r.start_tok, r.chunk_len) for r in c1] == [(1, 4), (4, 4), (7, 4)]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[2].chunk_text == "w6 w7 w8 w9"
+    # doc 2: short doc -> exactly one whole-text chunk
+    assert [(r.start_tok, r.chunk_len, r.chunk_text) for r in got[2]] == [
+        (1, 3, "a b c")
+    ]
+    # doc 3: n=9 -> ceil((9-4)/3)+1 = 3 chunks; last is SHORT (start 7, len 3)
+    assert [(r.start_tok, r.chunk_len) for r in got[3]] == [(1, 4), (4, 4), (7, 3)]
+    assert got[3][2].chunk_text == "t6 t7 t8"
+
+
+def test_chunk_documents_full_coverage_and_overlap(spark):
+    from kgpipe.textops import chunk_documents
+
+    n = 100
+    df = spark.createDataFrame(
+        [(1, " ".join(f"x{i}" for i in range(n)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    chunks = sorted(
+        chunk_documents(df, max_tokens=16, stride=12).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    covered = set()
+    for r in chunks:
+        covered.update(range(r.start_tok, r.start_tok + r.chunk_len))
+    assert covered == set(range(1, n + 1))          # every token covered
+    for a, b in zip(chunks, chunks[1:]):            # constant stride
+        assert b.start_tok - a.start_tok == 12
+    assert chunks[-1].start_tok + chunks[-1].chunk_len - 1 == n
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)

@@ -461,6 +461,23 @@ def main() -> int:
          "self-join fanout per node"],
     ))
 
+    # 18. document chunking: bounded-fanout explode, zero exchange --------
+    from kgpipe.textops import chunk_documents
+
+    p = plan_of(chunk_documents(docs, max_tokens=32, stride=24))
+    assert "Exchange" not in p, "chunk_documents must be a narrow map"
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, (
+        "chunk_documents must stay JVM-side"
+    )
+    assert "Generate" in p, "expected the explode over chunk windows"
+    sections.append((
+        "document chunking (chunk_documents)",
+        p,
+        ["Exchange nodes: 0; no Python eval — the sliding-window explode "
+         "(bounded O(n_tokens/stride) fanout per doc) fuses over the scan, "
+         "so max-seq-len splitting scales with input splits"],
+    ))
+
     print("ALL PLAN ASSERTIONS PASS")
     if write:
         out = ["# PLANS — physical-plan audit (tools/explain_plans.py)\n"]
