@@ -1217,6 +1217,15 @@ def _q_text_passage_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dup_stats(_docs_plus(spark, sf_dir), n=8)
 
 
+def _q_sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (simsearch.quantize_embeddings): one row
+    per vector component — the strongest oracle shape (per-component
+    equality), 32k rows at sf0.01."""
+    from kgpipe.simsearch import quantize_embeddings
+
+    return quantize_embeddings(_embeddings(spark, sf_dir))
+
+
 def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (textops.chunk_documents): 32-token windows
     every 24 tokens — the corpus' 10-99-token docs yield 1-4 overlapping
@@ -1235,7 +1244,7 @@ _MIX_WEIGHTS = {f"src{i}": (i + 1) ** 2 for i in range(10)}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate covers the FIRST 50 registry entries;
-    # the registry holds 78, so coverage rotates each round. Round-4 order:
+    # the registry holds 80, so coverage rotates each round. Round-4 order:
     # (a) the 6 queries that have NEVER had a driver row lead (landed late
     #     in round 3: the 4 curation/analysis ops + conflict resolution +
     #     incremental materialize), then the 4 NEW-this-round ops
@@ -1265,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mixture": _q_text_mixture,
         "text_passage_dup": _q_text_passage_dup,
         "text_chunks": _q_text_chunks,
+        "sim_quantize": _q_sim_quantize,
         # (b) outputs/code changed this round (timex cycle %30; curation
         # edge-case fixes)
         "kg_transcripts": _q_transcripts,
@@ -1304,13 +1314,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_entities": _q_top_entities,
         "kg_tool_transitions": _q_tool_transitions,
         "kg_sessions": _q_sessions,
-        "kg_running_counts": _q_running_counts,
         "kg_cooccur": _q_cooccur,
         # (c) rotate OUT this round (below the 50-entry window; outputs
-        # unchanged or replica-covered at both SFs — kg_triangles' r2
-        # driver row plus this round's 79/79 replica reports cover its
-        # corpus reflow; text_quality/text_curate round-4 code edits only
-        # touch degenerate docs absent from both SF corpora)
+        # unchanged or replica-covered at both SFs — kg_triangles /
+        # kg_running_counts have prior driver rows and this round's 80/80
+        # replica reports cover their corpus reflow; text_quality /
+        # text_curate round-4 code edits only touch degenerate docs absent
+        # from both SF corpora)
+        "kg_running_counts": _q_running_counts,
         "kg_triangles": _q_triangles,
         "text_quality": _q_text_quality,
         "text_curate": _q_text_curate,
@@ -3017,6 +3028,20 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
             (chunk_idx * 24 + least(32, n - chunk_idx * 24))], ' '
        ) AS chunk_text
 FROM c
+""",
+        # quantize_embeddings twin: identical IEEE double chain
+        # (float->double widen, x*127/max_abs, floor), parallel UNNESTs zip
+        "sim_quantize": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS ma FROM e),
+x AS (SELECT vec_id, ma, UNNEST(emb) AS v,
+             UNNEST(generate_series(1, len(emb))) AS i FROM m)
+SELECT vec_id, CAST(i AS INT) AS i,
+       CAST(CASE WHEN ma > 0 THEN FLOOR(v * 127 / ma) ELSE 0 END AS INT) AS q,
+       CAST(CASE WHEN ma > 0 THEN FLOOR(127000000.0 / ma) ELSE 0 END AS BIGINT)
+         AS scale_e6
+FROM x
 """,
         # micro P/R/F1 computed honestly from two instantiations of the
         # canonical triple derivation (per-key counts -> full join ->

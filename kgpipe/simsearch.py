@@ -45,6 +45,7 @@ __all__ = [
     "ivf_topk_indexed",
     "embedding_dup_pairs",
     "label_centroids",
+    "quantize_embeddings",
 ]
 
 
@@ -482,4 +483,42 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     return exploded.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("x") * 1e6)).cast("bigint").alias("sum_e6"),
+    )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the vector-
+    store compaction step for ANN at scale (4x memory vs float32; IVF /
+    LSH shortlists scan int8, exact re-rank dequantizes the shortlist).
+
+    Per vector: ``max_abs = max(|x_i|)``; component ``q_i = floor(x_i *
+    127 / max_abs)`` in [-127, 127]; ``scale_e6 = floor(127e6 /
+    max_abs)`` is the integer-quantized inverse scale a consumer uses to
+    dequantize. floor (not banker's round) keeps every step a
+    deterministic function of IEEE double arithmetic, so the DuckDB twin
+    replays it bit-exactly — the quantization error bound is one step
+    (max_abs / 127) instead of half a step, irrelevant at int8 ANN
+    precision. All-zero vectors quantize to q = 0, scale_e6 = 0.
+
+    Scale: a narrow map — per-vector fanout is the dimension, the
+    explode fuses over the scan with zero shuffles (plan-asserted).
+
+    Returns one row per component: (vec_id, i [1-based], q, scale_e6).
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn(
+        "ma", F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    )
+    x = e.select(
+        "vec_id", "ma", F.posexplode("emb").alias("i0", "v")
+    )
+    safe = F.col("ma") > 0
+    return x.select(
+        "vec_id",
+        (F.col("i0") + 1).cast("int").alias("i"),
+        F.when(safe, F.floor(F.col("v") * 127 / F.col("ma")))
+        .otherwise(F.lit(0)).cast("int").alias("q"),
+        F.when(safe, F.floor(F.lit(127000000.0) / F.col("ma")))
+        .otherwise(F.lit(0)).cast("bigint").alias("scale_e6"),
     )

@@ -176,3 +176,45 @@ def test_kmeans_centroids_balance_and_determinism(spark):
     assert max(sizes.values()) <= 3 * (200 / 4), sizes
     # every cluster of the data landed in SOME list, none starved to zero
     assert len(sizes) == 4
+
+
+# ------------------------------------------------------ quantize_embeddings ---
+
+def test_quantize_embeddings_exact(spark):
+    from kgpipe.simsearch import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),     # max_abs 1.0
+        (2, [0.0, 0.0, 0.0, 0.0]),       # all-zero vector
+        (3, [-2.0, 1.0, 0.5, -1.0]),     # max_abs 2.0, negative extreme
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {}
+    for r in quantize_embeddings(df).collect():
+        got.setdefault(r.vec_id, {})[r.i] = r
+    # vec 1: q = floor(x * 127 / 1.0)
+    assert [got[1][i].q for i in (1, 2, 3, 4)] == [127, -64, 31, 0]
+    assert got[1][1].scale_e6 == 127_000_000
+    # vec 2: zero vector -> all zeros, scale 0
+    assert all(got[2][i].q == 0 and got[2][i].scale_e6 == 0 for i in (1, 2, 3, 4))
+    # vec 3: max_abs 2 -> extremes hit exactly -127 and floor(63.5) = 63
+    assert [got[3][i].q for i in (1, 2, 3, 4)] == [-127, 63, 31, -64]
+    assert got[3][1].scale_e6 == 63_500_000
+
+
+def test_quantize_embeddings_bounds_and_error(spark):
+    from kgpipe.simsearch import quantize_embeddings
+
+    rows = [(i, [((i * 37 + j * 17) % 200 - 100) / 50.0 for j in range(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    by_vec = {}
+    for r in quantize_embeddings(df).collect():
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vid, comps in by_vec.items():
+        emb = rows[vid][1]
+        ma = max(abs(v) for v in emb)
+        for r in comps:
+            assert -127 <= r.q <= 127
+            # one-step dequantization error bound
+            assert abs(emb[r.i - 1] - r.q * ma / 127) <= ma / 127 + 1e-9

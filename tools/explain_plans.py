@@ -478,6 +478,22 @@ def main() -> int:
          "so max-seq-len splitting scales with input splits"],
     ))
 
+    # 19. int8 quantization: narrow component explode, zero exchange -----
+    from kgpipe.simsearch import quantize_embeddings
+
+    p = plan_of(quantize_embeddings(emb))
+    assert "Exchange" not in p, "quantize_embeddings must be a narrow map"
+    assert "BatchEvalPython" not in p and "ArrowEval" not in p, (
+        "quantize_embeddings must stay JVM-side"
+    )
+    sections.append((
+        "int8 embedding quantization (quantize_embeddings)",
+        p,
+        ["Exchange nodes: 0; no Python eval — per-vector max_abs and the "
+         "component explode (fanout = dim) fuse over the scan; vector-"
+         "store compaction scales with input splits"],
+    ))
+
     print("ALL PLAN ASSERTIONS PASS")
     if write:
         out = ["# PLANS — physical-plan audit (tools/explain_plans.py)\n"]
