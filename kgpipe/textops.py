@@ -619,14 +619,32 @@ def stratified_sample(
 
     Returns the kept rows (doc_id, lang, source, n_chars, sample_bucket).
     """
+    return _keyed_permille_sample(
+        documents, "lang", rates_permille, seed, default_permille
+    ).select("doc_id", "lang", "source", "n_chars", "sample_bucket")
+
+
+def _keyed_permille_sample(
+    documents: DataFrame,
+    key_col: str,
+    rates_permille: dict,
+    seed: int,
+    default_permille: int,
+) -> DataFrame:
+    """The shared keyed hash-threshold sampler behind stratified_sample
+    (key = lang) and mixture_sample (key = source): rate table folded into
+    a CASE column, keep iff ``portable_hash(doc_id # seed) % 1000 <
+    rate``. One place owns the hash/threshold convention so the two
+    samplers cannot diverge. Adds ``sample_bucket`` and
+    ``mix_rate_permille`` columns; callers project."""
     rate = F.lit(default_permille)
-    for lang, permille in sorted(rates_permille.items()):
-        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    for key, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(key_col) == key, F.lit(permille)).otherwise(rate)
     bucket = _portable_hash(F.col("doc_id").cast("string"), seed) % 1000
     return (
-        documents.withColumn("sample_bucket", bucket.cast("int"))
-        .where(F.col("sample_bucket") < rate)
-        .select("doc_id", "lang", "source", "n_chars", "sample_bucket")
+        documents.withColumn("mix_rate_permille", rate.cast("int"))
+        .withColumn("sample_bucket", bucket.cast("int"))
+        .where(F.col("sample_bucket") < F.col("mix_rate_permille"))
     )
 
 
@@ -1013,8 +1031,16 @@ def mixture_rates_permille(
     Returned permilles are plain ints computed here, on the driver, once —
     both the Spark plan and the DuckDB oracle consume the SAME integers,
     so no cross-engine libm ``pow`` rounding can ever diverge.
+
+    ``temperature`` must be positive and weights non-negative (token
+    counts); all-zero weights — an empty corpus slice — yield {} (nothing
+    to sample), not a crash.
     """
-    if not weights:
+    if float(temperature) <= 0.0:
+        raise ValueError("temperature must be positive")
+    if any(float(w) < 0.0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    if not weights or all(float(w) == 0.0 for w in weights.values()):
         return {}
     inv = 1.0 / float(temperature)
     p = {s: float(w) ** inv for s, w in weights.items()}
@@ -1049,18 +1075,11 @@ def mixture_sample(
     sample_bucket).
     """
     rates = mixture_rates_permille(weights, temperature, scale_permille)
-    rate = F.lit(default_permille)
-    for src, permille in sorted(rates.items()):
-        rate = F.when(F.col("source") == src, F.lit(permille)).otherwise(rate)
-    bucket = _portable_hash(F.col("doc_id").cast("string"), seed) % 1000
-    return (
-        documents.withColumn("mix_rate_permille", rate.cast("int"))
-        .withColumn("sample_bucket", bucket.cast("int"))
-        .where(F.col("sample_bucket") < F.col("mix_rate_permille"))
-        .select(
-            "doc_id", "source", "lang", "n_chars",
-            "mix_rate_permille", "sample_bucket",
-        )
+    return _keyed_permille_sample(
+        documents, "source", rates, seed, default_permille
+    ).select(
+        "doc_id", "source", "lang", "n_chars",
+        "mix_rate_permille", "sample_bucket",
     )
 
 
@@ -1170,6 +1189,11 @@ def chunk_documents(
     """
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
+    if stride > max_tokens:
+        # the chunk-count formula assumes overlapping-or-adjacent windows;
+        # a gap stride would emit a window starting past the text
+        # (negative chunk_len -> F.slice fails mid-job)
+        raise ValueError("stride must be <= max_tokens (no coverage gaps)")
     d = documents.select(
         "doc_id", F.split("text", " ").alias("ws")
     ).withColumn("n", F.size("ws"))

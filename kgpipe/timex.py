@@ -479,8 +479,8 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             rf"(before|after)\s+"
             rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
-            r"|christmas|xmas|halloween|thanksgiving"
-            r"|new\s+year'?s?(?:\s+day)?"
+            r"|(?:christmas|xmas|halloween|thanksgiving"
+            r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?"
             rf"|(?:last|next|following|preceding|coming|past|previous|this)\s+({_WEEKDAY_ALT})"
             rf"|({_WEEKDAY_ALT}))\b",
             re.I,
@@ -1304,15 +1304,18 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             inner_txt = m.group(5)
             inner = _parse_inner_date(inner_txt)
             if inner is None:
-                # holiday inner: explicit year never present here (the
-                # pattern's holiday alternative has no year slot), so W7
+                # holiday inner: an explicit trailing year pins it ("two
+                # days before christmas 2020"); otherwise W7
                 # nearest-anniversary against the anchor
                 hol = re.match(
                     r"(christmas|xmas|halloween|thanksgiving"
-                    r"|new\s+year'?s?(?:\s+day)?)$",
+                    r"|new\s+year'?s?(?:\s+day)?)(?:\s+(\d{4}))?$",
                     inner_txt, re.I,
                 )
-                if hol and anchor is not None:
+                if hol and hol.group(2):
+                    name = re.sub(r"\s+", " ", hol.group(1).lower())
+                    inner = _holiday_date(name, int(hol.group(2)))
+                elif hol and anchor is not None:
                     name = re.sub(r"\s+", " ", hol.group(1).lower())
                     parses = [
                         TimexParse(_fmt_day(d), True, d, False)

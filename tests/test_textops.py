@@ -748,3 +748,26 @@ def test_chunk_documents_full_coverage_and_overlap(spark):
     import pytest
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=0)
+
+
+def test_mixture_rates_degenerate_inputs():
+    import pytest
+    from kgpipe.textops import mixture_rates_permille
+
+    assert mixture_rates_permille({"a": 0, "b": 0.0}) == {}
+    with pytest.raises(ValueError):
+        mixture_rates_permille({"a": 1.0}, temperature=0)
+    with pytest.raises(ValueError):
+        mixture_rates_permille({"a": -5.0}, temperature=2.0)
+
+
+def test_chunk_documents_rejects_gap_stride(spark):
+    import pytest
+    from kgpipe.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=32, stride=40)
