@@ -379,11 +379,20 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # START/END over FindEnclosing PRESENT [Unit]: value = the anchor's
     # enclosing unit, mod dropped. The "[Unit] end" inversion ("year end",
     # "month-end") is en.grammar:482 with the grammar's [Nil] dash
+    # inners beyond the bare enclosing unit follow en.grammar:483-494
+    # ("start/beginning/end of [TimeSpan:Regular]"): relative units
+    # ("end of next year"), dated / bare months ("end of june [2020]",
+    # W7 for the year-less form), and years ("end of 2022") — value =
+    # the inner TimeSpan's value, START/END mod dropped as usual
     (
         "bound_unit",
         re.compile(
-            r"\b(?:(?:the\s+)?(beginning|start|end)\s+of\s+(?:the\s+)?"
-            r"(week|month|year|quarter)"
+            r"\b(?:(?:the\s+)?(beginning|start|end)\s+of\s+"
+            r"(?:(?:the\s+)?(week|month|year|quarter)"
+            r"|(?:the\s+)?(?:last|next|this|following|preceding|coming"
+            r"|past|previous|current|latest|that)\s+(week|month|year|quarter)"
+            rf"|(?:{_MONTH_FULL_ALT})(?:\s+(?:of\s+)?\d{{4}})?"
+            r"|(?:19|20)\d{2})"
             r"|(week|month|year|quarter)[\s-]+end)\b",
             re.I,
         ),
@@ -1398,17 +1407,41 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                      "previous": -1, "coming": 1}[m.group(1).lower()]
             return _fmt_week(anchor + dt.timedelta(days=7 * delta)) + "-WE"
         if kind == "bound_unit":
-            # value = the anchor's enclosing unit (WithModifier START/END
-            # over FindEnclosing PRESENT [Unit]; mod dropped)
-            m = re.search(r"(week|month|year|quarter)", s, re.I)
-            unit = m.group(1).lower()
-            if unit == "week":
-                return _fmt_week(anchor)
-            if unit == "month":
-                return _fmt_month(anchor.year, anchor.month)
-            if unit == "quarter":
-                return f"{anchor.year:04d}-Q{(anchor.month - 1) // 3 + 1}"
-            return f"{anchor.year:04d}"
+            # value = the inner TimeSpan's value (WithModifier START/END,
+            # mod dropped). Bare "of the [Unit]" / "[Unit] end" = the
+            # anchor's enclosing unit; other inners (rel units, months,
+            # years) re-detect and normalize like the prefix modifiers
+            mm = re.match(
+                r"(?:the\s+)?(?:beginning|start|end)\s+of\s+(.+)$", s, re.I
+            )
+            inner_txt = mm.group(1) if mm else None
+            if inner_txt is None or re.fullmatch(
+                r"(?:the\s+)?(week|month|year|quarter)", inner_txt, re.I
+            ):
+                m = re.search(r"(week|month|year|quarter)", s, re.I)
+                unit = m.group(1).lower()
+                if unit == "week":
+                    return _fmt_week(anchor)
+                if unit == "month":
+                    return _fmt_month(anchor.year, anchor.month)
+                if unit == "quarter":
+                    return f"{anchor.year:04d}-Q{(anchor.month - 1) // 3 + 1}"
+                return f"{anchor.year:04d}"
+            inner = detect_timexes(inner_txt)
+            if inner:
+                return normalize_timex(
+                    inner[0]["surface"], inner[0]["kind"], anchor
+                )
+            # bare-month inner: W7 nearest month start, as in 'modified'
+            bm = re.fullmatch(rf"({_MONTH_FULL_ALT})", inner_txt, re.I)
+            if not bm:
+                return None
+            month = _MONTHS[bm.group(1).lower()]
+            parses = [
+                TimexParse(_fmt_month(y, month), True, dt.date(y, month, 1), False)
+                for y in (anchor.year - 1, anchor.year, anchor.year + 1)
+            ]
+            return rank_parses(parses, anchor)[0].value
         if kind == "rel_unit":
             m = re.match(
                 r"(?:the\s+)?(last|next|this|following|preceding|coming|past"
