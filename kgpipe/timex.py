@@ -148,6 +148,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "holiday",
         re.compile(
             r"\b(christmas|xmas|halloween|thanksgiving|election\s+day"
+            r"|easter(?:\s+sunday)?"
             r"|new\s+year'?s?(?:\s+day)?)"
             r"(?:\s+(?:of\s+)?(\d{4}))?\b",
             re.I,
@@ -488,7 +489,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             rf"(before|after)\s+"
             rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
-            r"|(?:christmas|xmas|halloween|thanksgiving"
+            r"|(?:christmas|xmas|halloween|thanksgiving|easter"
             r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?"
             rf"|(?:last|next|following|preceding|coming|past|previous|this)\s+({_WEEKDAY_ALT})"
             rf"|({_WEEKDAY_ALT}))\b",
@@ -686,6 +687,7 @@ _QUICK_KEYS = {
     "month_day": _MONTH_QUICK,
     "holiday": (
         "christmas", "xmas", "halloween", "thanksgiving", "election", "year",
+        "easter",
     ),
     "ago": ("ago", "earlier"),
     "month_rel_year": ("year",),
@@ -1224,11 +1226,14 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
         if kind == "holiday":
             m = re.match(
                 r"(christmas|xmas|halloween|thanksgiving|election\s+day"
+                r"|easter(?:\s+sunday)?"
                 r"|new\s+year'?s?(?:\s+day)?)"
                 r"(?:\s+(?:of\s+)?(\d{4}))?",
                 s, re.I,
             )
             name = re.sub(r"\s+", " ", m.group(1).lower())
+            if name.startswith("easter"):
+                name = "easter"
             if m.group(2):
                 return _fmt_day(_holiday_date(name, int(m.group(2))))
             if anchor is None:
@@ -1317,7 +1322,7 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 # days before christmas 2020"); otherwise W7
                 # nearest-anniversary against the anchor
                 hol = re.match(
-                    r"(christmas|xmas|halloween|thanksgiving"
+                    r"(christmas|xmas|halloween|thanksgiving|easter"
                     r"|new\s+year'?s?(?:\s+day)?)(?:\s+(\d{4}))?$",
                     inner_txt, re.I,
                 )
@@ -1775,6 +1780,21 @@ def _holiday_date(name: str, year: int) -> dt.date:
     if name.startswith("election"):
         first_tue = 1 + (1 - dt.date(year, 11, 1).weekday()) % 7
         return dt.date(year, 11, first_tue)
+    if name == "easter":
+        # EASTER_DAY_OF_YEAR (en.grammar:224): anonymous Gregorian
+        # computus (Meeus/Jones/Butcher), the same algorithm timenorm's
+        # java.time chronology resolves through
+        a = year % 19
+        b, c = divmod(year, 100)
+        d, e = divmod(b, 4)
+        g = (8 * b + 13) // 25
+        h = (19 * a + b - d - g + 15) % 30
+        i, k = divmod(c, 4)
+        l = (32 + 2 * e + 2 * i - h - k) % 7
+        m = (a + 11 * h + 19 * l) // 433
+        month = (h + l - 7 * m + 90) // 25
+        day = (h + l - 7 * m + 33 * month + 19) % 32
+        return dt.date(year, month, day)
     # thanksgiving: Nov 1 weekday (Mon=0); first Thursday = 1 + (3 - wd) % 7
     first_thu = 1 + (3 - dt.date(year, 11, 1).weekday()) % 7
     return dt.date(year, 11, first_thu + 21)
