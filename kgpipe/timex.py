@@ -385,6 +385,11 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # ("end of next year"), dated / bare months ("end of june [2020]",
     # W7 for the year-less form), and years ("end of 2022") — value =
     # the inner TimeSpan's value, START/END mod dropped as usual
+    # inner-alternative guards keep longer dated spans with their own
+    # patterns: a month inner must not be followed by a day number
+    # ("the end of june 15, 2020" belongs to month_day_year) and may
+    # absorb a rel-year continuation ("june next year"); a year inner
+    # must not start an ISO date ("2022-06-15")
     (
         "bound_unit",
         re.compile(
@@ -392,8 +397,9 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             r"(?:(?:the\s+)?(week|month|year|quarter)"
             r"|(?:the\s+)?(?:last|next|this|following|preceding|coming"
             r"|past|previous|current|latest|that)\s+(week|month|year|quarter)"
-            rf"|(?:{_MONTH_FULL_ALT})(?:\s+(?:of\s+)?\d{{4}})?"
-            r"|(?:19|20)\d{2})"
+            rf"|(?:{_MONTH_FULL_ALT})\s+(?:last|next|this|coming|following)\s+year"
+            rf"|(?:{_MONTH_FULL_ALT})(?:\s+(?:of\s+)?\d{{4}})?(?!\s*,?\s*\d)"
+            r"|(?:19|20)\d{2}(?![-/]\d))"
             r"|(week|month|year|quarter)[\s-]+end)\b",
             re.I,
         ),
@@ -489,7 +495,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             rf"(before|after)\s+"
             rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
-            r"|(?:christmas|xmas|halloween|thanksgiving|easter"
+            r"|(?:christmas|xmas|halloween|thanksgiving|easter(?:\s+sunday)?"
             r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?"
             rf"|(?:last|next|following|preceding|coming|past|previous|this)\s+({_WEEKDAY_ALT})"
             rf"|({_WEEKDAY_ALT}))\b",
@@ -1194,15 +1200,7 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             # bare-month inner ("mid-june"): no standalone bare-month
             # pattern exists, so resolve the month here — W7 over three
             # candidate years, nearest month START to the anchor
-            mm = re.fullmatch(rf"({_MONTH_FULL_ALT})", inner_txt, re.I)
-            if not mm or anchor is None:
-                return None
-            month = _MONTHS[mm.group(1).lower()]
-            parses = [
-                TimexParse(_fmt_month(y, month), True, dt.date(y, month, 1), False)
-                for y in (anchor.year - 1, anchor.year, anchor.year + 1)
-            ]
-            return rank_parses(parses, anchor)[0].value
+            return _bare_month_w7(inner_txt, anchor)
         if kind == "period_set":
             m = re.match(
                 rf"(?:every|each)\s+(?:(other)\s+|({_NUM_ALT})\s+)?(day|week|month|year)s?"
@@ -1322,15 +1320,20 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 # days before christmas 2020"); otherwise W7
                 # nearest-anniversary against the anchor
                 hol = re.match(
-                    r"(christmas|xmas|halloween|thanksgiving|easter"
+                    r"(christmas|xmas|halloween|thanksgiving"
+                    r"|easter(?:\s+sunday)?"
                     r"|new\s+year'?s?(?:\s+day)?)(?:\s+(\d{4}))?$",
                     inner_txt, re.I,
                 )
                 if hol and hol.group(2):
                     name = re.sub(r"\s+", " ", hol.group(1).lower())
+                    if name.startswith("easter"):
+                        name = "easter"
                     inner = _holiday_date(name, int(hol.group(2)))
                 elif hol and anchor is not None:
                     name = re.sub(r"\s+", " ", hol.group(1).lower())
+                    if name.startswith("easter"):
+                        name = "easter"
                     parses = [
                         TimexParse(_fmt_day(d), True, d, False)
                         for y in (anchor.year - 1, anchor.year, anchor.year + 1)
@@ -1394,6 +1397,37 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return "FUTURE_REF"
         if kind == "present_ref":
             return "PRESENT_REF"
+        if kind == "bound_unit":
+            # value = the inner TimeSpan's value (WithModifier START/END,
+            # mod dropped). Bare "of the [Unit]" / "[Unit] end" = the
+            # anchor's enclosing unit (anchored); pinned inners ("end of
+            # june 2020", "end of 2022") resolve even on anchorless turns,
+            # matching their standalone kinds
+            mm = re.match(
+                r"(?:the\s+)?(?:beginning|start|end)\s+of\s+(.+)$", s, re.I
+            )
+            inner_txt = mm.group(1) if mm else None
+            if inner_txt is None or re.fullmatch(
+                r"(?:the\s+)?(week|month|year|quarter)", inner_txt, re.I
+            ):
+                if anchor is None:
+                    return None
+                m = re.search(r"(week|month|year|quarter)", s, re.I)
+                unit = m.group(1).lower()
+                if unit == "week":
+                    return _fmt_week(anchor)
+                if unit == "month":
+                    return _fmt_month(anchor.year, anchor.month)
+                if unit == "quarter":
+                    return f"{anchor.year:04d}-Q{(anchor.month - 1) // 3 + 1}"
+                return f"{anchor.year:04d}"
+            inner = detect_timexes(inner_txt)
+            if inner:
+                return normalize_timex(
+                    inner[0]["surface"], inner[0]["kind"], anchor
+                )
+            # bare-month inner: W7 nearest month start, as in 'modified'
+            return _bare_month_w7(inner_txt, anchor)
         # everything below is anchored arithmetic
         if anchor is None:
             return None
@@ -1411,42 +1445,6 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             delta = {"last": -1, "next": 1, "this": 0, "the": 0,
                      "previous": -1, "coming": 1}[m.group(1).lower()]
             return _fmt_week(anchor + dt.timedelta(days=7 * delta)) + "-WE"
-        if kind == "bound_unit":
-            # value = the inner TimeSpan's value (WithModifier START/END,
-            # mod dropped). Bare "of the [Unit]" / "[Unit] end" = the
-            # anchor's enclosing unit; other inners (rel units, months,
-            # years) re-detect and normalize like the prefix modifiers
-            mm = re.match(
-                r"(?:the\s+)?(?:beginning|start|end)\s+of\s+(.+)$", s, re.I
-            )
-            inner_txt = mm.group(1) if mm else None
-            if inner_txt is None or re.fullmatch(
-                r"(?:the\s+)?(week|month|year|quarter)", inner_txt, re.I
-            ):
-                m = re.search(r"(week|month|year|quarter)", s, re.I)
-                unit = m.group(1).lower()
-                if unit == "week":
-                    return _fmt_week(anchor)
-                if unit == "month":
-                    return _fmt_month(anchor.year, anchor.month)
-                if unit == "quarter":
-                    return f"{anchor.year:04d}-Q{(anchor.month - 1) // 3 + 1}"
-                return f"{anchor.year:04d}"
-            inner = detect_timexes(inner_txt)
-            if inner:
-                return normalize_timex(
-                    inner[0]["surface"], inner[0]["kind"], anchor
-                )
-            # bare-month inner: W7 nearest month start, as in 'modified'
-            bm = re.fullmatch(rf"({_MONTH_FULL_ALT})", inner_txt, re.I)
-            if not bm:
-                return None
-            month = _MONTHS[bm.group(1).lower()]
-            parses = [
-                TimexParse(_fmt_month(y, month), True, dt.date(y, month, 1), False)
-                for y in (anchor.year - 1, anchor.year, anchor.year + 1)
-            ]
-            return rank_parses(parses, anchor)[0].value
         if kind == "rel_unit":
             m = re.match(
                 r"(?:the\s+)?(last|next|this|following|preceding|coming|past"
@@ -1806,6 +1804,22 @@ def _season_end(label_year: int, code: str) -> dt.date:
     end_year = label_year + 1 if code == "WI" else label_year
     y2, m2 = _shift_month(end_year, end_month, 1)
     return dt.date(y2, m2, 1) - dt.timedelta(days=1)
+
+
+def _bare_month_w7(inner_txt: str, anchor):
+    """W7 for a bare FULL month name inner (shared by the 'modified' and
+    'bound_unit' delegating normalizers): three candidate years, nearest
+    month START to the anchor; None if not a bare month or anchorless."""
+    mm = re.fullmatch(rf"({_MONTH_FULL_ALT})", inner_txt, re.I)
+    if not mm or anchor is None:
+        return None
+    month = _MONTHS[mm.group(1).lower()]
+    parses = [
+        TimexParse(_fmt_month(y, month), True, dt.date(y, month, 1), False)
+        for y in (anchor.year - 1, anchor.year, anchor.year + 1)
+    ]
+    return rank_parses(parses, anchor)[0].value
+
 
 
 _INNER_MDY_RE = re.compile(
