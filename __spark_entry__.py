@@ -1184,17 +1184,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_before_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-step transitive BEFORE inference (graph.tlink_closure) over the
+    """One-step transitive BEFORE inference (graph.tlink_infer_2hop) over the
     cross-turn entity graph: (a before b) ∧ (b before c) ⇒ (a before c),
     scoped per conversation, directly-asserted pairs excluded, distinct
     witnessing middle nodes counted as evidence."""
-    from kgpipe.graph import tlink_closure
+    from kgpipe.graph import tlink_infer_2hop
 
     mentions = _annotations(spark, sf_dir)["mentions_f"]
     edges = cross_turn_event_edges(mentions, _CFG).select(
         "conv_id", F.col("src").alias("subj"), "pred", F.col("dst").alias("obj")
     )
-    return tlink_closure(edges, pred="before", keys=("conv_id",))
+    return tlink_infer_2hop(edges, pred="before", keys=("conv_id",))
 
 
 def _q_text_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2893,7 +2893,7 @@ asm AS (
 )"""
 
 
-# graph.tlink_closure twin over the cross-turn 'before' entity graph:
+# graph.tlink_infer_2hop twin over the cross-turn 'before' entity graph:
 # distinct edges -> per-conversation composition -> witness count ->
 # anti-join out directly-asserted pairs
 _ORACLE_BEFORE_CLOSURE = f"""
@@ -3038,8 +3038,8 @@ m AS (SELECT vec_id, emb,
 x AS (SELECT vec_id, ma, UNNEST(emb) AS v,
              UNNEST(generate_series(1, len(emb))) AS i FROM m)
 SELECT vec_id, CAST(i AS INT) AS i,
-       CAST(CASE WHEN ma > 0 THEN FLOOR(v * 127 / ma) ELSE 0 END AS INT) AS q,
-       CAST(CASE WHEN ma > 0 THEN FLOOR(127000000.0 / ma) ELSE 0 END AS BIGINT)
+       CAST(CASE WHEN ma > 1e-9 THEN FLOOR(v * 127 / ma) ELSE 0 END AS INT) AS q,
+       CAST(CASE WHEN ma > 1e-9 THEN FLOOR(127000000.0 / ma) ELSE 0 END AS BIGINT)
          AS scale_e6
 FROM x
 """,

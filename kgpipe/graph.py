@@ -42,7 +42,8 @@ __all__ = [
     "resolve_conflicts",
     "entity_episodes",
     "k_core",
-    "tlink_closure",
+    "tlink_infer_2hop",
+    "tlink_closure",  # back-compat alias
 ]
 
 _TRIPLE_COLS = TRIPLE_SCHEMA.fieldNames()
@@ -816,7 +817,7 @@ def triples_prf(
     )
 
 
-def tlink_closure(
+def tlink_infer_2hop(
     triples: DataFrame,
     *,
     pred: str = "ee-tlink:BEFORE",
@@ -868,3 +869,9 @@ def tlink_closure(
         F.count(F.lit(1)).alias("n_paths")
     )
     return inferred.join(e, ks + ["subj", "obj"], "left_anti")
+
+
+# Back-compat alias. The old name over-promised: this is ONE composition
+# step (2-hop inferred pairs), not a fixpoint transitive closure — a
+# BEFORE chain of length 4 does NOT yield the (1, 4) pair.
+tlink_closure = tlink_infer_2hop

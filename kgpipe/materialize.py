@@ -457,6 +457,18 @@ def read_triples(sink: TableSink) -> Optional[DataFrame]:
     )
 
 
+def _compaction_lock_path(sink: TableSink):
+    """(jvm Path, FileSystem) for the store's compaction lock file, or
+    (None, None) when the sink has no filesystem root (pure-Iceberg sink
+    with no out_dir — single-writer discipline is then the caller's)."""
+    if sink.out_dir is None:
+        return None, None
+    jvm = sink.spark._jvm  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(sink.out_dir, "_compaction.lock")
+    fs = p.getFileSystem(sink.spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return p, fs
+
+
 def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict:
     """Fold the live STREAM-BATCH snapshot partitions into one new
     compacted snapshot. Previously-committed ``compact-*`` targets are
@@ -465,6 +477,19 @@ def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict
     back in every time would make lifetime maintenance I/O quadratic.
     Generations accumulate one partition per run, at the (slow)
     compaction cadence rather than the micro-batch cadence.
+
+    SINGLE-WRITER MAINTENANCE WINDOW (parquet branch): compaction must not
+    run concurrently with a live stream writing the SAME store — a
+    redelivered micro-batch overwriting a source partition mid-read could
+    fold a partial snapshot into the committed target, and the manifest
+    would then permanently hide the re-written source rows. (The Iceberg
+    branch commits in one atomic overwrite, so its exposure is only the
+    generation-name race between two concurrent compactors.) A best-effort
+    lock file (``<out_dir>/_compaction.lock``, atomic create-if-absent)
+    rejects a second concurrent compactor; it cannot stop a live stream —
+    stop the stream (or schedule compaction between micro-batches) before
+    calling. A crash leaves the lock behind: the error message names the
+    file to delete once no compactor is alive.
 
     Idempotent and crash-safe per the module-level protocol; always
     starts by finishing any crashed prior run's cleanup. A caller-chosen
@@ -480,6 +505,25 @@ def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict
             f"{_COMPACT_PREFIX!r} — the reader's crash-window visibility "
             "rule is keyed on the prefix"
         )
+    lock, lock_fs = _compaction_lock_path(sink)
+    if lock is not None:
+        # createNewFile is atomic on local/HDFS (best-effort on S3A)
+        if not lock_fs.createNewFile(lock):
+            raise RuntimeError(
+                f"compaction lock {lock} already held — another compaction "
+                "is in progress, or a previous one crashed; delete the lock "
+                "file once no compactor is alive and re-run"
+            )
+    try:
+        return _compact_snapshots_locked(sink, target_sid)
+    finally:
+        if lock is not None:
+            lock_fs.delete(lock, False)
+
+
+def _compact_snapshots_locked(
+    sink: TableSink, target_sid: Optional[str]
+) -> dict:
     # one manifest read serves recovery-cleanup and the committed set;
     # read_triples necessarily re-reads after cleanup may have changed
     # what is on disk
@@ -638,17 +682,27 @@ def migrate_legacy_store(sink: TableSink) -> bool:
     if sink.iceberg or sink.out_dir is None:
         return False
     root = sink._path("triples")
-    if not os.path.exists(root):
-        return False
-    legacy = [d for d in os.listdir(root) if d.startswith("bucket=")]
-    if not legacy:
-        return False
     jvm = sink.spark._jvm  # noqa: SLF001
     conf = sink.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(conf)
+    # scheme-agnostic detection (HDFS/S3A/local alike): the rest of the
+    # snapshot machinery (replace_snapshot, cleanup_compacted) already
+    # goes through the Hadoop FileSystem API — a local-only os.listdir
+    # here would silently skip migration on remote stores and the first
+    # snapshot-partitioned write would then produce a mixed layout
+    if not fs.exists(root_path):
+        return False
+    legacy = [
+        st.getPath().getName()
+        for st in fs.listStatus(root_path)
+        if st.isDirectory() and st.getPath().getName().startswith("bucket=")
+    ]
+    if not legacy:
+        return False
     dest_root = jvm.org.apache.hadoop.fs.Path(
         root, "source_snapshot_id=legacy-0"
     )
-    fs = dest_root.getFileSystem(conf)
     if not fs.exists(dest_root):
         fs.mkdirs(dest_root)
     for d in legacy:

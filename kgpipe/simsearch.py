@@ -498,7 +498,12 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     deterministic function of IEEE double arithmetic, so the DuckDB twin
     replays it bit-exactly — the quantization error bound is one step
     (max_abs / 127) instead of half a step, irrelevant at int8 ANN
-    precision. All-zero vectors quantize to q = 0, scale_e6 = 0.
+    precision. All-zero vectors quantize to q = 0, scale_e6 = 0 — and so
+    do vectors whose max_abs is below 1e-9: past that, ``127e6 /
+    max_abs`` leaves int64 range and the engines diverge on the overflow
+    (Spark non-ANSI clamps/nulls, DuckDB raises), breaking the bit-exact
+    cross-engine replay; a sub-nano-magnitude embedding is numerically
+    zero for ANN purposes anyway.
 
     Scale: a narrow map — per-vector fanout is the dimension, the
     explode fuses over the scan with zero shuffles (plan-asserted).
@@ -513,7 +518,7 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     x = e.select(
         "vec_id", "ma", F.posexplode("emb").alias("i0", "v")
     )
-    safe = F.col("ma") > 0
+    safe = F.col("ma") > 1e-9
     return x.select(
         "vec_id",
         (F.col("i0") + 1).cast("int").alias("i"),

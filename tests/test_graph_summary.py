@@ -491,6 +491,14 @@ def test_triples_prf_perturbations(spark):
 
 # ------------------------------------------------------------ tlink_closure ---
 
+def test_tlink_closure_alias():
+    # old name kept as a back-compat alias of the honestly-named one-step
+    # composition
+    from kgpipe.graph import tlink_closure, tlink_infer_2hop
+
+    assert tlink_closure is tlink_infer_2hop
+
+
 def test_tlink_closure_infers_two_hop_before(spark):
     from kgpipe.graph import tlink_closure
 

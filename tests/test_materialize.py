@@ -389,6 +389,26 @@ def test_compact_target_name_validation(spark, gazetteer, blacklist, tmp_path):
     assert compact_snapshots(sink)["target_sid"] == "compact-8"
 
 
+def test_compact_lock_rejects_concurrent_run(
+    spark, gazetteer, blacklist, tmp_path
+):
+    """A held lock file rejects a second compactor with an actionable
+    message; the lock is released on completion so a later run proceeds."""
+    from kgpipe.materialize import _compaction_lock_path, compact_snapshots
+
+    out_dir, _ = _incr_store(spark, gazetteer, blacklist, tmp_path, "lk")
+    sink = TableSink(spark, out_dir=out_dir, table_prefix=None)
+    lock, fs = _compaction_lock_path(sink)
+    assert fs.createNewFile(lock)
+    with pytest.raises(RuntimeError, match="compaction lock"):
+        compact_snapshots(sink)
+    fs.delete(lock, False)
+    res = compact_snapshots(sink)
+    assert res["target_sid"] == "compact-0"
+    # released on completion
+    assert not fs.exists(lock)
+
+
 def test_compact_batch_store_noop(spark, gazetteer, blacklist, tmp_path):
     """Pointing the maintenance verb at a batch-path store (bucket-only
     layout, no snapshot column) must no-op gracefully, not crash."""

@@ -202,6 +202,36 @@ def test_quantize_embeddings_exact(spark):
     assert got[3][1].scale_e6 == 63_500_000
 
 
+def test_quantize_embeddings_subnormal_guard(spark):
+    """max_abs below 1e-9 must behave like the all-zero case in BOTH
+    engines: 127e6 / max_abs would otherwise leave int64 range and Spark
+    (clamp/null) and DuckDB (raise) diverge on the cast."""
+    import duckdb
+
+    from kgpipe.simsearch import quantize_embeddings
+
+    rows = [(1, [1e-12, -5e-13, 0.0]), (2, [1.0, -0.5, 0.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_id, r.i): (r.q, r.scale_e6)
+           for r in quantize_embeddings(df).collect()}
+    assert got[(1, 1)] == (0, 0) and got[(1, 2)] == (0, 0)
+    assert got[(2, 1)] == (127, 127_000_000)
+
+    from __spark_entry__ import oracle_sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(1, [CAST(1e-12 AS FLOAT), CAST(-5e-13 AS FLOAT), CAST(0.0 AS FLOAT)]), "
+        "(2, [CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT), CAST(0.25 AS FLOAT)])"
+        ") t(vec_id, embedding)"
+    )
+    oracle = {
+        (vid, i): (q, s)
+        for vid, i, q, s in con.execute(oracle_sql()["sim_quantize"]).fetchall()
+    }
+    assert oracle == got
+
+
 def test_quantize_embeddings_bounds_and_error(spark):
     from kgpipe.simsearch import quantize_embeddings
 

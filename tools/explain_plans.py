@@ -439,12 +439,12 @@ def main() -> int:
     ))
 
     # 17. BEFORE-closure inference: every exchange keyed on conv_id -------
-    from kgpipe.graph import cross_turn_event_edges, tlink_closure
+    from kgpipe.graph import cross_turn_event_edges, tlink_infer_2hop
 
     cedges = cross_turn_event_edges(
         ann["mentions_f"], DEFAULT_CONFIG
     ).selectExpr("conv_id", "src as subj", "pred", "dst as obj")
-    p = plan_of(tlink_closure(cedges, pred="before", keys=("conv_id",)))
+    p = plan_of(tlink_infer_2hop(cedges, pred="before", keys=("conv_id",)))
     keyed = keyed_exchange_args(p)
     for ln in keyed:
         assert "conv_id" in ln, f"closure exchange not keyed on conv_id: {ln}"
@@ -452,7 +452,7 @@ def main() -> int:
         f"closure must compose via equi-join:\n{p}"
     )
     sections.append((
-        "BEFORE-closure inference (tlink_closure over cross-turn edges)",
+        "BEFORE-closure inference (tlink_infer_2hop over cross-turn edges)",
         p,
         [f"keyed exchanges: {len(keyed)}, all on conv_id — the composition "
          "self-join, witness aggregate, and direct-assertion anti-join all "
