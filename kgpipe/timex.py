@@ -144,10 +144,14 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # DAY_OF_WEEK 2 + MONTH 11 + ALIGNED_WEEK_OF_MONTH 1 = the first
     # Tuesday of November; the battery requires the "day" word where the
     # grammar accepts bare "election", which is ambiguous in conversation)
+    # "christmas/thanksgiving day" is the grammar's "[TimeSpan] [Unit]"
+    # composition (en.grammar:470) — the value is the holiday's own day,
+    # the span widens over the unit word
     (
         "holiday",
         re.compile(
-            r"\b(christmas|xmas|halloween|thanksgiving|election\s+day"
+            r"\b((?:christmas|xmas|thanksgiving)(?:\s+day)?"
+            r"|halloween|election\s+day"
             r"|easter(?:\s+sunday)?"
             r"|new\s+year'?s?(?:\s+day)?)"
             r"(?:\s+(?:of\s+)?(\d{4}))?\b",
@@ -301,6 +305,52 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         re.compile(
             rf"\b(?:the\s+)?week\s+of\s+(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:\s*,?\s+\d{{4}})?"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}})\b",
+            re.I,
+        ),
+    ),
+    # "[Unit] of [TimeSpan]" granularity compositions beyond week_of
+    # (en.grammar:465): "the month of june [2020]" -> the month itself
+    # (W7 for the year-less form), "the year (of) 2020" -> the year.
+    # Guards follow the bound_unit lesson: a month inner must not steal
+    # the front of a longer dated span ("the month of june 15, 2020"
+    # belongs to month_day_year) and may absorb a rel-year continuation
+    # ("the month of june next year"); a year inner must not start an
+    # ISO/slash date
+    (
+        "unit_of",
+        re.compile(
+            rf"\b(?:the\s+)?(?:month\s+of\s+({_MONTH_FULL_ALT})"
+            r"(?:\s+(last|next|this|coming|following)\s+year"
+            r"|\s+(?:of\s+)?(\d{4}))?(?!\s*,?\s*\d)"
+            r"|year\s+(?:of\s+)?((?:19|20)\d{2})(?![-/]\d))\b",
+            re.I,
+        ),
+    ),
+    # "[Unit] [TimeSpan]" FindEnclosing retarget (en.grammar:466-470):
+    # "the quarter a year ago" = the quarter ENCLOSING the point one year
+    # before the anchor (2023-Q1 for a 2024-03 anchor), "the week two
+    # months ago", "the period last year" (period = granularity-less ->
+    # the inner TimeSpan's own value, span widened)
+    (
+        "unit_enclosing",
+        re.compile(
+            rf"\b(?:the\s+)?(week|month|quarter|period)\s+"
+            rf"(?:({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+ago"
+            r"|(last|this|next)\s+(week|month|year))\b",
+            re.I,
+        ),
+    ),
+    # "earlier/later in [TimeSpan]" / "part of [TimeSpan]"
+    # (en.grammar:486-499 WithModifier region): value = the enclosing
+    # unit resolved at the anchor (or the named year); the
+    # EARLIER/LATER/PART mod attribute is outside the schema, dropped by
+    # the WithModifier convention — the span widens over the modifier
+    (
+        "mod_in_span",
+        re.compile(
+            r"\b(?:(?:earlier|later)\s+in|part\s+of)\s+"
+            r"(?:(?:the\s+)?(week|month|year|quarter)"
+            r"|((?:19|20)\d{2})(?![-/]\d))\b",
             re.I,
         ),
     ),
@@ -502,6 +552,19 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # "[PartOfDay] [TimeSpan]" FindEnclosed (en.grammar:471):
+    # "mid-afternoon yesterday" -> 2024-03-13TAF — the part of day INSIDE
+    # the relative day; an early/mid/late prefix widens the span and
+    # drops its mod per the WithModifier convention
+    (
+        "tod_rel_day",
+        re.compile(
+            r"\b(?:(?:early|mid|late)[\s-]+)?"
+            r"(morning|afternoon|evening|night)\s+"
+            r"(yesterday|today|tomorrow)\b",
+            re.I,
+        ),
+    ),
     # times of day — TimeML YYYY-MM-DDTMO/TAF/TEV/TNI
     (
         "time_of_day",
@@ -579,13 +642,20 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
-    # "[Period] ago [FieldValue:Partial]" (en.grammar:418 FindEnclosed —
-    # "a year ago january"): the named month inside the year that ended
-    # [Period] before the anchor's
+    # "[Period] ago [FieldValue:Partial]" (en.grammar:417-418 FindEnclosed
+    # over MoveEarlier — "a year ago january", "the year-ago third
+    # quarter"): the named month / quarter / season inside the year lying
+    # [Period] before the anchor's. The count is optional ("the year-ago
+    # X" = one year ago); inner guards keep longer dated spans with their
+    # own patterns ("a year ago january 15, 2021" belongs to
+    # month_day_year, dated quarters to quarter_year)
     (
         "ago_partial",
         re.compile(
-            rf"\b({_NUM_ALT})\s+years?[\s-]+ago\s+({_MONTH_FULL_ALT})\b",
+            rf"\b(?:the\s+)?(?:({_NUM_ALT})\s+)?years?[\s-]+ago\s+"
+            rf"(?:({_MONTH_FULL_ALT})(?!\s*,?\s*\d)"
+            r"|(?:the\s+)?(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter)(?!\s+(?:of\s+)?\d)"
+            r"|(spring|summer|fall|autumn|winter)(?!\s+(?:of\s+)?\d))\b",
             re.I,
         ),
     ),
@@ -615,12 +685,18 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # following/preceding/previous/latest are next/last synonyms
     # (en.grammar:398-405,427-432); current/that are this-synonyms
     # (en.grammar:385,387 — "that [Unit]" = FindEnclosing PRESENT)
+    # the trailing lookahead is silent-drop parity: "the last quarter of
+    # 2020" is NOT grammar-composable (the reference emits nothing for the
+    # phrase), and without the guard the fragment would mis-value as the
+    # anchor-relative previous quarter — the bare year inside the phrase
+    # still detects on its own
     (
         "rel_unit",
         re.compile(
             r"\b(?:the\s+)?(last|next|this|following|preceding|coming|past"
             r"|previous|current|latest|that)\s+"
-            r"(day|week|month|year|quarter)\b",
+            r"(day|week|month|year|quarter)\b"
+            r"(?!\s+of\s+\d{4})",
             re.I,
         ),
     ),
@@ -721,6 +797,10 @@ _QUICK_KEYS = {
     "quarter_year": ("quarter", "q1", "q2", "q3", "q4"),
     "bare_quarter": ("quarter", "q1", "q2", "q3", "q4"),
     "week_of": ("week",),
+    "unit_of": ("month", "year"),
+    "unit_enclosing": ("week", "month", "quarter", "period"),
+    "mod_in_span": ("earlier", "later", "part"),
+    "tod_rel_day": ("yesterday", "today", "tomorrow"),
     "weekday_tod": ("morning", "afternoon", "evening", "night"),
     "partial_rel_unit": ("this", "last", "next"),
     "season_set": (
@@ -1223,13 +1303,17 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return f"P{n}{m.group(3)[0].upper()}"
         if kind == "holiday":
             m = re.match(
-                r"(christmas|xmas|halloween|thanksgiving|election\s+day"
+                r"((?:christmas|xmas|thanksgiving)(?:\s+day)?"
+                r"|halloween|election\s+day"
                 r"|easter(?:\s+sunday)?"
                 r"|new\s+year'?s?(?:\s+day)?)"
                 r"(?:\s+(?:of\s+)?(\d{4}))?",
                 s, re.I,
             )
             name = re.sub(r"\s+", " ", m.group(1).lower())
+            # "[TimeSpan] [Unit]": the unit word widens the span, the
+            # value is the holiday's own day
+            name = re.sub(r"^(christmas|xmas|thanksgiving) day$", r"\1", name)
             if name.startswith("easter"):
                 name = "easter"
             if m.group(2):
@@ -1428,6 +1512,45 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 )
             # bare-month inner: W7 nearest month start, as in 'modified'
             return _bare_month_w7(inner_txt, anchor)
+        if kind == "unit_of":
+            m = re.match(
+                rf"(?:the\s+)?(?:month\s+of\s+({_MONTH_FULL_ALT})"
+                r"(?:\s+(last|next|this|coming|following)\s+year"
+                r"|\s+(?:of\s+)?(\d{4}))?"
+                r"|year\s+(?:of\s+)?(\d{4}))",
+                s, re.I,
+            )
+            if m.group(4):
+                return f"{int(m.group(4)):04d}"
+            month_word = m.group(1).lower()
+            if m.group(3):
+                return _fmt_month(int(m.group(3)), _MONTHS[month_word])
+            if m.group(2):
+                if anchor is None:
+                    return None
+                delta = {"last": -1, "next": 1, "this": 0,
+                         "coming": 1, "following": 1}[m.group(2).lower()]
+                return _fmt_month(anchor.year + delta, _MONTHS[month_word])
+            return _bare_month_w7(month_word, anchor)
+        if kind == "mod_in_span":
+            m = re.match(
+                r"(?:(?:earlier|later)\s+in|part\s+of)\s+"
+                r"(?:(?:the\s+)?(week|month|year|quarter)"
+                r"|((?:19|20)\d{2}))",
+                s, re.I,
+            )
+            if m.group(2):
+                return m.group(2)
+            if anchor is None:
+                return None
+            unit = m.group(1).lower()
+            if unit == "week":
+                return _fmt_week(anchor)
+            if unit == "month":
+                return _fmt_month(anchor.year, anchor.month)
+            if unit == "quarter":
+                return f"{anchor.year:04d}-Q{(anchor.month - 1) // 3 + 1}"
+            return f"{anchor.year:04d}"
         # everything below is anchored arithmetic
         if anchor is None:
             return None
@@ -1498,17 +1621,97 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 return f"{anchor.year + sign * 100 * n:04d}"
             return f"{anchor.year + sign * n:04d}"
         if kind == "ago_partial":
-            # "[Period] ago [FieldValue:Partial]" (en.grammar:418
-            # FindEnclosed over MoveEarlier — "a year ago january"): the
-            # named month inside the year lying n years before the anchor's
+            # "[Period] ago [FieldValue:Partial]" (en.grammar:417-418
+            # FindEnclosed over MoveEarlier — "a year ago january", "the
+            # year-ago third quarter"): the named month / quarter / season
+            # inside the year lying n years before the anchor's (n = 1
+            # when the count is elided)
             m = re.match(
-                rf"({_NUM_ALT})\s+years?[\s-]+ago\s+({_MONTH_FULL_ALT})",
+                rf"(?:the\s+)?(?:({_NUM_ALT})\s+)?years?[\s-]+ago\s+"
+                rf"(?:({_MONTH_FULL_ALT})"
+                r"|(?:the\s+)?(?:q([1-4])|(first|second|third|fourth|1st|2nd|3rd|4th)[\s-]+quarter)"
+                r"|(spring|summer|fall|autumn|winter))",
                 s, re.I,
             )
-            n = _num(m.group(1))
+            n = _num(m.group(1)) if m.group(1) else 1
             if n is None:
                 return None
-            return _fmt_month(anchor.year - n, _MONTHS[m.group(2).lower()])
+            year = anchor.year - n
+            if m.group(2):
+                return _fmt_month(year, _MONTHS[m.group(2).lower()])
+            if m.group(3) or m.group(4):
+                q = (
+                    int(m.group(3))
+                    if m.group(3)
+                    else _QUARTER_WORDS[m.group(4).lower()]
+                )
+                return f"{year:04d}-Q{q}"
+            return f"{year:04d}-{_SEASONS[m.group(5).lower()][0]}"
+        if kind == "unit_enclosing":
+            m = re.match(
+                rf"(?:the\s+)?(week|month|quarter|period)\s+"
+                rf"(?:({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+ago"
+                r"|(last|this|next)\s+(week|month|year))",
+                s, re.I,
+            )
+            outer = m.group(1).lower()
+            if outer == "period":
+                # granularity-less outer: the inner TimeSpan's own value,
+                # span widened over the unit word
+                inner = detect_timexes(s[m.end(1):].strip())
+                if not inner:
+                    return None
+                return normalize_timex(
+                    inner[0]["surface"], inner[0]["kind"], anchor
+                )
+            # inner START instant; the outer value is the calendar unit
+            # enclosing it (FindEnclosing, en.grammar:466-470)
+            if m.group(2):
+                n = _num(m.group(2))
+                if n is None:
+                    return None
+                u = m.group(3).lower().rstrip("s")
+                if u == "day":
+                    start = anchor - dt.timedelta(days=n)
+                elif u == "week":
+                    start = anchor - dt.timedelta(days=7 * n)
+                elif u == "month":
+                    y, mo = _shift_month(anchor.year, anchor.month, -n)
+                    start = dt.date(y, mo, min(anchor.day, _days_in_month(y, mo)))
+                else:
+                    y = anchor.year - n
+                    start = dt.date(
+                        y, anchor.month,
+                        min(anchor.day, _days_in_month(y, anchor.month)),
+                    )
+            else:
+                delta = {"last": -1, "this": 0, "next": 1}[m.group(4).lower()]
+                u = m.group(5).lower()
+                if u == "week":
+                    d = anchor + dt.timedelta(weeks=delta)
+                    start = d - dt.timedelta(days=d.weekday())
+                elif u == "month":
+                    y, mo = _shift_month(anchor.year, anchor.month, delta)
+                    start = dt.date(y, mo, 1)
+                else:
+                    start = dt.date(anchor.year + delta, 1, 1)
+            if outer == "week":
+                return _fmt_week(start)
+            if outer == "month":
+                return _fmt_month(start.year, start.month)
+            return f"{start.year:04d}-Q{(start.month - 1) // 3 + 1}"
+        if kind == "tod_rel_day":
+            m = re.match(
+                r"(?:(?:early|mid|late)[\s-]+)?"
+                r"(morning|afternoon|evening|night)\s+"
+                r"(yesterday|today|tomorrow)",
+                s, re.I,
+            )
+            part = {"morning": "MO", "afternoon": "AF",
+                    "evening": "EV", "night": "NI"}[m.group(1).lower()]
+            delta = {"yesterday": -1, "today": 0,
+                     "tomorrow": 1}[m.group(2).lower()]
+            return (anchor + dt.timedelta(days=delta)).isoformat() + "T" + part
         if kind == "day_offset":
             m = re.match(
                 r"(?:the\s+)?day\s+(before|after)\s+(yesterday|tomorrow)", s, re.I

@@ -920,3 +920,51 @@ def test_round5c_no_false_positives():
     for text in ("sometimes it works", "meanwhile at the office",
                  "the election results", "at the same time"):
         assert detect_timexes(text) == [], text
+
+
+@pytest.mark.parametrize(
+    "surface,expected,kind",
+    [
+        # "[Period] ago [Partial]" now covers quarters + seasons
+        # (en.grammar:417-418 "the year-ago third quarter")
+        ("the year-ago third quarter", "2023-Q3", "ago_partial"),
+        ("two years ago summer", "2022-SU", "ago_partial"),
+        # "[Unit] of [TimeSpan]" granularity compositions (en.grammar:465)
+        ("the month of june 2020", "2020-06", "unit_of"),
+        ("the month of june next year", "2025-06", "unit_of"),
+        ("the year 2020", "2020", "unit_of"),
+        # "[Unit] [TimeSpan]" FindEnclosing retarget (en.grammar:466-470)
+        ("the quarter a year ago", "2023-Q1", "unit_enclosing"),
+        ("the period last year", "2023", "unit_enclosing"),
+        # modifier region (en.grammar:486-499) + PartOfDay FindEnclosed
+        ("earlier in the week", "2024-W11", "mod_in_span"),
+        ("part of 2020", "2020", "mod_in_span"),
+        ("mid-afternoon yesterday", "2024-03-14TAF", "tod_rel_day"),
+        # "[TimeSpan] [Unit]" holiday-day widening (en.grammar:470)
+        ("thanksgiving day", "2023-11-23", "holiday"),
+    ],
+)
+def test_round6_composition_values(surface, expected, kind):
+    det = detect_timexes(surface)
+    assert det[0]["kind"] == kind
+    assert _norm(surface) == expected
+
+
+def test_round6_wrong_value_guards():
+    # "the last quarter of 2020" is not grammar-composable: the rel_unit
+    # fragment must NOT mis-value as the anchor-relative quarter; the bare
+    # year inside still detects (silent-drop parity on the composition)
+    got = detect_timexes("the last quarter of 2020")
+    assert [t["kind"] for t in got] == ["bare_year"]
+    got = detect_timexes("the last week of 2020")
+    assert [t["kind"] for t in got] == ["bare_year"]
+    # dated spans stay with their own patterns (continuation-lookahead
+    # lesson: new inners must not steal the front of longer forms)
+    got = detect_timexes("met a year ago january 15, 2021")
+    assert [t["kind"] for t in got] == ["ago", "month_day_year"]
+    got = detect_timexes("the month of june 15, 2020")
+    assert [t["kind"] for t in got] == ["month_day_year"]
+    # anchorless turns: pinned inners resolve, anchored ones drop
+    assert normalize_timex("the year 2020", "unit_of", None) == "2020"
+    assert normalize_timex("part of 2020", "mod_in_span", None) == "2020"
+    assert normalize_timex("earlier in the week", "mod_in_span", None) is None
