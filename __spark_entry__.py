@@ -1423,7 +1423,7 @@ ment_ann AS MATERIALIZED (
   FROM ment_id
 ),
 -- two planted timexes per turn: the slash date after ' on ' and the round-2/3
--- grammar suffix after ' revisit ' (kind = event_id % 30, fixtures.py). The
+-- grammar suffix after ' revisit ' (kind = event_id % 34, fixtures.py). The
 -- extras CTE re-derives the per-turn doc stats the char/token arithmetic
 -- needs (doc_len, doc word count, kind, date string) with the same
 -- deterministic row_number keys as the main derivation.
@@ -1432,7 +1432,7 @@ t_ext AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
          len(d.text) AS doc_len,
          len(string_split(d.text, ' ')) AS wd_doc,
-         CAST(e.event_id % 30 AS INT) AS k,
+         CAST(e.event_id % 34 AS INT) AS k,
          strftime(e.ts, '%-m/%-d/%Y') AS datestr
   FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
   WHERE d.doc_id < 500
@@ -1496,8 +1496,14 @@ tmx2 AS (
                     WHEN 25 THEN 'the week of march 5'
                     WHEN 26 THEN 'monday morning'
                     WHEN 27 THEN 'this year''s third quarter'
+                    WHEN 23 THEN 'every other week'
                     WHEN 28 THEN 'monday last week'
                     WHEN 29 THEN 'the third quarter last year'
+                    -- round 6: sub-day kinds on the FULL timestamp
+                    WHEN 30 THEN 'three hours ago'
+                    WHEN 31 THEN 'in 20 minutes'
+                    WHEN 32 THEN 'at 19:30'
+                    WHEN 33 THEN 'hourly'
                     ELSE 'every other week'
            END AS surface2,
            make_date(year(w.ts) - 1, 3, 5) AS md1,
@@ -1570,8 +1576,16 @@ tmx AS (
                 WHEN 27 THEN printf('%04d-Q3', year(ts))
                 -- [Partial] last [Unit] compositions: the monday INSIDE
                 -- last week (anchor week start - 7); last year's Q3
+                WHEN 23 THEN 'P2W'
                 WHEN 28 THEN strftime(date_trunc('week', anchor_date) - 7, '%Y-%m-%d')
                 WHEN 29 THEN printf('%04d-Q3', year(ts) - 1)
+                -- round 6: sub-day MoveEarlier/MoveLater on the FULL
+                -- timestamp, value truncated to the period granularity;
+                -- bare 24h clock on the anchor day; hourly -> PT1H set
+                WHEN 30 THEN strftime(ts - INTERVAL 3 HOUR, '%Y-%m-%dT%H')
+                WHEN 31 THEN strftime(ts + INTERVAL 20 MINUTE, '%Y-%m-%dT%H:%M')
+                WHEN 32 THEN strftime(ts, '%Y-%m-%d') || 'T19:30'
+                WHEN 33 THEN 'PT1H'
                 ELSE 'P2W'
          END AS normed,
          -- engine-token index of the suffix's last token: the suffix starts
@@ -1587,6 +1601,8 @@ tmx AS (
                               WHEN 24 THEN 9 WHEN 25 THEN 11
                               WHEN 27 THEN 10
                               WHEN 28 THEN 9 WHEN 29 THEN 11
+                              WHEN 30 THEN 9 WHEN 31 THEN 9
+                              WHEN 32 THEN 10 WHEN 33 THEN 7
                               ELSE 8 END AS INT) AS t_tok_e,
          -- tlink label vs the anchor (= date(ts)): past seasons/decades/
          -- centuries/years are always 'after'; the anchor's own ISO week
@@ -1674,6 +1690,18 @@ tmx AS (
                     WHEN anchor_date = make_date(year(ts), 7, 1) THEN 'begins-on'
                     WHEN anchor_date = make_date(year(ts), 9, 30) THEN 'ends-on'
                     ELSE 'contains-1' END)
+                -- k=30/31: the shifted timestamp's DAY vs the anchor
+                -- (tlink_label over the sub-day value's enclosing day);
+                -- k=32: a clock time on the anchor day overlaps it;
+                -- k=33: a period set has no interval
+                WHEN 30 THEN (CASE
+                    WHEN CAST(ts - INTERVAL 3 HOUR AS DATE) < anchor_date
+                    THEN 'after' ELSE 'overlap' END)
+                WHEN 31 THEN (CASE
+                    WHEN CAST(ts + INTERVAL 20 MINUTE AS DATE) > anchor_date
+                    THEN 'before' ELSE 'overlap' END)
+                WHEN 32 THEN 'overlap'
+                WHEN 33 THEN 'none'
                 -- k=28 (monday of last week) and k=29 (last year's Q3) end
                 -- strictly before any anchor day -> the ELSE 'after'
                 ELSE 'after' END AS lbl

@@ -44,7 +44,7 @@ from .text import (
 )
 from .timex import detect_timexes, normalize_timex
 
-__all__ = ["annotate_turn", "anchor_for", "PRINCIPAL_DATE_RE"]
+__all__ = ["annotate_turn", "anchor_for", "full_anchor_for", "PRINCIPAL_DATE_RE"]
 
 PRINCIPAL_DATE_RE = re.compile(r"Principal Date\D*(\d{8})")
 
@@ -65,6 +65,23 @@ def anchor_for(ts, text: str) -> Optional[dt.date]:
         except ValueError:
             return None
     return None
+
+
+def full_anchor_for(ts, anchor):
+    """The normalizer's anchor: the FULL timestamp (datetime) when ``ts``
+    is a real timestamp whose date agrees with ``anchor``, else the
+    date-only anchor (header-scan fallback). Sub-day timex kinds ("three
+    hours ago", "in 20 minutes") need the time of day; every calendar
+    kind uses only the date part, so their values are unchanged."""
+    if anchor is None or ts is None or ts != ts:
+        return anchor
+    try:
+        full = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+        if isinstance(full, dt.datetime) and full.date() == anchor:
+            return full
+    except (ValueError, AttributeError):
+        pass
+    return anchor
 
 
 def _tok_at_begin(begin_map, begins_sorted, pos: int) -> int:
@@ -114,6 +131,7 @@ def annotate_turn(
     """
     text = text or ""
     anchor = anchor_for(ts, text)
+    anchor_full = full_anchor_for(ts, anchor)
     tokens, token_map, newline_flags = tokenize(text)
     n = len(tokens)
     begin_map, end_map = invert_token_map(token_map)
@@ -134,7 +152,7 @@ def annotate_turn(
     # --- timexes: detect + normalize (F6/X4/X5 live inside normalize) ---
     timex_rows = []
     for t_idx, t in enumerate(detect_timexes(text) if with_timexes else ()):
-        normed = normalize_timex(t["surface"], t["kind"], anchor)
+        normed = normalize_timex(t["surface"], t["kind"], anchor_full)
         timex_rows.append(
             {
                 "timex_idx": t_idx,

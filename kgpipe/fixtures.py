@@ -190,8 +190,10 @@ def synthetic_transcripts_df(
 # late-round-5 Partial compositions: bare quarters (W7 nearest Q1 start),
 # year-less week-of (W7 day pick -> enclosing ISO week), singular
 # weekday+part-of-day, relative-year possessive quarters, and the
-# [Partial] this/last/next [Unit] compositions) keyed on
-# event_id % 30 — every kind gets driver-corpus coverage with
+# [Partial] this/last/next [Unit] compositions, plus round 6's sub-day
+# units on the turn's FULL timestamp — hour/minute relatives, the bare
+# 24-hour clock and the hourly period set) keyed on
+# event_id % 34 — every kind gets driver-corpus coverage with
 # DuckDB-replayable normalization. All suffix words are outside the
 # gazetteer and the DTR/conmod marker sets, so mention extraction and the
 # marker scorers are unaffected ("year's" is one engine token — the
@@ -208,7 +210,7 @@ SELECT
     ELSE 'tool'
   END AS role,
   d.text || ' on ' || {date_expr} ||
-  CASE CAST(e.event_id % 30 AS INT)
+  CASE CAST(e.event_id % 34 AS INT)
     WHEN 0 THEN ' revisit summer ' || CAST(year(e.ts) - 1 AS {str_type})
     WHEN 1 THEN ' revisit the 1990s'
     WHEN 2 THEN ' revisit week of ' || {date_expr}
@@ -237,7 +239,12 @@ SELECT
     WHEN 26 THEN ' revisit monday morning'
     WHEN 27 THEN ' revisit this year''s third quarter'
     WHEN 28 THEN ' revisit monday last week'
+    WHEN 23 THEN ' revisit every other week'
     WHEN 29 THEN ' revisit the third quarter last year'
+    WHEN 30 THEN ' revisit three hours ago'
+    WHEN 31 THEN ' revisit in 20 minutes'
+    WHEN 32 THEN ' revisit at 19:30'
+    WHEN 33 THEN ' revisit hourly'
     ELSE ' revisit every other week'
   END AS text,
   CASE WHEN e.event_type = 'error' THEN 'logger' ELSE NULL END AS tool,

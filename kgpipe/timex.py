@@ -163,10 +163,12 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # (en.grammar:297-298): "several days ago" is a MoveEarlier by an
     # Unspecified period — normalized to PAST_REF (the offset is
     # uncomputable; the direction is all the grammar pins down)
+    # sub-day units (en.grammar:83-85, 95-97) flow through the same rule:
+    # "three hours ago" is a MoveEarlier on the turn's FULL timestamp
     (
         "ago",
         re.compile(
-            rf"\b({_NUM_ALT}|{_VAGUE_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\s+(?:ago|earlier)\b",
+            rf"\b({_NUM_ALT}|{_VAGUE_ALT})\s+(seconds?|minutes?|hours?|days?|weeks?|months?|years?|decades?|century|centuries)\s+(?:ago|earlier)\b",
             re.I,
         ),
     ),
@@ -209,8 +211,19 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "frac_period",
         re.compile(
-            rf"\b(?:({_NUM_ALT})\s+and\s+a\s+half\s+(days?|weeks?|months?|years?)"
-            rf"|({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+and\s+a\s+half)\b",
+            rf"\b(?:({_NUM_ALT})\s+and\s+a\s+half\s+(minutes?|hours?|days?|weeks?|months?|years?)"
+            rf"|({_NUM_ALT})\s+(minutes?|hours?|days?|weeks?|months?|years?)\s+and\s+a\s+half)\b",
+            re.I,
+        ),
+    ),
+    # "half an [Unit]" — the bare-half fraction; with a trailing ago/earlier
+    # the sub-day forms are anchored MoveEarlier on the full timestamp
+    # ("half an hour ago" -> the minute 30 minutes before the turn)
+    (
+        "half_unit",
+        re.compile(
+            r"\bhalf\s+an?\s+(minute|hour|day|week|month|year)"
+            r"(\s+(?:ago|earlier))?\b",
             re.I,
         ),
     ),
@@ -225,7 +238,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         re.compile(
             r"\b(?:the\s+)?(?:(?:past|last|next|coming)\s+)?"
             rf"((?:an?\s+)?couple(?:\s+of)?|{_VAGUE_ALT})\s+"
-            r"(days?|weeks?|months?|years?)\b",
+            r"(minutes?|hours?|days?|weeks?|months?|years?)\b",
             re.I,
         ),
     ),
@@ -234,7 +247,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "first_period",
         re.compile(
-            rf"\b(?:the\s+)?first\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?)\b",
+            rf"\b(?:the\s+)?first\s+({_NUM_ALT})\s+(minutes?|hours?|days?|weeks?|months?|years?)\b",
             re.I,
         ),
     ),
@@ -246,7 +259,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         # drop the fraction (same earliest-begin gotcha as past_ref).
         # several/few -> FUTURE_REF (unspecified-offset mirror of ago)
         re.compile(
-            rf"\bin\s+({_NUM_ALT}|{_VAGUE_ALT})\s+(days?|weeks?|months?|years?|decades?|century|centuries)\b"
+            rf"\bin\s+({_NUM_ALT}|{_VAGUE_ALT})\s+(seconds?|minutes?|hours?|days?|weeks?|months?|years?|decades?|century|centuries)\b"
             r"(?!\s+and\s+a\s+half\b)",
             re.I,
         ),
@@ -271,6 +284,19 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "noon_midnight",
         re.compile(r"\b(?:at\s+)?(noon|midday|midnight)\b", re.I),
+    ),
+    # bare 24-hour clock (en.grammar:214 — HH:MM parses as a Time without
+    # am/pm): "19:30", "at 09:15", "19:30:45" -> the anchor day's clock
+    # value. The minute is REQUIRED two-digit 00-59, so score-like "16:9"
+    # / "2:1" never match; an am/pm continuation belongs to the longer
+    # clock_time span (same begin, longest wins)
+    (
+        "clock_24h",
+        re.compile(
+            r"\b(?:at\s+)?([01]?\d|2[0-3]):([0-5]\d)(?::([0-5]\d))?\b"
+            r"(?!\s*[ap]\.?m\.?\b)",
+            re.I,
+        ),
     ),
     # quarters — the reference's timenorm emits YYYY-QN TimeML values and
     # its W7 heuristic special-cases quarter granularity (TEP.scala:219-251)
@@ -596,8 +622,8 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "period_set",
         re.compile(
-            rf"\b(?:every|each)\s+(?:(other)\s+|({_NUM_ALT})\s+)?(day|week|month|year)s?\b"
-            r"|\b(daily|weekly|monthly|quarterly|yearly|annually)\b",
+            rf"\b(?:every|each)\s+(?:(other)\s+|({_NUM_ALT})\s+)?(second|minute|hour|day|week|month|year)s?\b"
+            r"|\b(hourly|daily|weekly|monthly|quarterly|yearly|annually)\b",
             re.I,
         ),
     ),
@@ -606,7 +632,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "period_phrase",
         re.compile(
-            rf"\b(?:a\s+)?({_NUM_ALT})[\s-]+(day|week|month|year)\s+period\b",
+            rf"\b(?:a\s+)?({_NUM_ALT})[\s-]+(minute|hour|day|week|month|year)\s+period\b",
             re.I,
         ),
     ),
@@ -614,7 +640,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # "in recent weeks" -> PXW
     (
         "recent_period",
-        re.compile(r"\brecent\s+(days|weeks|months|years)\b", re.I),
+        re.compile(r"\brecent\s+(minutes|hours|days|weeks|months|years)\b", re.I),
     ),
     # fully-unspecified periods (en.grammar:294-296 — "a while" /
     # "some time" / "lengthy period" -> Unspecified UNSPECIFIED): both the
@@ -633,8 +659,8 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "period_approx",
         re.compile(
-            rf"\b(?:({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+or\s+so"
-            rf"|up\s+to\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?)"
+            rf"\b(?:({_NUM_ALT})\s+(minutes?|hours?|days?|weeks?|months?|years?)\s+or\s+so"
+            rf"|up\s+to\s+({_NUM_ALT})\s+(minutes?|hours?|days?|weeks?|months?|years?)"
             # "up to two weeks AGO" must stay an anchored MoveEarlier,
             # not an EQUAL_OR_LESS period — without this lookahead the
             # sweep's earliest-begin rule would let "up to..." eat it
@@ -677,8 +703,8 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "freq_set",
         re.compile(
-            rf"\b(?:(once|twice|thrice)|({_NUM_ALT})\s+times)\s+(?:a|per)\s+"
-            r"(day|week|month|year)\b",
+            rf"\b(?:(once|twice|thrice)|({_NUM_ALT})\s+times)\s+(?:an?|per)\s+"
+            r"(minute|hour|day|week|month|year)\b",
             re.I,
         ),
     ),
@@ -792,6 +818,8 @@ _QUICK_KEYS = {
     # the substring check, which is fine for a necessary-condition filter
     "clock_time": ("am", "pm", "a.m", "p.m"),
     "noon_midnight": ("noon", "midday", "midnight"),
+    "clock_24h": (":",),
+    "half_unit": ("half",),
     # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
     # extends 3 words left of its first digit
     "quarter_year": ("quarter", "q1", "q2", "q3", "q4"),
@@ -825,8 +853,8 @@ _QUICK_KEYS = {
     # "tonight" contains the substring "night"
     "time_of_day": ("morning", "afternoon", "evening", "night"),
     "period_set": (
-        "every", "each", "daily", "weekly", "monthly", "quarterly",
-        "yearly", "annually",
+        "every", "each", "hourly", "daily", "weekly", "monthly",
+        "quarterly", "yearly", "annually",
     ),
     "rel_unit": (
         "last", "next", "this", "following", "preceding", "coming", "past",
@@ -1010,14 +1038,34 @@ def _num(tok: str) -> Optional[int]:
     return None
 
 
-def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optional[str]:
-    """Surface + detected kind + per-turn anchor date -> TimeML value or None.
+def _period_value(n, unit: str) -> str:
+    """ISO-8601 duration for n of unit — sub-day units carry the TimeML
+    time designator ("PT3H", never "P3H"; minute -> "T...M" disambiguates
+    from month)."""
+    u = unit.lower().rstrip("s")
+    if u in ("hour", "minute", "second"):
+        return f"PT{n}{u[0].upper()}"
+    return f"P{n}{u[0].upper()}"
+
+
+def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
+    """Surface + detected kind + per-turn anchor -> TimeML value or None.
+
+    ``anchor`` is the turn's DCT: a ``datetime.date``, or a full
+    ``datetime.datetime`` when the turn timestamp carries a time of day —
+    the sub-day kinds ("three hours ago", "in 20 minutes") are arithmetic
+    on the full timestamp and silently drop (None) on a date-only anchor;
+    every calendar-granularity kind uses the date part only, so a
+    datetime anchor never changes their values.
 
     The slash fast path reproduces TimeMentionNormalizer.getTimeML exactly:
     split on '/', require 3 all-numeric components, month-first, 2-digit year
     + 2000, drop if the calendar rejects it (java:165-196). Whitespace in the
     surface is collapsed first (java:197).
     """
+    anchor_dt = anchor if isinstance(anchor, dt.datetime) else None
+    if anchor_dt is not None:
+        anchor = anchor_dt.date()
     s = " ".join(surface.split())
     try:
         if kind == "slash_date":
@@ -1069,47 +1117,47 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             m = re.match(
                 r"(?:the\s+)?(?:(?:past|last|next|coming)\s+)?"
                 rf"((?:an?\s+)?couple(?:\s+of)?|{_VAGUE_ALT})\s+"
-                r"(days?|weeks?|months?|years?)",
+                r"(minutes?|hours?|days?|weeks?|months?|years?)",
                 s, re.I,
             )
-            unit = m.group(2)[0].upper()
             if "couple" in m.group(1).lower():
-                return f"P2{unit}"
-            return f"PX{unit}"  # unspecified count (en.grammar:297-298)
+                return _period_value(2, m.group(2))
+            # unspecified count (en.grammar:297-298)
+            return _period_value("X", m.group(2))
         if kind == "first_period":
             m = re.match(
-                rf"(?:the\s+)?first\s+({_NUM_ALT})\s+(days?|weeks?|months?|years?)",
+                rf"(?:the\s+)?first\s+({_NUM_ALT})\s+(minutes?|hours?|days?|weeks?|months?|years?)",
                 s, re.I,
             )
             n = _num(m.group(1))
             if n is None:
                 return None
-            return f"P{n}{m.group(2)[0].upper()}"
+            return _period_value(n, m.group(2))
         if kind == "period_phrase":
             m = re.match(
-                rf"(?:a\s+)?({_NUM_ALT})[\s-]+(day|week|month|year)\s+period",
+                rf"(?:a\s+)?({_NUM_ALT})[\s-]+(minute|hour|day|week|month|year)\s+period",
                 s, re.I,
             )
             n = _num(m.group(1))
             if n is None:
                 return None
-            return f"P{n}{m.group(2)[0].upper()}"
+            return _period_value(n, m.group(2))
         if kind == "recent_period":
-            m = re.match(r"recent\s+(days|weeks|months|years)", s, re.I)
-            return f"PX{m.group(1)[0].upper()}"
+            m = re.match(r"recent\s+(minutes|hours|days|weeks|months|years)", s, re.I)
+            return _period_value("X", m.group(1))
         if kind == "period_approx":
             # "[Period] or so" (APPROX, en.grammar:311) / "up to [Period]"
             # (EQUAL_OR_LESS, en.grammar:318): value = the period itself;
             # the mod attribute is outside the schema, dropped by the
             # WithModifier convention
             m = re.match(
-                rf"(?:up\s+to\s+)?({_NUM_ALT})\s+(days?|weeks?|months?|years?)",
+                rf"(?:up\s+to\s+)?({_NUM_ALT})\s+(minutes?|hours?|days?|weeks?|months?|years?)",
                 s, re.I,
             )
             n = _num(m.group(1))
             if n is None:
                 return None
-            return f"P{n}{m.group(2)[0].upper()}"
+            return _period_value(n, m.group(2))
         if kind == "year_possessive":
             # "[TimeSpan]'s [FieldValue:Partial]" (en.grammar:476
             # FindEnclosed): the month / quarter / season inside the named
@@ -1146,13 +1194,13 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return "PX"
         if kind == "freq_set":
             m = re.match(
-                rf"(?:(once|twice|thrice)|({_NUM_ALT})\s+times)\s+(?:a|per)\s+"
-                r"(day|week|month|year)",
+                rf"(?:(once|twice|thrice)|({_NUM_ALT})\s+times)\s+(?:an?|per)\s+"
+                r"(minute|hour|day|week|month|year)",
                 s, re.I,
             )
             # value = the base period; the 2X/3X freq attribute is outside
             # the output schema (dropped like the WithModifier mod)
-            return f"P1{m.group(3)[0].upper()}"
+            return _period_value(1, m.group(3))
         if kind == "suffix_modified":
             # "[year] or later/earlier", "and beyond/before": inner value,
             # ON_OR_AFTER/ON_OR_BEFORE mod outside the schema
@@ -1283,16 +1331,19 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             return _bare_month_w7(inner_txt, anchor)
         if kind == "period_set":
             m = re.match(
-                rf"(?:every|each)\s+(?:(other)\s+|({_NUM_ALT})\s+)?(day|week|month|year)s?"
-                r"|(daily|weekly|monthly|quarterly|yearly|annually)",
+                rf"(?:every|each)\s+(?:(other)\s+|({_NUM_ALT})\s+)?(second|minute|hour|day|week|month|year)s?"
+                r"|(hourly|daily|weekly|monthly|quarterly|yearly|annually)",
                 s, re.I,
             )
             if m.group(4):
+                adv = m.group(4).lower()
+                if adv == "hourly":  # en.grammar:323
+                    return "PT1H"
                 unit = {
                     "daily": "D", "weekly": "W", "monthly": "M",
                     "quarterly": "Q",  # QUARTER_YEARS unit char, Temporal.scala:45
                     "yearly": "Y", "annually": "Y",
-                }[m.group(4).lower()]
+                }[adv]
                 return f"P1{unit}"
             if m.group(1):  # "every other week" = every second week
                 n = 2
@@ -1300,7 +1351,7 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 n = _num(m.group(2)) if m.group(2) else 1
             if n is None:
                 return None
-            return f"P{n}{m.group(3)[0].upper()}"
+            return _period_value(n, m.group(3))
         if kind == "holiday":
             m = re.match(
                 r"((?:christmas|xmas|thanksgiving)(?:\s+day)?"
@@ -1347,8 +1398,8 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             # the timenorm conversion convention) — else ISO-8601 decimal
             # in the smallest component (P2.5W, P1.5D)
             m = re.match(
-                rf"(?:({_NUM_ALT})\s+and\s+a\s+half\s+(days?|weeks?|months?|years?)"
-                rf"|({_NUM_ALT})\s+(days?|weeks?|months?|years?)\s+and\s+a\s+half)",
+                rf"(?:({_NUM_ALT})\s+and\s+a\s+half\s+(minutes?|hours?|days?|weeks?|months?|years?)"
+                rf"|({_NUM_ALT})\s+(minutes?|hours?|days?|weeks?|months?|years?)\s+and\s+a\s+half)",
                 s, re.I,
             )
             if m.group(1):
@@ -1361,7 +1412,35 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 return f"P{12 * n + 6}M"
             if unit == "month":
                 return f"P{30 * n + 15}D"
+            if unit == "hour":  # hours -> minutes stays integral
+                return f"PT{60 * n + 30}M"
+            if unit == "minute":  # minutes -> seconds stays integral
+                return f"PT{60 * n + 30}S"
             return f"P{n}.5{unit[0].upper()}"
+        if kind == "half_unit":
+            m = re.match(
+                r"half\s+an?\s+(minute|hour|day|week|month|year)"
+                r"(\s+(?:ago|earlier))?",
+                s, re.I,
+            )
+            unit = m.group(1).lower()
+            if m.group(2):
+                # anchored MoveEarlier on the FULL timestamp; only the
+                # sub-day halves compute ("half an hour ago"), coarser
+                # halves silently drop (O3)
+                if anchor_dt is None or unit not in ("hour", "minute"):
+                    return None
+                if unit == "hour":
+                    return (anchor_dt - dt.timedelta(minutes=30)).strftime(
+                        "%Y-%m-%dT%H:%M"
+                    )
+                return (anchor_dt - dt.timedelta(seconds=30)).strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                )
+            # bare fraction: the half of the next finer unit where that
+            # stays integral (the frac_period convention)
+            return {"minute": "PT30S", "hour": "PT30M", "day": "PT12H",
+                    "week": "P0.5W", "month": "P15D", "year": "P6M"}[unit]
         if kind == "span_set":
             m = re.match(
                 rf"(?:each|every)\s+((?:{_MONTH_FULL_ALT})|(?:{_WEEKDAY_ALT}))",
@@ -1595,7 +1674,7 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
         if kind in ("ago", "in_n"):
             m = re.match(
                 rf"(?:in\s+)?({_NUM_ALT}|{_VAGUE_ALT})\s+"
-                r"(days?|weeks?|months?|years?|decades?|century|centuries)(?:\s+ago)?",
+                r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?|decades?|century|centuries)(?:\s+ago)?",
                 s,
                 re.I,
             )
@@ -1608,6 +1687,18 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
                 return None
             sign = -1 if kind == "ago" else 1
             unit = m.group(2).lower().rstrip("s")
+            if unit in ("hour", "minute", "second"):
+                # MoveEarlier/MoveLater on the FULL timestamp, value
+                # truncated to the period's granularity (timenorm
+                # convention); date-only anchors silently drop (O3)
+                if anchor_dt is None:
+                    return None
+                shifted = anchor_dt + dt.timedelta(
+                    **{unit + "s": sign * n}
+                )
+                fmt = {"hour": "%Y-%m-%dT%H", "minute": "%Y-%m-%dT%H:%M",
+                       "second": "%Y-%m-%dT%H:%M:%S"}[unit]
+                return shifted.strftime(fmt)
             if unit == "day":
                 return _fmt_day(anchor + dt.timedelta(days=sign * n))
             if unit == "week":
@@ -1732,6 +1823,12 @@ def normalize_timex(surface: str, kind: str, anchor: Optional[dt.date]) -> Optio
             else:
                 h24 = 0 if hour == 12 else hour
             return f"{anchor.isoformat()}T{h24:02d}:{minute:02d}"
+        if kind == "clock_24h":
+            m = re.match(r"(?:at\s+)?(\d{1,2}):(\d{2})(?::(\d{2}))?", s)
+            val = f"{anchor.isoformat()}T{int(m.group(1)):02d}:{m.group(2)}"
+            if m.group(3):
+                val += f":{m.group(3)}"
+            return val
         if kind == "month_rel_year":
             # "January last year" (en.grammar:416,434)
             m = re.match(
@@ -2058,7 +2155,10 @@ _DECADE_VAL_RE = re.compile(r"^(\d{3})X$")
 _CENTURY_VAL_RE = re.compile(r"^(\d{2})$")
 _WEEKEND_VAL_RE = re.compile(r"^(\d{4})-W(\d{2})-WE$")
 _TOD_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(MO|AF|EV|NI)$")
-_CLOCK_VAL_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2})$")
+# hour / minute / second clock granularities all live inside their day
+_CLOCK_VAL_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2})(?::(\d{2})(?::(\d{2}))?)?$"
+)
 
 
 def timeml_interval(value: str) -> Optional[Tuple[dt.date, dt.date]]:

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from itertools import chain
 
-from kgpipe.annotate import anchor_for
+from kgpipe.annotate import anchor_for, full_anchor_for
 from kgpipe.config import LABEL_TO_INVERTED_LABEL, PipelineConfig
 from kgpipe.score import (
     confidence_score,
@@ -62,6 +62,7 @@ def process_turn(conv_id, turn_idx, role, tool, ts, text, gazetteer, blacklist, 
     text = text or ""
     note = f"{conv_id}_{turn_idx}"
     anchor = anchor_for(ts, text)
+    anchor_full = full_anchor_for(ts, anchor)
     rows = []
 
     def emit(subj, pred, obj, subj_text=None, obj_text=None, instance=None):
@@ -111,7 +112,7 @@ def process_turn(conv_id, turn_idx, role, tool, ts, text, gazetteer, blacklist, 
     # F5: relevant timexes
     relevant_timexes = []
     for t in detect_timexes(text):
-        normed = normalize_timex(t["surface"], t["kind"], anchor)
+        normed = normalize_timex(t["surface"], t["kind"], anchor_full)
         if normed is not None:
             t = dict(t, normed=normed)
             relevant_timexes.append(t)

@@ -968,3 +968,61 @@ def test_round6_wrong_value_guards():
     assert normalize_timex("the year 2020", "unit_of", None) == "2020"
     assert normalize_timex("part of 2020", "mod_in_span", None) == "2020"
     assert normalize_timex("earlier in the week", "mod_in_span", None) is None
+
+
+@pytest.mark.parametrize(
+    "surface,anchor,expected,kind",
+    [
+        # sub-day MoveEarlier/MoveLater on the FULL timestamp, value
+        # truncated to the period's granularity (en.grammar:83-85,95-97)
+        ("three hours ago", dt.datetime(2024, 3, 15, 10, 30, 45),
+         "2024-03-15T07", "ago"),
+        ("in 20 minutes", dt.datetime(2024, 3, 15, 10, 30, 45),
+         "2024-03-15T10:50", "in_n"),
+        ("twelve hours ago", dt.datetime(2024, 3, 15, 1, 30, 0),
+         "2024-03-14T13", "ago"),  # crosses midnight
+        ("half an hour ago", dt.datetime(2024, 3, 15, 10, 30, 45),
+         "2024-03-15T10:00", "half_unit"),
+        # bare 24h clock needs only the anchor DAY (en.grammar:214)
+        ("at 19:30", dt.date(2024, 3, 15), "2024-03-15T19:30", "clock_24h"),
+        ("09:15:30", dt.date(2024, 3, 15), "2024-03-15T09:15:30", "clock_24h"),
+        # sub-day periods carry the ISO time designator
+        ("every two hours", dt.date(2024, 3, 15), "PT2H", "period_set"),
+        ("hourly", dt.date(2024, 3, 15), "PT1H", "period_set"),
+        ("two and a half hours", dt.date(2024, 3, 15), "PT150M", "frac_period"),
+        ("half a day", dt.date(2024, 3, 15), "PT12H", "half_unit"),
+    ],
+)
+def test_subday_values(surface, anchor, expected, kind):
+    det = detect_timexes(surface)
+    assert len(det) == 1 and det[0]["kind"] == kind, det
+    assert normalize_timex(det[0]["surface"], det[0]["kind"], anchor) == expected
+
+
+def test_subday_date_only_anchor_drops():
+    # a date-only anchor (header-scan fallback) cannot place a sub-day
+    # offset -> silent drop (O3); calendar kinds are UNCHANGED by a
+    # datetime anchor (date part only)
+    d, full = dt.date(2024, 3, 15), dt.datetime(2024, 3, 15, 10, 30)
+    assert normalize_timex("three hours ago", "ago", d) is None
+    assert normalize_timex("half an hour ago", "half_unit", d) is None
+    assert normalize_timex("two days ago", "ago", full) == \
+        normalize_timex("two days ago", "ago", d) == "2024-03-13"
+    assert normalize_timex("last friday", "rel_weekday", full) == \
+        normalize_timex("last friday", "rel_weekday", d)
+
+
+def test_clock_24h_no_false_positives():
+    for text in ("the score was 16:9", "odds of 2:1", "ratio 3:2",
+                 "verse 24:60", "id 99:99"):
+        assert detect_timexes(text) == [], text
+    # am/pm continuations stay with the 12h clock kind
+    assert detect_timexes("at 10:30 am")[0]["kind"] == "clock_time"
+
+
+def test_subday_interval_is_its_day():
+    assert timeml_interval("2024-03-15T07") == \
+        (dt.date(2024, 3, 15), dt.date(2024, 3, 15))
+    assert timeml_interval("2024-03-15T10:30:45") == \
+        (dt.date(2024, 3, 15), dt.date(2024, 3, 15))
+    assert timeml_interval("PT2H") is None

@@ -38,7 +38,14 @@ def load_gold(path: str):
             if not line or line.startswith("#"):
                 continue
             surface, anchor, value = line.split("\t")
-            rows.append((surface, dt.date.fromisoformat(anchor), value or None))
+            # a "T" in the anchor marks a FULL timestamp (sub-day kinds
+            # normalize against the turn's time of day)
+            parsed = (
+                dt.datetime.fromisoformat(anchor)
+                if "T" in anchor
+                else dt.date.fromisoformat(anchor)
+            )
+            rows.append((surface, parsed, value or None))
     return rows
 
 
