@@ -1250,8 +1250,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     kg_running_counts / kg_triangles rotated out in round 4);
     # (b) then every query whose OUTPUT changed this round — the
     #     timex-cycle extension (event_id % 34, four sub-day kinds on the
-    #     full timestamp) reflows ALL transcript-derived results (kg_*
-    #     incl. streaming, materialize, eval and graph rollups);
+    #     full timestamp) reflows every result embedding turn text, timex
+    #     values or tlink labels (incl. streaming, materialize and eval);
+    #     mention-derived graph rollups (pagerank, components,
+    #     degree_histogram, ...) are UNCHANGED by the cycle — the window
+    #     retains most of them, and degree_histogram stays in the tail on
+    #     replica-report strength like the rest;
     # (c) the tail sits below the window: the 8 document/embedding-table
     #     ops driver-verified in round 4 (outputs untouched this round —
     #     sim_quantize's subnormal guard changed both engines in lockstep

@@ -131,15 +131,18 @@ def main() -> int:
     # manifest scaling: the compactor's only driver-side state is the
     # compactions manifest (one row per (generation, source), one FILE per
     # generation — each run's commit point is a coalesce(1) append).
-    # Synthesize a 1000-generation manifest with the same file layout
-    # (repartition by generation -> one single-row-group file each) and
-    # time the exact driver-side reads the maintenance path performs:
-    # the manifest scan + distinct source/target collect.
+    # Synthesize a 1000-generation manifest with the PRODUCTION file
+    # layout — one file per generation (each real run's commit point is a
+    # coalesce(1) append): one writer task, rows sorted by generation,
+    # maxRecordsPerFile = the per-generation row count, so file boundaries
+    # land exactly on generation boundaries. Then time the exact
+    # driver-side reads the maintenance path performs: the manifest scan
+    # + distinct source/target collects.
     # ------------------------------------------------------------------
-    gens = 1000
+    gens, srcs_per = 1000, 16
     man_dir = f"{base}/manifest_scale/compactions"
     (
-        spark.range(gens * 16)
+        spark.range(gens * srcs_per)
         .select(
             F.concat(F.lit("compact-"), (F.col("id") % gens).cast("string"))
             .alias("target_sid"),
@@ -147,8 +150,16 @@ def main() -> int:
             .alias("source_sid"),
             F.lit(None).cast("timestamp").alias("completed_at"),
         )
-        .repartition(gens, "target_sid")
-        .write.parquet(man_dir)
+        .coalesce(1)
+        .sortWithinPartitions("target_sid")
+        .write.option("maxRecordsPerFile", srcs_per)
+        .parquet(man_dir)
+    )
+    import glob
+
+    n_man_files = len(glob.glob(f"{man_dir}/*.parquet"))
+    assert n_man_files == gens, (
+        f"expected one manifest file per generation, got {n_man_files}"
     )
     scale_sink = TableSink(spark, out_dir=f"{base}/manifest_scale",
                            table_prefix=None)
@@ -159,7 +170,7 @@ def main() -> int:
     man_sources = {r.source_sid for r in man.select("source_sid").distinct().collect()}
     man_targets = {r.target_sid for r in man.select("target_sid").distinct().collect()}
     manifest_read_sec = time.monotonic() - t0
-    assert len(man_targets) == gens and len(man_sources) == gens * 16
+    assert len(man_targets) == gens and len(man_sources) == gens * srcs_per
 
     assert (n_before, h_before) == (n_after, h_after), "reader view changed!"
     assert dirs_after == 1, dirs_after
@@ -180,8 +191,8 @@ def main() -> int:
         "fold_sec": round(fold_sec, 2),
         "noop_rerun_sec": round(noop_sec, 2),
         "manifest_generations": gens,
-        "manifest_rows": gens * 16,
-        "manifest_files": gens,
+        "manifest_rows": gens * srcs_per,
+        "manifest_files": n_man_files,
         "manifest_read_sec": round(manifest_read_sec, 2),
     }
     with open(args.out, "w") as f:

@@ -531,6 +531,12 @@ def main() -> int:
         assert count(r"Join", p) == 0, (
             f"no-manifest fold path must not join:\n{p}"
         )
+        # the snapshot-id filter must PRUNE partitions at the scan (the
+        # predicate appears in PartitionFilters), not post-filter rows —
+        # pruning is what keeps committed compact-* generations unread
+        assert re.search(r"PartitionFilters: \[[^\]]*source_snapshot_id", p), (
+            f"expected the snapshot-id predicate in PartitionFilters:\n{p}"
+        )
         sections.append((
             "snapshot-compaction fold (compact_snapshots data job)",
             p,
@@ -544,10 +550,6 @@ def main() -> int:
              "generation (measured: 1000-generation manifest read in "
              "reports/compaction_evidence.json)"],
         ))
-        # the partition filter must PRUNE, not post-filter: the pushed
-        # predicate on the partition column shows in the scan node
-        assert "source_snapshot_id" in p.split("Scan parquet")[-1] or \
-            "PartitionFilters" in p, f"expected partition pruning:\n{p}"
     finally:
         shutil.rmtree(_tmp, ignore_errors=True)
 
