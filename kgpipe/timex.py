@@ -716,12 +716,15 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # phrase), and without the guard the fragment would mis-value as the
     # anchor-relative previous quarter — the bare year inside the phrase
     # still detects on its own
+    # "hour" joins the unit set (en.grammar:83 — Units flow through the
+    # FindEnclosing last/next/this rules): "the last hour" = the hour
+    # before the anchor's, on the FULL timestamp (date-only anchors drop)
     (
         "rel_unit",
         re.compile(
             r"\b(?:the\s+)?(last|next|this|following|preceding|coming|past"
             r"|previous|current|latest|that)\s+"
-            r"(day|week|month|year|quarter)\b"
+            r"(hour|day|week|month|year|quarter)\b"
             r"(?!\s+of\s+\d{4})",
             re.I,
         ),
@@ -1651,7 +1654,7 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             m = re.match(
                 r"(?:the\s+)?(last|next|this|following|preceding|coming|past"
                 r"|previous|current|latest|that)\s+"
-                r"(day|week|month|year|quarter)",
+                r"(hour|day|week|month|year|quarter)",
                 s, re.I,
             )
             direction = {
@@ -1660,6 +1663,13 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 "previous": -1, "current": 0, "latest": -1, "that": 0,
             }[m.group(1).lower()]
             unit = m.group(2).lower()
+            if unit == "hour":
+                # sub-day enclosing unit: needs the full timestamp
+                if anchor_dt is None:
+                    return None
+                return (anchor_dt + dt.timedelta(hours=direction)).strftime(
+                    "%Y-%m-%dT%H"
+                )
             if unit == "day":
                 return _fmt_day(anchor + dt.timedelta(days=direction))
             if unit == "week":
