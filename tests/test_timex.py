@@ -398,6 +398,38 @@ def test_detect_normalize_total_on_arbitrary_text(s):
         assert s[d["begin"]:d["end"]] == d["surface"]
         normalize_timex(d["surface"], d["kind"], ANCHOR)  # None ok, raise not
         normalize_timex(d["surface"], d["kind"], None)
+        # datetime anchors (the sub-day kinds' path) must be total too
+        normalize_timex(
+            d["surface"], d["kind"], dt.datetime(2024, 3, 15, 10, 30, 45)
+        )
+
+
+# bias the fuzz toward timex-shaped fragments (clocks, units, counts) so
+# the sweep/normalizer actually exercises pattern interactions, not just
+# unicode noise
+_TIMEXISH = st.lists(
+    st.sampled_from(
+        "19:30 3:16 99:99 16:9 am pm at in ago earlier half an a hour hours "
+        "minute minutes seconds day days week weeks month months year years "
+        "quarter q3 every each other hourly daily three twenty 20 5 2024 "
+        "june march monday the last next this past first and so up to of "
+        "period recent few couple times twice".split()
+    ),
+    min_size=1, max_size=12,
+).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TIMEXISH)
+def test_detect_normalize_total_on_timexish_text(s):
+    spans = detect_timexes(s)
+    prev_end = -1
+    for d in sorted(spans, key=lambda x: x["begin"]):
+        assert 0 <= d["begin"] < d["end"] <= len(s)
+        assert d["begin"] >= prev_end, "overlapping spans"
+        prev_end = d["end"]
+        for anchor in (ANCHOR, None, dt.datetime(2024, 3, 15, 10, 30, 45)):
+            normalize_timex(d["surface"], d["kind"], anchor)
 
 
 @pytest.mark.parametrize(
