@@ -153,13 +153,14 @@ def run_default() -> None:
         # machine.
         "scaling_reference": {
             "measured_by_this_run": False,
-            # round-4 measurement (earlier rounds tabled in BASELINE.md)
-            "efficiency_4_to_16_cores": 0.909,
+            # round-6 measurement (earlier rounds tabled in BASELINE.md)
+            "efficiency_4_to_16_cores": 0.851,
+            "efficiency_4_to_16_cores_round4": 0.909,
             "efficiency_4_to_16_cores_round3": 0.937,
             "efficiency_4_to_16_cores_round2": 0.906,
             "efficiency_4_to_16_cores_round1": 0.881,
-            "turns_per_sec_local4": 8833,
-            "turns_per_sec_local16": 32131,
+            "turns_per_sec_local4": 7085,
+            "turns_per_sec_local16": 24127,
             "measured_on": "2026-08-17 sandbox",
             "reproduce": "python bench.py --scaling",
         },
