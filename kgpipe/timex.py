@@ -906,7 +906,77 @@ for _kind, _quick in _QUICK_KEYS.items():
 _QUICK_SETS = {
     k: frozenset(v) for k, v in _QUICK_KEYS.items() if v != "digit"
 }
-_QUICK_SUBSTRINGS = tuple(sorted(set().union(*_QUICK_SETS.values())))
+
+# Second-level prefilters (AND semantics): these patterns require a word
+# from their _QUICK_KEYS set AND one from this set — e.g. rel_unit needs
+# a rel word ("last", common) AND a unit word; partial_rel_unit needs
+# this/last/next AND a weekday/quarter/season word. The first-level keys
+# alone are everyday words, so the conjunction skips the regex on most
+# texts. Same single-word invariant as _QUICK_KEYS; each entry is a
+# NECESSARY condition (every alternative of the pattern contains one).
+_UNIT_KEYS = ("hour", "day", "week", "month", "year", "quarter")
+_WEEKDAY_KEYS = tuple(_WEEKDAYS)
+_SEASON_KEYS = ("spring", "summer", "fall", "autumn", "winter")
+_QUICK_KEYS2 = {
+    "rel_unit": _UNIT_KEYS,
+    "partial_rel_unit": (
+        _WEEKDAY_KEYS + ("quarter", "q1", "q2", "q3", "q4") + _SEASON_KEYS
+    ),
+    "unit_enclosing": ("ago", "last", "this", "next"),
+    "mod_in_span": ("week", "month", "year", "quarter", "19", "20"),
+    "tod_rel_day": ("morning", "afternoon", "evening", "night"),
+    "ago_partial": ("year", "years"),
+    "weekday_tod": _WEEKDAY_KEYS,
+    "weekday_tod_set": _WEEKDAY_KEYS,
+    "rel_weekday": _WEEKDAY_KEYS,
+    "month_rel_year": _MONTH_QUICK,
+    "day_offset": ("before", "after"),
+    "period_offset_date": ("day", "week", "month", "year"),
+    "first_period": ("minute", "hour", "day", "week", "month", "year"),
+    "period_phrase": ("minute", "hour", "day", "week", "month", "year"),
+    "freq_set": ("minute", "hour", "day", "week", "month", "year"),
+    "week_of": ("of",),
+    "unit_of": ("of", "year"),
+    "tod_of_date": ("of",),
+    "bound_unit": ("of", "end"),
+    "suffix_modified": ("19", "20"),
+    "season_set": (
+        "every", "each", "past", "summers", "autumns", "winters",
+        "springs", "falls", "quarters",
+    ),
+    "vague_period": (
+        "minute", "hour", "day", "week", "month", "year",
+    ),
+    # "in" / "so" / "every" are everywhere; the unit word is the
+    # discriminating conjunct ("centur" covers century/centuries)
+    "in_n": (
+        "second", "minute", "hour", "day", "week", "month", "year",
+        "decade", "centur",
+    ),
+    "period_approx": (
+        "minute", "hour", "day", "week", "month", "year",
+    ),
+    "period_set": (
+        "other", "second", "minute", "hour", "day", "week", "month",
+        "year", "hourly", "daily", "weekly", "monthly", "quarterly",
+        "yearly", "annually",
+    ),
+    "span_set": _MONTH_QUICK + _WEEKDAY_KEYS,
+    "modified": _MONTH_QUICK + (
+        "0s", "19", "20", "spring", "summer", "fall", "autumn", "winter",
+        "last", "next", "this",
+    ),
+}
+for _kind, _quick in _QUICK_KEYS2.items():
+    assert _kind in _QUICK_KEYS, _kind
+    for _k in _quick:
+        assert " " not in _k, (
+            f"multi-word second-level quick key {_k!r} for {_kind}"
+        )
+_QUICK_SETS2 = {k: frozenset(v) for k, v in _QUICK_KEYS2.items()}
+_QUICK_SUBSTRINGS = tuple(sorted(
+    set().union(*_QUICK_SETS.values()) | set().union(*_QUICK_SETS2.values())
+))
 
 
 # Patterns whose every match contains at least one digit AND extends at most
@@ -970,6 +1040,9 @@ def detect_timexes(text: str):
             if not has_digit:
                 continue
         elif quick is not None and present.isdisjoint(_QUICK_SETS[kind]):
+            continue
+        quick2 = _QUICK_SETS2.get(kind)
+        if quick2 is not None and present.isdisjoint(quick2):
             continue
         if has_digit and kind in _DIGIT_BOUNDED:
             for m in pat.finditer(region):
