@@ -219,10 +219,13 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # "half an [Unit]" — the bare-half fraction; with a trailing ago/earlier
     # the sub-day forms are anchored MoveEarlier on the full timestamp
     # ("half an hour ago" -> the minute 30 minutes before the turn)
+    # "in half an hour" is the MoveLater form; "a half hour" is the
+    # inverted article phrasing ([Nil] dash accepted: "a half-hour")
     (
         "half_unit",
         re.compile(
-            r"\bhalf\s+an?\s+(minute|hour|day|week|month|year)"
+            r"\b(?:(in)\s+)?(?:half\s+an?|an?\s+half)[\s-]+"
+            r"(minute|hour|day|week|month|year)"
             r"(\s+(?:ago|earlier))?\b",
             re.I,
         ),
@@ -261,6 +264,16 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         re.compile(
             rf"\bin\s+({_NUM_ALT}|{_VAGUE_ALT})\s+(seconds?|minutes?|hours?|days?|weeks?|months?|years?|decades?|century|centuries)\b"
             r"(?!\s+and\s+a\s+half\b)",
+            re.I,
+        ),
+    ),
+    # "[Period] from now" — the MoveLater mirror of "[Period] ago"
+    # (en.grammar:407-412 synonym family): "30 minutes from now",
+    # "an hour from now" -> in_n semantics on the full timestamp
+    (
+        "from_now",
+        re.compile(
+            rf"\b({_NUM_ALT}|{_VAGUE_ALT})\s+(seconds?|minutes?|hours?|days?|weeks?|months?|years?|decades?|century|centuries)\s+from\s+now\b",
             re.I,
         ),
     ),
@@ -326,11 +339,15 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # the month-day inner's year is optional (en.grammar:465 "the week of
     # March 6"): year-less inners resolve via the month_day W7 route first,
     # then take the enclosing ISO week
+    # holiday inners ("the week of christmas [2020]") resolve the W7 /
+    # pinned holiday day first, then take its enclosing ISO week
     (
         "week_of",
         re.compile(
             rf"\b(?:the\s+)?week\s+of\s+(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:\s*,?\s+\d{{4}})?"
-            rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}})\b",
+            rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
+            r"|(?:christmas|xmas|thanksgiving|halloween|easter(?:\s+sunday)?"
+            r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?)\b",
             re.I,
         ),
     ),
@@ -823,6 +840,7 @@ _QUICK_KEYS = {
     "noon_midnight": ("noon", "midday", "midnight"),
     "clock_24h": (":",),
     "half_unit": ("half",),
+    "from_now": ("now",),
     # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
     # extends 3 words left of its first digit
     "quarter_year": ("quarter", "q1", "q2", "q3", "q4"),
@@ -950,6 +968,10 @@ _QUICK_KEYS2 = {
     # "in" / "so" / "every" are everywhere; the unit word is the
     # discriminating conjunct ("centur" covers century/centuries)
     "in_n": (
+        "second", "minute", "hour", "day", "week", "month", "year",
+        "decade", "centur",
+    ),
+    "from_now": (
         "second", "minute", "hour", "day", "week", "month", "year",
         "decade", "centur",
     ),
@@ -1343,6 +1365,29 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
         if kind == "week_of":
             inner = _parse_inner_date(s)
             if inner is None:
+                hol = re.search(
+                    r"(christmas|xmas|thanksgiving|halloween"
+                    r"|easter(?:\s+sunday)?"
+                    r"|new\s+year'?s?(?:\s+day)?)(?:\s+(\d{4}))?$",
+                    s, re.I,
+                )
+                if hol:
+                    name = re.sub(r"\s+", " ", hol.group(1).lower())
+                    if name.startswith("easter"):
+                        name = "easter"
+                    if hol.group(2):
+                        return _fmt_week(_holiday_date(name, int(hol.group(2))))
+                    if anchor is None:
+                        return None
+                    parses = [
+                        TimexParse(_fmt_day(d), True, d, False)
+                        for y in (anchor.year - 1, anchor.year, anchor.year + 1)
+                        for d in (_holiday_date(name, y),)
+                    ]
+                    return _fmt_week(dt.date.fromisoformat(
+                        rank_parses(parses, anchor)[0].value
+                    ))
+            if inner is None:
                 # year-less month-day inner: the month_day W7 route
                 # (three candidate years, nearest day, invalid dates drop),
                 # then the enclosing ISO week
@@ -1495,24 +1540,26 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             return f"P{n}.5{unit[0].upper()}"
         if kind == "half_unit":
             m = re.match(
-                r"half\s+an?\s+(minute|hour|day|week|month|year)"
+                r"(?:(in)\s+)?(?:half\s+an?|an?\s+half)[\s-]+"
+                r"(minute|hour|day|week|month|year)"
                 r"(\s+(?:ago|earlier))?",
                 s, re.I,
             )
-            unit = m.group(1).lower()
-            if m.group(2):
-                # anchored MoveEarlier on the FULL timestamp; only the
-                # sub-day halves compute ("half an hour ago"), coarser
-                # halves silently drop (O3)
+            unit = m.group(2).lower()
+            if m.group(1) or m.group(3):
+                # anchored MoveEarlier/MoveLater on the FULL timestamp;
+                # only the sub-day halves compute ("half an hour ago",
+                # "in half an hour"), coarser halves silently drop (O3)
                 if anchor_dt is None or unit not in ("hour", "minute"):
                     return None
+                sign = 1 if m.group(1) else -1
                 if unit == "hour":
-                    return (anchor_dt - dt.timedelta(minutes=30)).strftime(
-                        "%Y-%m-%dT%H:%M"
-                    )
-                return (anchor_dt - dt.timedelta(seconds=30)).strftime(
-                    "%Y-%m-%dT%H:%M:%S"
-                )
+                    return (
+                        anchor_dt + sign * dt.timedelta(minutes=30)
+                    ).strftime("%Y-%m-%dT%H:%M")
+                return (
+                    anchor_dt + sign * dt.timedelta(seconds=30)
+                ).strftime("%Y-%m-%dT%H:%M:%S")
             # bare fraction: the half of the next finer unit where that
             # stays integral (the frac_period convention)
             return {"minute": "PT30S", "hour": "PT30M", "day": "PT12H",
@@ -1754,7 +1801,7 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 qi = (anchor.year * 4) + (anchor.month - 1) // 3 + direction
                 return f"{qi // 4:04d}-Q{qi % 4 + 1}"
             return f"{anchor.year + direction:04d}"
-        if kind in ("ago", "in_n"):
+        if kind in ("ago", "in_n", "from_now"):
             m = re.match(
                 rf"(?:in\s+)?({_NUM_ALT}|{_VAGUE_ALT})\s+"
                 r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?|decades?|century|centuries)(?:\s+ago)?",
@@ -1768,7 +1815,7 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 if re.fullmatch(_VAGUE_ALT, m.group(1), re.I):
                     return "PAST_REF" if kind == "ago" else "FUTURE_REF"
                 return None
-            sign = -1 if kind == "ago" else 1
+            sign = -1 if kind == "ago" else 1  # in_n / from_now move later
             unit = m.group(2).lower().rstrip("s")
             if unit in ("hour", "minute", "second"):
                 # MoveEarlier/MoveLater on the FULL timestamp, value
