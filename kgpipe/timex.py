@@ -771,7 +771,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         # pattern's "in" — earliest-begin would otherwise suppress it).
         re.compile(
             r"\b(recently|previously|formerly"
-            r"|in\s+the\s+past\b(?!\s+(?:day|week|month|year|quarter)\b)"
+            r"|in\s+the\s+past\b(?!\s+(?:hour|day|week|month|year|quarter)\b)"
             r"(?!\s+(?:few|several|couple)\b))\b",
             re.I,
         ),
@@ -1546,6 +1546,10 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 s, re.I,
             )
             unit = m.group(2).lower()
+            if m.group(1) and m.group(3):
+                # contradictory fusion ("in half an hour ago") — drop
+                # rather than emit a confidently wrong direction (O3)
+                return None
             if m.group(1) or m.group(3):
                 # anchored MoveEarlier/MoveLater on the FULL timestamp;
                 # only the sub-day halves compute ("half an hour ago",
