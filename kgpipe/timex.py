@@ -595,6 +595,19 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # modified bare part-of-day (en.grammar:486-490 early/late/mid over
+    # the PartOfDay PartialTime, en.grammar:121-125,242): "mid-morning",
+    # "late afternoon" -> the anchor day's part, mod dropped. The
+    # modifier is REQUIRED (a bare "morning" in conversation is too
+    # ambiguous; the dated/relative forms have their own kinds)
+    (
+        "mod_tod",
+        re.compile(
+            r"\b(?:early|mid|late)[\s-]+"
+            r"(morning|afternoon|evening|night)\b",
+            re.I,
+        ),
+    ),
     # "[PartOfDay] [TimeSpan]" FindEnclosed (en.grammar:471):
     # "mid-afternoon yesterday" -> 2024-03-13TAF — the part of day INSIDE
     # the relative day; an early/mid/late prefix widens the span and
@@ -850,6 +863,7 @@ _QUICK_KEYS = {
     "unit_enclosing": ("week", "month", "quarter", "period"),
     "mod_in_span": ("earlier", "later", "part"),
     "tod_rel_day": ("yesterday", "today", "tomorrow"),
+    "mod_tod": ("morning", "afternoon", "evening", "night"),
     "weekday_tod": ("morning", "afternoon", "evening", "night"),
     "partial_rel_unit": ("this", "last", "next"),
     "season_set": (
@@ -943,6 +957,7 @@ _QUICK_KEYS2 = {
     "unit_enclosing": ("ago", "last", "this", "next"),
     "mod_in_span": ("week", "month", "year", "quarter", "19", "20"),
     "tod_rel_day": ("morning", "afternoon", "evening", "night"),
+    "mod_tod": ("early", "mid", "late"),
     "ago_partial": ("year", "years"),
     "weekday_tod": _WEEKDAY_KEYS,
     "weekday_tod_set": _WEEKDAY_KEYS,
@@ -1925,6 +1940,11 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             if outer == "month":
                 return _fmt_month(start.year, start.month)
             return f"{start.year:04d}-Q{(start.month - 1) // 3 + 1}"
+        if kind == "mod_tod":
+            m = re.search(r"(morning|afternoon|evening|night)", s, re.I)
+            part = {"morning": "MO", "afternoon": "AF",
+                    "evening": "EV", "night": "NI"}[m.group(1).lower()]
+            return f"{anchor.isoformat()}T{part}"
         if kind == "tod_rel_day":
             m = re.match(
                 r"(?:(?:early|mid|late)[\s-]+)?"
