@@ -103,6 +103,26 @@ _NUM_ALT = (
 # and the ago/in_n context extensions
 _VAGUE_ALT = r"(?:a\s+)?few|several"
 
+# date and clock sub-alternations for the "[TimeSpan] at [Time]"
+# composition ("tomorrow at 19:30", "at noon on friday"): the date side
+# is the closed set of day-valued kinds, the clock side the closed set
+# of clock-valued ones
+_DATE_AT_ALT = (
+    r"(?:the\s+)?day\s+(?:before|after)\s+(?:yesterday|tomorrow)"
+    r"|(?:this|tomorrow|yesterday)\s+(?:morning|afternoon|evening)"
+    r"|(?:last|tomorrow|yesterday)\s+night|tonight"
+    r"|yesterday|today|tomorrow"
+    rf"|(?:last|next|this|coming|following|preceding|past|previous)\s+(?:{_WEEKDAY_ALT})"
+    rf"|(?:{_WEEKDAY_ALT})"
+    rf"|(?:{_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
+    r"|\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}"
+)
+_CLOCK_AT_ALT = (
+    r"\d{1,2}(?::[0-5]\d)?\s*[ap]\.?m\.?"
+    r"|(?:[01]?\d|2[0-3]):[0-5]\d(?::[0-5]\d)?"
+    r"|noon|midday|midnight"
+)
+
 # Ordered battery; longest-span-wins resolution across patterns.
 TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ("iso_date", re.compile(r"\b\d{4}-\d{2}-\d{2}\b")),
@@ -283,6 +303,20 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "day_offset",
         re.compile(
             r"\b(?:the\s+)?day\s+(before|after)\s+(yesterday|tomorrow)\b", re.I
+        ),
+    ),
+    # "[TimeSpan] at [Time]" / "at [Time] (on) [TimeSpan]" — the date+
+    # clock composition ("tomorrow at 19:30", "at noon on friday",
+    # "march 5 at noon"): ONE timex, the resolved day + the clock value.
+    # Without it the clock fragment would mis-anchor to the TURN's day —
+    # the same wrong-value-fragment class as the round-5 verdict's
+    # quarter cases
+    (
+        "date_at_time",
+        re.compile(
+            rf"\b(?:({_DATE_AT_ALT})\s+at\s+({_CLOCK_AT_ALT})"
+            rf"|at\s+({_CLOCK_AT_ALT})\s+(?:on\s+)?({_DATE_AT_ALT}))\b",
+            re.I,
         ),
     ),
     # clock times — "3 pm", "10:30 am", "at 7:45pm" -> YYYY-MM-DDTHH:MM
@@ -852,6 +886,9 @@ _QUICK_KEYS = {
     "clock_time": ("am", "pm", "a.m", "p.m"),
     "noon_midnight": ("noon", "midday", "midnight"),
     "clock_24h": (":",),
+    "date_at_time": (
+        "am", "pm", "a.m", "p.m", ":", "noon", "midday", "midnight",
+    ),
     "half_unit": ("half",),
     "from_now": ("now",),
     # NB: quarter_year is NOT digit-region-bounded — "first quarter of 2021"
@@ -958,6 +995,11 @@ _QUICK_KEYS2 = {
     "mod_in_span": ("week", "month", "year", "quarter", "19", "20"),
     "tod_rel_day": ("morning", "afternoon", "evening", "night"),
     "mod_tod": ("early", "mid", "late"),
+    "date_at_time": (
+        ("yesterday", "today", "tomorrow", "tonight", "night", "morning",
+         "afternoon", "evening", "day", "/", "-")
+        + _WEEKDAY_KEYS + _MONTH_QUICK
+    ),
     "ago_partial": ("year", "years"),
     "weekday_tod": _WEEKDAY_KEYS,
     "weekday_tod_set": _WEEKDAY_KEYS,
@@ -1159,6 +1201,31 @@ def _period_value(n, unit: str) -> str:
     if u in ("hour", "minute", "second"):
         return f"PT{n}{u[0].upper()}"
     return f"P{n}{u[0].upper()}"
+
+
+def _clock_hm(txt: str) -> Optional[str]:
+    """Clock fragment -> "HH:MM[:SS]" (24h); None if invalid (12h hour
+    outside 1-12 etc. — the clock_time validation rules)."""
+    t = txt.lower().strip()
+    if t in ("noon", "midday"):
+        return "12:00"
+    if t == "midnight":
+        return "00:00"
+    m = re.fullmatch(r"(\d{1,2})(?::(\d{2}))?\s*([ap])\.?m\.?", t)
+    if m:
+        hour, minute = int(m.group(1)), int(m.group(2) or 0)
+        if not (1 <= hour <= 12) or minute > 59:
+            return None
+        if m.group(3) == "p":
+            h24 = 12 if hour == 12 else hour + 12
+        else:
+            h24 = 0 if hour == 12 else hour
+        return f"{h24:02d}:{minute:02d}"
+    m = re.fullmatch(r"(\d{1,2}):(\d{2})(?::(\d{2}))?", t)
+    if m:
+        hm = f"{int(m.group(1)):02d}:{m.group(2)}"
+        return hm + (f":{m.group(3)}" if m.group(3) else "")
+    return None
 
 
 def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
@@ -1733,6 +1800,33 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 )
             # bare-month inner: W7 nearest month start, as in 'modified'
             return _bare_month_w7(inner_txt, anchor)
+        if kind == "date_at_time":
+            m = re.match(
+                rf"(?:({_DATE_AT_ALT})\s+at\s+({_CLOCK_AT_ALT})"
+                rf"|at\s+({_CLOCK_AT_ALT})\s+(?:on\s+)?({_DATE_AT_ALT}))$",
+                s, re.I,
+            )
+            if m.group(1):
+                date_txt, clock_txt = m.group(1), m.group(2)
+            else:
+                date_txt, clock_txt = m.group(4), m.group(3)
+            det = detect_timexes(date_txt)
+            if not det:
+                return None
+            dval = normalize_timex(
+                det[0]["surface"], det[0]["kind"], anchor_dt or anchor
+            )
+            if dval is None:
+                return None
+            # a TOD-valued inner ("tomorrow morning") contributes its DAY;
+            # the clock is the finer granularity
+            day = dval.split("T")[0]
+            if not _DAY_VAL_RE.match(day):
+                return None
+            hm = _clock_hm(clock_txt)
+            if hm is None:
+                return None
+            return f"{day}T{hm}"
         if kind == "unit_of":
             m = re.match(
                 rf"(?:the\s+)?(?:month\s+of\s+({_MONTH_FULL_ALT})"

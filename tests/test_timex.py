@@ -1058,3 +1058,31 @@ def test_subday_interval_is_its_day():
     assert timeml_interval("2024-03-15T10:30:45") == \
         (dt.date(2024, 3, 15), dt.date(2024, 3, 15))
     assert timeml_interval("PT2H") is None
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # "[TimeSpan] at [Time]" composition: ONE timex, the resolved
+        # day + the clock — without it the clock fragment mis-anchors
+        # to the turn's day
+        ("tomorrow at 19:30", "2024-03-16T19:30"),
+        ("yesterday at 3 pm", "2024-03-14T15:00"),
+        ("at noon tomorrow", "2024-03-16T12:00"),
+        ("march 5, 2021 at midnight", "2021-03-05T00:00"),
+        ("tomorrow morning at 9 am", "2024-03-16T09:00"),
+    ],
+)
+def test_date_at_time_values(surface, expected):
+    det = detect_timexes(surface)
+    assert len(det) == 1 and det[0]["kind"] == "date_at_time", det
+    assert _norm(surface) == expected
+
+
+def test_date_at_time_guards():
+    # bare clocks stay with their own kinds; invalid 12h hours drop
+    assert detect_timexes("at 19:30")[0]["kind"] == "clock_24h"
+    assert detect_timexes("3 pm")[0]["kind"] == "clock_time"
+    det = detect_timexes("at 13 pm tomorrow")
+    assert det[0]["kind"] == "date_at_time"
+    assert normalize_timex(det[0]["surface"], det[0]["kind"], ANCHOR) is None
