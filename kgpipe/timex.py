@@ -602,10 +602,11 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # "[FieldValue:PartOfDay] of [TimeSpan]" (en.grammar:472) over DATED
     # inners: "the morning of March 5, 2021" -> 2021-03-05TMO. Year-less
     # inners are out of scope here (they stay with month_day's W7 route)
+    # an early/mid/late prefix widens the span, mod dropped as usual
     (
         "tod_of_date",
         re.compile(
-            rf"\b(?:the\s+)?(morning|afternoon|evening|night)\s+of\s+"
+            rf"\b(?:the\s+)?(?:(?:early|mid|late)[\s-]+)?(morning|afternoon|evening|night)\s+of\s+"
             rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}})\b",
             re.I,
@@ -634,11 +635,15 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # "late afternoon" -> the anchor day's part, mod dropped. The
     # modifier is REQUIRED (a bare "morning" in conversation is too
     # ambiguous; the dated/relative forms have their own kinds)
+    # the lookahead leaves dated parts of day with tod_of_date ("the
+    # late afternoon of march 5, 2021" must not re-anchor to the turn
+    # day); "mid-afternoon yesterday" still goes to the longer
+    # tod_rel_day span (same begin, longest wins)
     (
         "mod_tod",
         re.compile(
             r"\b(?:early|mid|late)[\s-]+"
-            r"(morning|afternoon|evening|night)\b",
+            r"(morning|afternoon|evening|night)\b(?!\s+of\b)",
             re.I,
         ),
     ),
@@ -1662,7 +1667,7 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             return f"XXXX-{_MONTHS[word]:02d}"
         if kind == "tod_of_date":
             m = re.match(
-                r"(?:the\s+)?(morning|afternoon|evening|night)\s+of\s+(.+)$",
+                r"(?:the\s+)?(?:(?:early|mid|late)[\s-]+)?(morning|afternoon|evening|night)\s+of\s+(.+)$",
                 s, re.I,
             )
             inner = _parse_inner_date(m.group(2))
@@ -1819,13 +1824,14 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             if dval is None:
                 return None
             # a TOD-valued inner ("tomorrow morning") contributes its DAY;
-            # the clock is the finer granularity
+            # the clock is the finer granularity. An invalid clock
+            # fragment ("at 13 pm tomorrow") degrades to the DATE value
+            # rather than losing the whole span (the date was a valid
+            # standalone timex before composition)
             day = dval.split("T")[0]
-            if not _DAY_VAL_RE.match(day):
-                return None
             hm = _clock_hm(clock_txt)
-            if hm is None:
-                return None
+            if hm is None or not _DAY_VAL_RE.match(day):
+                return dval
             return f"{day}T{hm}"
         if kind == "unit_of":
             m = re.match(
@@ -2059,18 +2065,11 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             shift = {"before": -1, "after": 1}[m.group(1).lower()]
             return _fmt_day(anchor + dt.timedelta(days=base + shift))
         if kind == "clock_time":
-            m = re.match(
-                r"(?:at\s+)?(\d{1,2})(?::(\d{2}))?\s*([ap])\.?m\.?", s, re.I
-            )
-            hour = int(m.group(1))
-            minute = int(m.group(2) or 0)
-            if not (1 <= hour <= 12) or minute > 59:
+            m = re.match(r"(?:at\s+)?(.+)$", s, re.I)
+            hm = _clock_hm(m.group(1))
+            if hm is None:
                 return None
-            if m.group(3).lower() == "p":
-                h24 = 12 if hour == 12 else hour + 12
-            else:
-                h24 = 0 if hour == 12 else hour
-            return f"{anchor.isoformat()}T{h24:02d}:{minute:02d}"
+            return f"{anchor.isoformat()}T{hm}"
         if kind == "clock_24h":
             m = re.match(r"(?:at\s+)?(\d{1,2}):(\d{2})(?::(\d{2}))?", s)
             val = f"{anchor.isoformat()}T{int(m.group(1)):02d}:{m.group(2)}"
@@ -2100,8 +2099,7 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             return f"{cc}{d}X"
         if kind == "noon_midnight":
             m = re.search(r"(noon|midday|midnight)", s, re.I)
-            hm = "12:00" if m.group(1).lower() in ("noon", "midday") else "00:00"
-            return f"{anchor.isoformat()}T{hm}"
+            return f"{anchor.isoformat()}T{_clock_hm(m.group(1))}"
         if kind == "rel_weekday":
             m = re.match(
                 rf"(last|next|following|preceding|coming|past|previous)\s+({_WEEKDAY_ALT})",

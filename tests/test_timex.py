@@ -1080,9 +1080,12 @@ def test_date_at_time_values(surface, expected):
 
 
 def test_date_at_time_guards():
-    # bare clocks stay with their own kinds; invalid 12h hours drop
+    # bare clocks stay with their own kinds; an invalid 12h clock
+    # degrades the composition to the DATE value (the date was a valid
+    # standalone timex before composition — recall preserved)
     assert detect_timexes("at 19:30")[0]["kind"] == "clock_24h"
     assert detect_timexes("3 pm")[0]["kind"] == "clock_time"
     det = detect_timexes("at 13 pm tomorrow")
     assert det[0]["kind"] == "date_at_time"
-    assert normalize_timex(det[0]["surface"], det[0]["kind"], ANCHOR) is None
+    assert normalize_timex(det[0]["surface"], det[0]["kind"], ANCHOR) == \
+        "2024-03-16"
