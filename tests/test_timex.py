@@ -578,11 +578,12 @@ def test_frac_period_values(surface, expected):
 
 def test_frac_period_survives_in_prefix():
     # "in a year and a half": the in_n lookahead must hand the span to
-    # frac_period (earliest-begin sweep gotcha)
+    # frac_period (earliest-begin sweep gotcha); round 6 composes the
+    # whole MoveLater span into ONE anchored timex (en.grammar:416
+    # accepts ANY Period, fractions included)
     det = detect_timexes("done in a year and a half from now")
     kinds = [(d["kind"], d["surface"]) for d in det]
-    assert ("frac_period", "a year and a half") in kinds
-    assert all(k != "in_n" for k, _ in kinds)
+    assert kinds == [("frac_period", "in a year and a half from now")]
     # plain "in a year" stays in_n
     det2 = detect_timexes("done in a year")
     assert [(d["kind"]) for d in det2] == ["in_n"]
@@ -699,10 +700,10 @@ def test_round4b_sweep_interactions():
 def test_frac_period_plural_inversion():
     # review finding: "in two years and a half" must not be silently lost
     # (in_n's lookahead blocks it; the inversion must accept any count +
-    # plural units)
+    # plural units); round 6: the "in" composes into the anchored span
     det = detect_timexes("due in two years and a half")
     assert [(d["kind"], d["surface"]) for d in det] == [
-        ("frac_period", "two years and a half")
+        ("frac_period", "in two years and a half")
     ]
     assert _norm("two years and a half") == "P30M"
     assert _norm("twenty-one days and a half") == "P21.5D"
@@ -1089,3 +1090,54 @@ def test_date_at_time_guards():
     assert det[0]["kind"] == "date_at_time"
     assert normalize_timex(det[0]["surface"], det[0]["kind"], ANCHOR) == \
         "2024-03-16"
+
+
+@pytest.mark.parametrize(
+    "surface,expected",
+    [
+        # round 6: clock-FIRST juxtaposition — "19:30 yesterday" means
+        # yesterday's 19:30, ONE timex (previously two fragments with the
+        # clock mis-anchored to the turn day)
+        ("19:30 yesterday", "2024-03-14T19:30"),
+        ("19:30 on friday", "2024-03-15T19:30"),
+        ("10:15 tomorrow", "2024-03-16T10:15"),
+        ("3 pm on march 5, 2021", "2021-03-05T15:00"),
+        # worded-AMPM clock composes through the same span
+        ("5 in the afternoon on friday", "2024-03-15T17:00"),
+        ("at 8 in the morning tomorrow", "2024-03-16T08:00"),
+    ],
+)
+def test_date_at_time_clock_first(surface, expected):
+    det = detect_timexes(surface)
+    assert len(det) == 1 and det[0]["kind"] == "date_at_time", det
+    assert _norm(surface) == expected
+
+
+def test_hour_ampm_word_and_tod_guards():
+    # worded-AMPM hour (en.grammar:217): full "in the <part>" required
+    assert _norm("5 in the afternoon") == "2024-03-15T17:00"
+    assert detect_timexes("chapter 5 in the book") == []
+    # invalid 12h hour silently drops
+    assert _norm("13 in the afternoon") is None
+    # counted bare-plural tod fragments silently drop (not grammar Units)
+    assert detect_timexes("two mornings ago") == []
+    assert detect_timexes("we met 3 evenings ago") == []
+    # the recurring-set readings stay
+    assert _norm("every morning") == "XXXX-XX-XXTMO"
+    assert detect_timexes("most mornings work")[0]["kind"] == "tod_set"
+
+
+def test_weekday_tod_rel_prefix():
+    # rel_weekday family widened into the part-of-day composition:
+    # ONE span from the rel word (anchor 2024-03-15 is a Friday)
+    det = detect_timexes("see you next tuesday morning")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("weekday_tod", "next tuesday morning")
+    ]
+    assert _norm("next tuesday morning") == "2024-03-19TMO"
+    assert _norm("last monday evening") == "2024-03-11TEV"
+    # bare form unchanged (W7 two-candidate: Fri anchor -> fwd monday at
+    # distance 3 beats back monday at 4)
+    assert _norm("monday morning") == "2024-03-18TMO"
+    # plural set forms unaffected by the prefix widening
+    assert _norm("monday mornings") == "XXXX-WXX-1TMO"
