@@ -1244,36 +1244,36 @@ _MIX_WEIGHTS = {f"src{i}": (i + 1) ** 2 for i in range(10)}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate covers the FIRST 50 registry entries;
-    # the registry holds 80, so coverage rotates each round. Round-5 order:
+    # the registry holds 80, so coverage rotates each round. Round-6 order:
     # (a) rotate IN the 8 least-recently driver-verified tail queries
-    #     (the dedup family last saw a driver row in round 3;
-    #     kg_running_counts / kg_triangles rotated out in round 4);
+    #     (text_quality / text_curate / dedup_exact / text_langid rotated
+    #     out in round 4 — their last driver row is round 3 — and the
+    #     sim_topk family last saw a driver row in round 4);
     # (b) then every query whose OUTPUT changed this round — the
-    #     timex-cycle extension (event_id % 34, four sub-day kinds on the
-    #     full timestamp) reflows every result embedding turn text, timex
-    #     values or tlink labels (incl. streaming, materialize and eval);
+    #     timex-cycle extension (event_id % 38, date+clock compositions,
+    #     mod_tod and from_now) reflows every result embedding turn text,
+    #     timex values or tlink labels (incl. streaming, materialize, eval);
     #     mention-derived graph rollups (pagerank, components,
     #     degree_histogram, ...) are UNCHANGED by the cycle — the window
-    #     retains most of them, and degree_histogram stays in the tail on
-    #     replica-report strength like the rest;
-    # (c) the tail sits below the window: the 8 document/embedding-table
-    #     ops driver-verified in round 4 (outputs untouched this round —
-    #     sim_quantize's subnormal guard changed both engines in lockstep
-    #     and both SF corpora have no subnormal vectors) plus the stable
-    #     text/sim/mm ops — ALL 80 re-verified this round by
-    #     tools/verify_oracle.py at sf0.01 AND sf0.1
-    #     (reports/oracle_verify_r05*.json); rotate the tail next round.
+    #     retains most of them on position, and degree_histogram stays in
+    #     the tail on replica-report strength like the rest;
+    # (c) the tail sits below the window: the dedup family +
+    #     kg_running_counts + kg_triangles carry fresh round-5 driver rows,
+    #     the rest are document/embedding-table ops untouched by the cycle
+    #     — ALL 80 re-verified this round by tools/verify_oracle.py at
+    #     sf0.01 AND sf0.1 (reports/oracle_verify_r06*.json); rotate next
+    #     round.
     return {
         # (a) rotated IN — least-recent driver rows
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "kg_running_counts": _q_running_counts,
-        "kg_triangles": _q_triangles,
-        # (b) transcript-derived — outputs reflow with the %34 timex cycle
+        "text_quality": _q_text_quality,
+        "text_curate": _q_text_curate,
+        "dedup_exact": _q_dedup_exact,
+        "text_langid": _q_text_langid,
+        "sim_topk_bruteforce": _q_topk_bruteforce,
+        "sim_topk_lsh": _q_topk_lsh,
+        "sim_topk_ivf": _q_topk_ivf,
+        "sim_topk_ivf_indexed": _q_topk_ivf_indexed,
+        # (b) transcript-derived — outputs reflow with the %38 timex cycle
         "kg_resolved_labels": _q_resolve_conflicts,
         "kg_incremental_materialize": _q_incremental_materialize,
         "kg_eval_prf": _q_eval_prf,
@@ -1316,9 +1316,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tool_transitions": _q_tool_transitions,
         "kg_sessions": _q_sessions,
         "kg_cooccur": _q_cooccur,
-        # (c) rotate OUT this round (below the 50-entry window): round-4
-        # driver rows stand and this round's 80/80 replica reports at both
-        # SFs re-verify the corpus reflow
+        # (c) rotate OUT this round (below the 50-entry window): round-5
+        # driver rows stand for the dedup/graph block, round-4 rows for the
+        # text block, and this round's 80/80 replica reports at both SFs
+        # re-verify everything incl. the corpus reflow
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "kg_running_counts": _q_running_counts,
+        "kg_triangles": _q_triangles,
         "text_contamination": _q_text_contamination,
         "text_repetition": _q_text_repetition,
         "text_surprisal": _q_text_surprisal,
@@ -1327,10 +1336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_passage_dup": _q_text_passage_dup,
         "text_chunks": _q_text_chunks,
         "sim_quantize": _q_sim_quantize,
-        "text_quality": _q_text_quality,
-        "text_curate": _q_text_curate,
-        "dedup_exact": _q_dedup_exact,
-        "text_langid": _q_text_langid,
         "text_token_stats": _q_token_stats,
         "text_fingerprint": _q_fingerprint,
         "text_vocab": _q_vocab,
@@ -1342,10 +1347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": _q_text_redact,
         "sim_label_centroids": _q_label_centroids,
         "kg_degree_histogram": _q_degree_histogram,
-        "sim_topk_bruteforce": _q_topk_bruteforce,
-        "sim_topk_lsh": _q_topk_lsh,
-        "sim_topk_ivf": _q_topk_ivf,
-        "sim_topk_ivf_indexed": _q_topk_ivf_indexed,
         "mm_media_features": _q_media_features,
         "mm_media_resize": _q_media_resize,
         "mm_media_frames": _q_media_frames,
@@ -1421,7 +1422,7 @@ ment_ann AS MATERIALIZED (
   FROM ment_id
 ),
 -- two planted timexes per turn: the slash date after ' on ' and the round-2/3
--- grammar suffix after ' revisit ' (kind = event_id % 34, fixtures.py). The
+-- grammar suffix after ' revisit ' (kind = event_id % 38, fixtures.py). The
 -- extras CTE re-derives the per-turn doc stats the char/token arithmetic
 -- needs (doc_len, doc word count, kind, date string) with the same
 -- deterministic row_number keys as the main derivation.
@@ -1430,7 +1431,7 @@ t_ext AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
          len(d.text) AS doc_len,
          len(string_split(d.text, ' ')) AS wd_doc,
-         CAST(e.event_id % 34 AS INT) AS k,
+         CAST(e.event_id % 38 AS INT) AS k,
          strftime(e.ts, '%-m/%-d/%Y') AS datestr
   FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
   WHERE d.doc_id < 500
@@ -1502,6 +1503,13 @@ tmx2 AS (
                     WHEN 31 THEN 'in 20 minutes'
                     WHEN 32 THEN 'at 19:30'
                     WHEN 33 THEN 'hourly'
+                    -- round 6: date+clock compositions (date-first and the
+                    -- clock-first order), modified bare part-of-day, and
+                    -- the "[Period] from now" MoveLater mirror
+                    WHEN 34 THEN 'tomorrow at 19:30'
+                    WHEN 35 THEN 'mid-morning'
+                    WHEN 36 THEN '30 minutes from now'
+                    WHEN 37 THEN '19:30 yesterday'
                     ELSE 'every other week'
            END AS surface2,
            make_date(year(w.ts) - 1, 3, 5) AS md1,
@@ -1584,6 +1592,14 @@ tmx AS (
                 WHEN 31 THEN strftime(ts + INTERVAL 20 MINUTE, '%Y-%m-%dT%H:%M')
                 WHEN 32 THEN strftime(ts, '%Y-%m-%d') || 'T19:30'
                 WHEN 33 THEN 'PT1H'
+                -- round 6: the date+clock compositions resolve the DAY
+                -- first (tomorrow / yesterday relative to the anchor) and
+                -- carry the clock; "from now" mirrors in_n on the full
+                -- timestamp; mid-morning is the anchor day's TMO part
+                WHEN 34 THEN strftime(CAST(ts AS DATE) + 1, '%Y-%m-%d') || 'T19:30'
+                WHEN 35 THEN strftime(ts, '%Y-%m-%d') || 'TMO'
+                WHEN 36 THEN strftime(ts + INTERVAL 30 MINUTE, '%Y-%m-%dT%H:%M')
+                WHEN 37 THEN strftime(CAST(ts AS DATE) - 1, '%Y-%m-%d') || 'T19:30'
                 ELSE 'P2W'
          END AS normed,
          -- engine-token index of the suffix's last token: the suffix starts
@@ -1601,6 +1617,11 @@ tmx AS (
                               WHEN 28 THEN 9 WHEN 29 THEN 11
                               WHEN 30 THEN 9 WHEN 31 THEN 9
                               WHEN 32 THEN 10 WHEN 33 THEN 7
+                              -- k34 'tomorrow at 19:30' = 5 engine tokens
+                              -- (tomorrow,at,19,:,30); k35 'mid-morning'
+                              -- is ONE hyphen-joined token; k36/k37 = 4
+                              WHEN 34 THEN 11 WHEN 35 THEN 7
+                              WHEN 36 THEN 10 WHEN 37 THEN 10
                               ELSE 8 END AS INT) AS t_tok_e,
          -- tlink label vs the anchor (= date(ts)): past seasons/decades/
          -- centuries/years are always 'after'; the anchor's own ISO week
@@ -1700,6 +1721,16 @@ tmx AS (
                     THEN 'before' ELSE 'overlap' END)
                 WHEN 32 THEN 'overlap'
                 WHEN 33 THEN 'none'
+                -- k=34: tomorrow's 19:30 lives on anchor+1 -> 'before';
+                -- k=35: the anchor day's TMO overlaps it; k=36: the
+                -- shifted timestamp's day vs the anchor (k=31 mirror);
+                -- k=37: yesterday's 19:30 lives on anchor-1 -> 'after'
+                WHEN 34 THEN 'before'
+                WHEN 35 THEN 'overlap'
+                WHEN 36 THEN (CASE
+                    WHEN CAST(ts + INTERVAL 30 MINUTE AS DATE) > anchor_date
+                    THEN 'before' ELSE 'overlap' END)
+                WHEN 37 THEN 'after'
                 -- k=28 (monday of last week) and k=29 (last year's Q3) end
                 -- strictly before any anchor day -> the ELSE 'after'
                 ELSE 'after' END AS lbl

@@ -192,8 +192,11 @@ def synthetic_transcripts_df(
 # weekday+part-of-day, relative-year possessive quarters, and the
 # [Partial] this/last/next [Unit] compositions, plus round 6's sub-day
 # units on the turn's FULL timestamp — hour/minute relatives, the bare
-# 24-hour clock and the hourly period set) keyed on
-# event_id % 34 — every kind gets driver-corpus coverage with
+# 24-hour clock and the hourly period set — and round 6's date+clock
+# compositions (date-first "tomorrow at 19:30" AND the clock-first
+# "19:30 yesterday" that previously mis-anchored), the modified bare
+# part-of-day ("mid-morning") and the "[Period] from now" mirror) keyed on
+# event_id % 38 — every kind gets driver-corpus coverage with
 # DuckDB-replayable normalization. All suffix words are outside the
 # gazetteer and the DTR/conmod marker sets, so mention extraction and the
 # marker scorers are unaffected ("year's" is one engine token — the
@@ -210,7 +213,7 @@ SELECT
     ELSE 'tool'
   END AS role,
   d.text || ' on ' || {date_expr} ||
-  CASE CAST(e.event_id % 34 AS INT)
+  CASE CAST(e.event_id % 38 AS INT)
     WHEN 0 THEN ' revisit summer ' || CAST(year(e.ts) - 1 AS {str_type})
     WHEN 1 THEN ' revisit the 1990s'
     WHEN 2 THEN ' revisit week of ' || {date_expr}
@@ -245,6 +248,10 @@ SELECT
     WHEN 31 THEN ' revisit in 20 minutes'
     WHEN 32 THEN ' revisit at 19:30'
     WHEN 33 THEN ' revisit hourly'
+    WHEN 34 THEN ' revisit tomorrow at 19:30'
+    WHEN 35 THEN ' revisit mid-morning'
+    WHEN 36 THEN ' revisit 30 minutes from now'
+    WHEN 37 THEN ' revisit 19:30 yesterday'
     ELSE ' revisit every other week'
   END AS text,
   CASE WHEN e.event_type = 'error' THEN 'logger' ELSE NULL END AS tool,
