@@ -670,6 +670,145 @@ def cleanup_compacted(sink: TableSink, man: Optional[DataFrame] = None) -> list:
     return removed
 
 
+# a source_snapshot_id value that can never name a real partition:
+# stream batches are "stream-batch-N", compaction targets "compact-N",
+# migrated legacy stores "legacy-0". One sentinel row per committed
+# generation keeps the target visible through the reader's rule while
+# the per-source rows (the manifest's growth term) are dropped.
+_FOLD_SENTINEL = "manifest-fold"
+
+
+def compact_manifest(sink: TableSink) -> dict:
+    """Fold the compactions manifest itself — the documented escape hatch
+    for the ~10^6-generation horizon where the whole-manifest read at the
+    head of every maintenance run stops being a fixed cost. Each
+    compaction commit appends one row PER FOLDED SOURCE; after N runs
+    over M-batch windows the manifest holds N*M rows, of which only the
+    N distinct targets still carry information once cleanup has deleted
+    the source partitions. This verb rewrites the manifest to one
+    sentinel row per committed generation (plus verbatim rows for any
+    source still physically present, i.e. pending cleanup), shrinking it
+    from O(total batches ever) to O(generations).
+
+    Crash-safe with the same shape as ``compact_snapshots`` — an atomic
+    single-file append as the commit point, then idempotent cleanup, and
+    the reader needs NO new rule (a sentinel source hides a partition
+    name that never exists):
+
+    1. take the store's compaction lock (single maintenance writer);
+    2. finish any crashed compaction's partition cleanup first, so every
+       manifest source row is either physically gone (foldable) or
+       knowingly kept;
+    3. COMMIT POINT (parquet): append the folded rows as ONE file into
+       the live manifest dir (coalesce(1) — a single task-file rename).
+       The manifest is momentarily a superset of the needed rows;
+       duplicates are harmless because every reader distincts.
+       (Iceberg: the same append, one atomic commit.)
+    4. cleanup: delete the pre-append manifest part files (listing
+       captured before the append; parquet branch) / one row-level
+       DELETE of the superseded rows (Iceberg, second atomic commit).
+       A crash anywhere in 4 leaves a correct, merely larger manifest —
+       re-running the verb finishes the shrink.
+
+    Returns {"generations", "rows_before", "rows_after"}.
+    """
+    lock, lock_fs = _compaction_lock_path(sink)
+    if lock is not None:
+        if not lock_fs.createNewFile(lock):
+            raise RuntimeError(
+                f"compaction lock {lock} already held — another maintenance "
+                "run is in progress, or a previous one crashed; delete the "
+                "lock file once no compactor is alive and re-run"
+            )
+    try:
+        return _compact_manifest_locked(sink)
+    finally:
+        if lock is not None:
+            lock_fs.delete(lock, False)
+
+
+def _compact_manifest_locked(sink: TableSink) -> dict:
+    man = _manifest(sink)
+    if man is None:
+        return {"generations": 0, "rows_before": 0, "rows_after": 0}
+    cleanup_compacted(sink, man=man)
+    rows_before = man.count()
+    store = sorted(_store_sids(sink))
+    if store:
+        pending = man.join(
+            sink.spark.createDataFrame(
+                [(s,) for s in store], "source_sid string"
+            ),
+            "source_sid",
+            "left_semi",
+        )
+    else:
+        pending = man.limit(0)
+    folded = (
+        man.groupBy("target_sid")
+        .agg(F.max("compacted_at").alias("compacted_at"))
+        .withColumn("source_sid", F.lit(_FOLD_SENTINEL))
+        .select("target_sid", "source_sid", "compacted_at")
+        .unionByName(pending.select("target_sid", "source_sid", "compacted_at"))
+        .coalesce(1)
+    )
+    if sink.iceberg:
+        ident = sink._ident("compactions")
+        folded = folded.persist()
+        try:
+            n_after = folded.count()
+            gens = folded.where(F.col("source_sid") == _FOLD_SENTINEL).count()
+            sink.append("compactions", folded, partitioned=False)
+            # second atomic commit: drop the superseded per-source rows —
+            # any non-sentinel row whose source is no longer on disk
+            # (pending-cleanup rows survive; the just-appended pending
+            # copies make them duplicates, harmless because every reader
+            # distincts, and bounded by O(pending))
+            keep = {r.source_sid for r in pending.select("source_sid").distinct().collect()}
+            keep.add(_FOLD_SENTINEL)
+            in_list = ", ".join(f"'{s}'" for s in sorted(keep))
+            sink.spark.sql(
+                f"DELETE FROM {ident} WHERE source_sid NOT IN ({in_list})"
+            )
+        finally:
+            folded.unpersist()
+        return {
+            "generations": int(gens),
+            "rows_before": int(rows_before),
+            "rows_after": int(n_after),
+        }
+    # parquet branch: capture the pre-append data files, append the fold
+    # as one file, then delete the captured files
+    jvm = sink.spark._jvm  # noqa: SLF001
+    conf = sink.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    man_path = jvm.org.apache.hadoop.fs.Path(sink._path("compactions"))
+    fs = man_path.getFileSystem(conf)
+    old_files = [
+        st.getPath()
+        for st in fs.listStatus(man_path)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    ]
+    folded = folded.persist()
+    try:
+        n_after = folded.count()
+        gens = folded.where(
+            F.col("source_sid") == _FOLD_SENTINEL
+        ).count()
+        # 3. commit point: one-file append (coalesce(1) above)
+        sink.append("compactions", folded, partitioned=False)
+    finally:
+        folded.unpersist()
+    # 4. idempotent cleanup of the superseded part files
+    for p in old_files:
+        if fs.exists(p):
+            fs.delete(p, False)
+    return {
+        "generations": int(gens),
+        "rows_before": int(rows_before),
+        "rows_after": int(n_after),
+    }
+
+
 def migrate_legacy_store(sink: TableSink) -> bool:
     """One-time layout migration for streaming stores written BEFORE the
     snapshot-partitioned exactly-once layout: a legacy store has top-level

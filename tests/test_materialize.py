@@ -471,3 +471,147 @@ def test_migrate_legacy_store_layout(spark, gazetteer, blacklist, tmp_path):
         [old_triples.toPandas(), new_triples.toPandas()], ignore_index=True
     ))
     assert _visible(spark, sink).equals(want)
+
+
+# ---------------------------------------------------- manifest self-fold ---
+
+
+def _snap_sink(spark, tmp_path, tag):
+    """sid-partitioned store built directly via replace_snapshot (no
+    streaming run — the manifest protocol only needs the layout)."""
+    return TableSink(spark, out_dir=str(tmp_path / f"mf_{tag}"),
+                     table_prefix=None)
+
+
+def _land(spark, sink, sids):
+    for s in sids:
+        df = spark.createDataFrame(
+            [(f"r-{s}-{j}", j % 2, s) for j in range(4)],
+            "subj string, bucket int, source_snapshot_id string",
+        )
+        sink.replace_snapshot("triples", df, s)
+
+
+def test_compact_manifest_folds_rows(spark, tmp_path):
+    """The manifest shrinks from one-row-per-folded-source to one sentinel
+    row per committed generation; visible data, generation naming, and the
+    one-file layout are all preserved, and the verb is idempotent."""
+    import os
+
+    from kgpipe.materialize import (
+        _manifest, compact_manifest, compact_snapshots, read_triples,
+    )
+
+    sink = _snap_sink(spark, tmp_path, "fold")
+    _land(spark, sink, [f"stream-batch-{i}" for i in range(3)])
+    assert compact_snapshots(sink)["target_sid"] == "compact-0"
+    _land(spark, sink, [f"stream-batch-{i}" for i in range(3, 5)])
+    assert compact_snapshots(sink)["target_sid"] == "compact-1"
+    assert _manifest(sink).count() == 5  # 3 + 2 per-source rows
+
+    before = {r.subj for r in read_triples(sink).collect()}
+    res = compact_manifest(sink)
+    assert res == {"generations": 2, "rows_before": 5, "rows_after": 2}
+    man = _manifest(sink).collect()
+    assert {r.source_sid for r in man} == {"manifest-fold"}
+    assert {r.target_sid for r in man} == {"compact-0", "compact-1"}
+    # visible data unchanged through the reader
+    assert {r.subj for r in read_triples(sink).collect()} == before
+    # the manifest dir is down to ONE data file
+    files = [f for f in os.listdir(f"{sink.out_dir}/compactions")
+             if not f.startswith(("_", "."))]
+    assert len(files) == 1
+    # generation naming continues past the fold (sentinel rows carry the
+    # committed target set)
+    _land(spark, sink, ["stream-batch-10", "stream-batch-11"])
+    assert compact_snapshots(sink)["target_sid"] == "compact-2"
+    # re-running the fold absorbs the new generation's rows too
+    res2 = compact_manifest(sink)
+    assert res2["generations"] == 3 and res2["rows_after"] == 3
+
+
+def test_compact_manifest_crash_window_is_superset(spark, tmp_path):
+    """A crash between the fold's commit-point append and its part-file
+    cleanup leaves a SUPERSET manifest — visibility is unchanged, and
+    re-running the verb finishes the shrink."""
+    from pyspark.sql import functions as SF
+
+    from kgpipe.materialize import (
+        _manifest, compact_manifest, compact_snapshots, read_triples,
+    )
+
+    sink = _snap_sink(spark, tmp_path, "crash")
+    _land(spark, sink, ["stream-batch-0", "stream-batch-1"])
+    compact_snapshots(sink)
+    before = {r.subj for r in read_triples(sink).collect()}
+
+    # simulate the crash window: the fold's one-file append landed (the
+    # sentinel row exists) but the old per-source rows were not deleted
+    man = _manifest(sink)
+    fold = (
+        man.groupBy("target_sid")
+        .agg(SF.max("compacted_at").alias("compacted_at"))
+        .withColumn("source_sid", SF.lit("manifest-fold"))
+        .select("target_sid", "source_sid", "compacted_at")
+        .coalesce(1)
+    )
+    sink.append("compactions", fold, partitioned=False)
+    assert _manifest(sink).count() == 3  # superset: 2 old + 1 sentinel
+    assert {r.subj for r in read_triples(sink).collect()} == before
+
+    res = compact_manifest(sink)
+    assert res["rows_after"] == 1
+    man2 = _manifest(sink).collect()
+    assert [(r.target_sid, r.source_sid) for r in man2] == [
+        ("compact-0", "manifest-fold")
+    ]
+    assert {r.subj for r in read_triples(sink).collect()} == before
+
+
+def test_compact_manifest_keeps_pending_sources(spark, tmp_path, monkeypatch):
+    """A manifest source whose partition is still on disk (cleanup pending
+    or failing, e.g. an object-store outage) keeps its verbatim hiding row
+    through the fold — the reader must keep filtering it."""
+    import datetime as dtm
+
+    import kgpipe.materialize as mz
+    from kgpipe.materialize import (
+        _compactions_schema, _manifest, compact_manifest, read_triples,
+    )
+
+    sink = _snap_sink(spark, tmp_path, "pend")
+    sids = ["stream-batch-0", "stream-batch-1"]
+    _land(spark, sink, sids)
+    # committed target + manifest, crash before cleanup: sources on disk
+    target = (
+        sink.read("triples")
+        .where(F.col("source_snapshot_id").isin(sids))
+        .withColumn("source_snapshot_id", F.lit("compact-0"))
+        .persist()
+    )
+    sink.replace_snapshot("triples", target, "compact-0")
+    now = dtm.datetime(2026, 1, 1)
+    sink.append(
+        "compactions",
+        spark.createDataFrame([("compact-0", s, now) for s in sids],
+                              _compactions_schema()).coalesce(1),
+        partitioned=False,
+    )
+    target.unpersist()
+    before = {r.subj for r in read_triples(sink).collect()}
+    assert all(r.source_snapshot_id == "compact-0"
+               for r in read_triples(sink).collect())
+
+    # cleanup cannot delete (outage): the fold must keep the hiding rows
+    monkeypatch.setattr(mz, "cleanup_compacted", lambda sink, man=None: [])
+    res = compact_manifest(sink)
+    assert res["rows_after"] == 3  # 1 sentinel + 2 pending per-source rows
+    man = _manifest(sink)
+    assert {(r.target_sid, r.source_sid) for r in man.collect()} == {
+        ("compact-0", "manifest-fold"),
+        ("compact-0", "stream-batch-0"),
+        ("compact-0", "stream-batch-1"),
+    }
+    vis = read_triples(sink).collect()
+    assert {r.subj for r in vis} == before
+    assert all(r.source_snapshot_id == "compact-0" for r in vis)

@@ -148,7 +148,7 @@ def main() -> int:
             .alias("target_sid"),
             F.concat(F.lit("stream-batch-"), F.col("id").cast("string"))
             .alias("source_sid"),
-            F.lit(None).cast("timestamp").alias("completed_at"),
+            F.lit(None).cast("timestamp").alias("compacted_at"),
         )
         .coalesce(1)
         .sortWithinPartitions("target_sid")
@@ -172,6 +172,30 @@ def main() -> int:
     manifest_read_sec = time.monotonic() - t0
     assert len(man_targets) == gens and len(man_sources) == gens * srcs_per
 
+    # ------------------------------------------------------------------
+    # manifest SELF-compaction (the escape hatch before the ~10^6-
+    # generation horizon): fold the per-source rows to one sentinel row
+    # per committed generation and measure the shrink — rows gens*srcs ->
+    # gens, files gens -> 1 — plus the post-fold read the next
+    # maintenance run pays.
+    # ------------------------------------------------------------------
+    from kgpipe.materialize import compact_manifest
+
+    t0 = time.monotonic()
+    fold_res = compact_manifest(scale_sink)
+    manifest_fold_sec = time.monotonic() - t0
+    n_files_after = len(glob.glob(f"{man_dir}/*.parquet"))
+    t0 = time.monotonic()
+    man2 = _manifest(scale_sink)
+    targets_after = {
+        r.target_sid for r in man2.select("target_sid").distinct().collect()
+    }
+    manifest_read_after_fold_sec = time.monotonic() - t0
+    assert fold_res["rows_before"] == gens * srcs_per
+    assert fold_res["rows_after"] == gens
+    assert targets_after == man_targets, "fold lost a committed generation"
+    assert n_files_after == 1, n_files_after
+
     assert (n_before, h_before) == (n_after, h_after), "reader view changed!"
     assert dirs_after == 1, dirs_after
     assert res2["target_sid"] is None, "second run must no-op"
@@ -194,6 +218,10 @@ def main() -> int:
         "manifest_rows": gens * srcs_per,
         "manifest_files": n_man_files,
         "manifest_read_sec": round(manifest_read_sec, 2),
+        "manifest_fold_rows_after": fold_res["rows_after"],
+        "manifest_fold_files_after": n_files_after,
+        "manifest_fold_sec": round(manifest_fold_sec, 2),
+        "manifest_read_after_fold_sec": round(manifest_read_after_fold_sec, 2),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
