@@ -33,6 +33,7 @@ import datetime as dt
 import os
 import re
 import time
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -469,6 +470,28 @@ def _compaction_lock_path(sink: TableSink):
     return p, fs
 
 
+@contextmanager
+def _compaction_lock(sink: TableSink):
+    """Best-effort single-maintenance-writer lock shared by every
+    maintenance verb (compact_snapshots, compact_manifest): atomic
+    create-if-absent of ``<out_dir>/_compaction.lock`` (local/HDFS;
+    best-effort on S3A), released on exit. A crash leaves the lock
+    behind — the error message names the file to delete once no
+    compactor is alive."""
+    lock, lock_fs = _compaction_lock_path(sink)
+    if lock is not None and not lock_fs.createNewFile(lock):
+        raise RuntimeError(
+            f"compaction lock {lock} already held — another maintenance "
+            "run is in progress, or a previous one crashed; delete the "
+            "lock file once no compactor is alive and re-run"
+        )
+    try:
+        yield
+    finally:
+        if lock is not None:
+            lock_fs.delete(lock, False)
+
+
 def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict:
     """Fold the live STREAM-BATCH snapshot partitions into one new
     compacted snapshot. Previously-committed ``compact-*`` targets are
@@ -505,20 +528,8 @@ def compact_snapshots(sink: TableSink, target_sid: Optional[str] = None) -> dict
             f"{_COMPACT_PREFIX!r} — the reader's crash-window visibility "
             "rule is keyed on the prefix"
         )
-    lock, lock_fs = _compaction_lock_path(sink)
-    if lock is not None:
-        # createNewFile is atomic on local/HDFS (best-effort on S3A)
-        if not lock_fs.createNewFile(lock):
-            raise RuntimeError(
-                f"compaction lock {lock} already held — another compaction "
-                "is in progress, or a previous one crashed; delete the lock "
-                "file once no compactor is alive and re-run"
-            )
-    try:
+    with _compaction_lock(sink):
         return _compact_snapshots_locked(sink, target_sid)
-    finally:
-        if lock is not None:
-            lock_fs.delete(lock, False)
 
 
 def _compact_snapshots_locked(
@@ -703,28 +714,17 @@ def compact_manifest(sink: TableSink) -> dict:
        the live manifest dir (coalesce(1) — a single task-file rename).
        The manifest is momentarily a superset of the needed rows;
        duplicates are harmless because every reader distincts.
-       (Iceberg: the same append, one atomic commit.)
-    4. cleanup: delete the pre-append manifest part files (listing
-       captured before the append; parquet branch) / one row-level
-       DELETE of the superseded rows (Iceberg, second atomic commit).
-       A crash anywhere in 4 leaves a correct, merely larger manifest —
-       re-running the verb finishes the shrink.
+       (Iceberg: one atomic ``overwrite(true)`` replaces the whole
+       manifest with the folded rows — no crash window on that branch.)
+    4. cleanup (parquet): delete the pre-append manifest part files
+       (listing captured before the append). A crash anywhere in 4
+       leaves a correct, merely larger manifest — re-running the verb
+       finishes the shrink.
 
     Returns {"generations", "rows_before", "rows_after"}.
     """
-    lock, lock_fs = _compaction_lock_path(sink)
-    if lock is not None:
-        if not lock_fs.createNewFile(lock):
-            raise RuntimeError(
-                f"compaction lock {lock} already held — another maintenance "
-                "run is in progress, or a previous one crashed; delete the "
-                "lock file once no compactor is alive and re-run"
-            )
-    try:
+    with _compaction_lock(sink):
         return _compact_manifest_locked(sink)
-    finally:
-        if lock is not None:
-            lock_fs.delete(lock, False)
 
 
 def _compact_manifest_locked(sink: TableSink) -> dict:
@@ -753,23 +753,17 @@ def _compact_manifest_locked(sink: TableSink) -> dict:
         .coalesce(1)
     )
     if sink.iceberg:
+        # ONE atomic commit: the folded rows replace the whole manifest
+        # (overwrite(true)). No crash window at all on this branch, and a
+        # re-run is idempotent — an append+DELETE protocol here would
+        # instead accumulate one stale sentinel set per fold (the DELETE
+        # cannot tell this fold's sentinels from the last one's).
         ident = sink._ident("compactions")
         folded = folded.persist()
         try:
             n_after = folded.count()
             gens = folded.where(F.col("source_sid") == _FOLD_SENTINEL).count()
-            sink.append("compactions", folded, partitioned=False)
-            # second atomic commit: drop the superseded per-source rows —
-            # any non-sentinel row whose source is no longer on disk
-            # (pending-cleanup rows survive; the just-appended pending
-            # copies make them duplicates, harmless because every reader
-            # distincts, and bounded by O(pending))
-            keep = {r.source_sid for r in pending.select("source_sid").distinct().collect()}
-            keep.add(_FOLD_SENTINEL)
-            in_list = ", ".join(f"'{s}'" for s in sorted(keep))
-            sink.spark.sql(
-                f"DELETE FROM {ident} WHERE source_sid NOT IN ({in_list})"
-            )
+            folded.writeTo(ident).overwrite(F.lit(True))
         finally:
             folded.unpersist()
         return {

@@ -128,9 +128,15 @@ _CLOCK_AT_ALT = (
 TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ("iso_date", re.compile(r"\b\d{4}-\d{2}-\d{2}\b")),
     ("slash_date", re.compile(r"\b\d{1,2}/\d{1,2}/\d{2,4}\b")),
+    # ordinal day suffixes accepted ("march 5th, 2021") — without them the
+    # dated span would fall apart into a W7 month_day + bare year and the
+    # explicit year would be discarded (wrong-value-fragment class)
     (
         "month_day_year",
-        re.compile(rf"\b({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}\b", re.I),
+        re.compile(
+            rf"\b({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?\s*,?\s+\d{{4}}\b",
+            re.I,
+        ),
     ),
     # "June 2019" and the "[FieldValue] of [TimeSpan]" phrasing "June of
     # 2019" (en.grammar:474)
@@ -402,7 +408,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "week_of",
         re.compile(
-            rf"\b(?:the\s+)?week\s+of\s+(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:\s*,?\s+\d{{4}})?"
+            rf"\b(?:the\s+)?week\s+of\s+(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
             r"|(?:christmas|xmas|thanksgiving|halloween|easter(?:\s+sunday)?"
             r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?)\b",
@@ -645,7 +651,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "tod_of_date",
         re.compile(
             rf"\b(?:the\s+)?(?:(?:early|mid|late)[\s-]+)?(morning|afternoon|evening|night)\s+of\s+"
-            rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
+            rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?\s*,?\s+\d{{4}}"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
             rf"|({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?)\b",
             re.I,
@@ -660,7 +666,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             rf"\b(?:({_NUM_ALT})\s+(days?|weeks?|months?|years?)"
             r"|(?:the\s+)?(day|week|month|year))\s+"
             rf"(before|after)\s+"
-            rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}\s*,?\s+\d{{4}}"
+            rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?\s*,?\s+\d{{4}}"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
             r"|(?:christmas|xmas|halloween|thanksgiving|easter(?:\s+sunday)?"
             r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?"
@@ -1324,7 +1330,8 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             return _fmt_day(dt.date(int(y), int(m), int(d)))
         if kind == "month_day_year":
             m = re.match(
-                rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})\s*,?\s+(\d{{4}})", s, re.I
+                rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?\s*,?\s+(\d{{4}})",
+                s, re.I,
             )
             if not m:
                 return None
@@ -2211,23 +2218,11 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             fwd = (target - anchor.weekday() - 1) % 7 + 1
             return _fmt_day(anchor + dt.timedelta(days=fwd))
         if kind == "month_day":
-            # W7 proper: three candidate years, nearest start to the anchor
-            # wins (TEP.scala:238-243); invalid dates (Feb 29 off-leap)
-            # drop out of the candidate set
-            m = re.match(
-                rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?", s, re.I
-            )
-            month, day = _MONTHS[m.group(1).lower()], int(m.group(2))
-            parses = []
-            for y in (anchor.year - 1, anchor.year, anchor.year + 1):
-                try:
-                    d = dt.date(y, month, day)
-                except ValueError:
-                    continue
-                parses.append(TimexParse(_fmt_day(d), True, d, False))
-            if not parses:
-                return None
-            return rank_parses(parses, anchor)[0].value
+            # W7 proper via the shared helper: three candidate years,
+            # nearest start to the anchor wins (TEP.scala:238-243);
+            # invalid dates (Feb 29 off-leap) drop out of the candidates
+            d = _md_w7_pick(s, anchor)
+            return _fmt_day(d) if d is not None else None
         if kind == "rel_season":
             m = re.match(
                 r"(last|next|this|previous|coming)\s+(spring|summer|fall|autumn|winter)",
@@ -2503,7 +2498,7 @@ def _md_w7_pick(txt: str, anchor) -> Optional[dt.date]:
 
 
 _INNER_MDY_RE = re.compile(
-    rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})\s*,?\s+(\d{{4}})", re.I
+    rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?\s*,?\s+(\d{{4}})", re.I
 )
 _INNER_SLASH_RE = re.compile(r"(\d{1,2})/(\d{1,2})/(\d{2,4})")
 _INNER_ISO_RE = re.compile(r"(\d{4})-(\d{2})-(\d{2})")
