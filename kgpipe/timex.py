@@ -120,9 +120,15 @@ _DATE_AT_ALT = (
 _CLOCK_AT_ALT = (
     r"\d{1,2}(?::[0-5]\d)?\s*[ap]\.?m\.?"
     r"|(?:[01]?\d|2[0-3]):[0-5]\d(?::[0-5]\d)?"
-    r"|\d{1,2}\s+in\s+the\s+(?:morning|afternoon|evening)"
     r"|noon|midday|midnight"
 )
+# the worded-AMPM clock lives in its OWN composition pattern
+# (date_at_time_word) so date_at_time's quick keys stay am/pm/colon/noon —
+# folding it into _CLOCK_AT_ALT would force time-of-day words into
+# date_at_time's first-level prefilter and run that large regex on every
+# text mentioning a morning/afternoon/evening (measured +18% per-turn
+# detection cost on tod-heavy text)
+_CLOCK_WORD_ALT = r"\d{1,2}\s+in\s+the\s+(?:morning|afternoon|evening)"
 
 # Ordered battery; longest-span-wins resolution across patterns.
 TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
@@ -333,6 +339,18 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         re.compile(
             rf"\b(?:({_DATE_AT_ALT})\s+at\s+({_CLOCK_AT_ALT})"
             rf"|(?:at\s+)?({_CLOCK_AT_ALT})\s+(?:on\s+)?({_DATE_AT_ALT}))\b",
+            re.I,
+        ),
+    ),
+    # the same composition over the worded-AMPM clock ("5 in the
+    # afternoon on friday", "tomorrow at 8 in the morning") — a separate
+    # kind purely so its prefilter can be the tight (tod word AND "in")
+    # conjunction; normalization shares the date_at_time handler
+    (
+        "date_at_time_word",
+        re.compile(
+            rf"\b(?:({_DATE_AT_ALT})\s+at\s+({_CLOCK_WORD_ALT})"
+            rf"|(?:at\s+)?({_CLOCK_WORD_ALT})\s+(?:on\s+)?({_DATE_AT_ALT}))\b",
             re.I,
         ),
     ),
@@ -937,12 +955,10 @@ _QUICK_KEYS = {
     "clock_time": ("am", "pm", "a.m", "p.m"),
     "noon_midnight": ("noon", "midday", "midnight"),
     "clock_24h": (":",),
-    # the worded-AMPM clock ("5 in the afternoon on friday") carries no
-    # am/pm/colon — the tod words keep the key set a necessary condition
     "date_at_time": (
         "am", "pm", "a.m", "p.m", ":", "noon", "midday", "midnight",
-        "morning", "afternoon", "evening",
     ),
+    "date_at_time_word": ("morning", "afternoon", "evening"),
     "hour_ampm_word": ("morning", "afternoon", "evening"),
     "half_unit": ("half",),
     "from_now": ("now",),
@@ -1057,6 +1073,7 @@ _QUICK_KEYS2 = {
     ),
     "ago_partial": ("year", "years"),
     "hour_ampm_word": ("in",),
+    "date_at_time_word": ("in",),
     "weekday_tod": _WEEKDAY_KEYS,
     "weekday_tod_set": _WEEKDAY_KEYS,
     "rel_weekday": _WEEKDAY_KEYS,
@@ -1904,10 +1921,11 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 )
             # bare-month inner: W7 nearest month start, as in 'modified'
             return _bare_month_w7(inner_txt, anchor)
-        if kind == "date_at_time":
+        if kind in ("date_at_time", "date_at_time_word"):
+            calt = _CLOCK_AT_ALT if kind == "date_at_time" else _CLOCK_WORD_ALT
             m = re.match(
-                rf"(?:({_DATE_AT_ALT})\s+at\s+({_CLOCK_AT_ALT})"
-                rf"|(?:at\s+)?({_CLOCK_AT_ALT})\s+(?:on\s+)?({_DATE_AT_ALT}))$",
+                rf"(?:({_DATE_AT_ALT})\s+at\s+({calt})"
+                rf"|(?:at\s+)?({calt})\s+(?:on\s+)?({_DATE_AT_ALT}))$",
                 s, re.I,
             )
             if m.group(1):

@@ -1102,14 +1102,17 @@ def test_date_at_time_guards():
         ("19:30 on friday", "2024-03-15T19:30"),
         ("10:15 tomorrow", "2024-03-16T10:15"),
         ("3 pm on march 5, 2021", "2021-03-05T15:00"),
-        # worded-AMPM clock composes through the same span
+        # worded-AMPM clock composes through the sibling
+        # date_at_time_word span (own kind purely for the tighter
+        # prefilter; shared handler)
         ("5 in the afternoon on friday", "2024-03-15T17:00"),
         ("at 8 in the morning tomorrow", "2024-03-16T08:00"),
     ],
 )
 def test_date_at_time_clock_first(surface, expected):
     det = detect_timexes(surface)
-    assert len(det) == 1 and det[0]["kind"] == "date_at_time", det
+    assert len(det) == 1, det
+    assert det[0]["kind"] in ("date_at_time", "date_at_time_word"), det
     assert _norm(surface) == expected
 
 
