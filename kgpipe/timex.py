@@ -180,6 +180,10 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # "christmas/thanksgiving day" is the grammar's "[TimeSpan] [Unit]"
     # composition (en.grammar:470) — the value is the holiday's own day,
     # the span widens over the unit word
+    # the trailing (?!\s+eve\b) guard: "christmas eve" / "new year's eve"
+    # are NOT grammar-backed (no Eve rule in en.grammar), and emitting the
+    # bare-holiday fragment would confidently name the WRONG day (Dec 25
+    # for a phrase meaning Dec 24) — silent drop restores parity
     (
         "holiday",
         re.compile(
@@ -187,7 +191,10 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             r"|halloween|election\s+day"
             r"|easter(?:\s+sunday)?"
             r"|new\s+year'?s?(?:\s+day)?)"
-            r"(?:\s+(?:of\s+)?(\d{4}))?\b",
+            # the guard must survive backtracking into the optional
+            # apostrophe/s ("new year'" + "s eve"): any leftover 's-or-s
+            # tail followed by eve blocks the match
+            r"(?:\s+(?:of\s+)?(\d{4}))?\b(?!(?:'?s)?\s+eve\b)",
             re.I,
         ),
     ),
@@ -493,6 +500,22 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # "last/next/this [Month]" — the FindEarlier / FindLater / AllowsThis
+    # rules over the MonthOfYear Partial (en.grammar:398-400, 426-428,
+    # 389+440-441): "last january" = the latest january ending strictly
+    # before the anchor, "next june" = the earliest june starting strictly
+    # after it, "this/that january" = the anchor year's january. The
+    # digit/of-year lookahead leaves dated spans to their own kinds
+    # ("last january 2020" -> month_year, "next june 5" -> month_day) —
+    # the bound_unit continuation lesson
+    (
+        "rel_month",
+        re.compile(
+            rf"\b(last|past|previous|next|coming|following|this|that)\s+"
+            rf"({_MONTH_FULL_ALT})\b(?!\s+(?:of\s+)?\d)",
+            re.I,
+        ),
+    ),
     # decades — "the 1990s" / "the '90s" / "the 90s" -> TimeML 199X
     # (Temporal.scala:325-355 truncated-representation analog)
     (
@@ -508,8 +531,11 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # weekends — en.grammar:149-151 WEEKEND_OF_WEEK; TimeML YYYY-Www-WE
     (
         "weekend",
+        # past = the FindEarlier synonym family (en.grammar:399 over the
+        # WeekendOfWeek Partial); that = the AllowsThis prefix (:440-441)
         re.compile(
-            r"\b(?:(?:last|next|this|previous|coming)\s+weekend|the\s+weekend)\b",
+            r"\b(?:(?:last|next|this|that|past|previous|coming)\s+weekend"
+            r"|the\s+weekend)\b",
             re.I,
         ),
     ),
@@ -599,7 +625,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "weekday_tod",
         re.compile(
-            r"\b(?:(last|next|following|preceding|coming|past|previous)\s+)?"
+            r"\b(?:(last|next|following|preceding|coming|past|previous|this|that)\s+)?"
             rf"({_WEEKDAY_ALT})\s+(morning|afternoon|evening|night)\b",
             re.I,
         ),
@@ -864,8 +890,13 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     ),
     (
         "rel_weekday",
+        # this/that (en.grammar:389,440-441 AllowsThis) pin the weekday
+        # INSIDE the current ISO week (FindEnclosed over the present
+        # enclosing week) — "this friday" from a Monday anchor is the
+        # SAME week's friday, where the bare-weekday W7 nearest-distance
+        # rule could pick the previous week's
         re.compile(
-            rf"\b(last|next|following|preceding|coming|past|previous)\s+({_WEEKDAY_ALT})\b",
+            rf"\b(last|next|following|preceding|coming|past|previous|this|that)\s+({_WEEKDAY_ALT})\b",
             re.I,
         ),
     ),
@@ -1004,7 +1035,12 @@ _QUICK_KEYS = {
         "previous", "current", "latest", "that",
     ),
     "rel_weekday": (
-        "last", "next", "following", "preceding", "coming", "past", "previous",
+        "last", "next", "following", "preceding", "coming", "past",
+        "previous", "this", "that",
+    ),
+    "rel_month": (
+        "last", "next", "following", "coming", "past", "previous",
+        "this", "that",
     ),
     "weekday": (
         "monday", "tuesday", "wednesday", "thursday",
@@ -1077,6 +1113,7 @@ _QUICK_KEYS2 = {
     "weekday_tod": _WEEKDAY_KEYS,
     "weekday_tod_set": _WEEKDAY_KEYS,
     "rel_weekday": _WEEKDAY_KEYS,
+    "rel_month": _MONTH_QUICK,
     "month_rel_year": _MONTH_QUICK,
     "day_offset": ("before", "after"),
     "period_offset_date": ("day", "week", "month", "year"),
@@ -2001,10 +2038,11 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             # "the weekend" = the enclosing week's weekend (en.grammar:381
             # FindEnclosing-PRESENT analog)
             m = re.match(
-                r"(last|next|this|the|previous|coming)\s+weekend", s, re.I
+                r"(last|next|this|that|past|the|previous|coming)\s+weekend",
+                s, re.I,
             )
-            delta = {"last": -1, "next": 1, "this": 0, "the": 0,
-                     "previous": -1, "coming": 1}[m.group(1).lower()]
+            delta = {"last": -1, "next": 1, "this": 0, "that": 0, "the": 0,
+                     "past": -1, "previous": -1, "coming": 1}[m.group(1).lower()]
             return _fmt_week(anchor + dt.timedelta(days=7 * delta)) + "-WE"
         if kind == "rel_unit":
             m = re.match(
@@ -2225,11 +2263,18 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             return f"{anchor.isoformat()}T{_clock_hm(m.group(1))}"
         if kind == "rel_weekday":
             m = re.match(
-                rf"(last|next|following|preceding|coming|past|previous)\s+({_WEEKDAY_ALT})",
+                rf"(last|next|following|preceding|coming|past|previous|this|that)\s+({_WEEKDAY_ALT})",
                 s, re.I,
             )
             target = _WEEKDAYS[m.group(2).lower()]
-            if m.group(1).lower() in ("last", "preceding", "past", "previous"):
+            word = m.group(1).lower()
+            if word in ("this", "that"):
+                # FindEnclosed over the current ISO week (en.grammar:389)
+                iso = anchor.isocalendar()
+                return _fmt_day(
+                    dt.date.fromisocalendar(iso[0], iso[1], target + 1)
+                )
+            if word in ("last", "preceding", "past", "previous"):
                 # latest such weekday strictly before the anchor
                 back = (anchor.weekday() - target - 1) % 7 + 1
                 return _fmt_day(anchor - dt.timedelta(days=back))
@@ -2264,6 +2309,26 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 # earliest instance that STARTS strictly after the anchor
                 label = this_label if dt.date(this_label, start_month, 1) > anchor else this_label + 1
             return f"{label:04d}-{code}"
+        if kind == "rel_month":
+            m = re.match(
+                rf"(last|past|previous|next|coming|following|this|that)\s+"
+                rf"({_MONTH_FULL_ALT})",
+                s, re.I,
+            )
+            word = m.group(1).lower()
+            month = _MONTHS[m.group(2).lower()]
+            if word in ("this", "that"):
+                # AllowsThis: the anchor year's instance (en.grammar:389)
+                return _fmt_month(anchor.year, month)
+            if word in ("last", "past", "previous"):
+                # latest instance ENDING strictly before the anchor (the
+                # rel_season convention; the anchor's own month is not
+                # strictly earlier)
+                year = anchor.year if month < anchor.month else anchor.year - 1
+                return _fmt_month(year, month)
+            # earliest instance STARTING strictly after the anchor
+            year = anchor.year if month > anchor.month else anchor.year + 1
+            return _fmt_month(year, month)
         if kind == "time_of_day":
             m = re.match(
                 r"(?:(this|tomorrow|yesterday)\s+(morning|afternoon|evening)"
@@ -2315,9 +2380,10 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             # W7-resolved weekday date (same two-candidate rank as the bare
             # weekday) + the FindEnclosed part of day (en.grammar:471-472);
             # a rel prefix pins the weekday exactly like rel_weekday
-            # (strictly previous / strictly next occurrence)
+            # (strictly previous / strictly next occurrence; this/that =
+            # the current ISO week's occurrence)
             m = re.match(
-                r"(?:(last|next|following|preceding|coming|past|previous)\s+)?"
+                r"(?:(last|next|following|preceding|coming|past|previous|this|that)\s+)?"
                 rf"({_WEEKDAY_ALT})\s+(morning|afternoon|evening|night)",
                 s, re.I,
             )
@@ -2325,8 +2391,11 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                     "evening": "EV", "night": "NI"}[m.group(3).lower()]
             target = _WEEKDAYS[m.group(2).lower()]
             if m.group(1):
-                if m.group(1).lower() in ("last", "preceding", "past",
-                                          "previous"):
+                word = m.group(1).lower()
+                if word in ("this", "that"):
+                    iso = anchor.isocalendar()
+                    day = dt.date.fromisocalendar(iso[0], iso[1], target + 1)
+                elif word in ("last", "preceding", "past", "previous"):
                     back = (anchor.weekday() - target - 1) % 7 + 1
                     day = anchor - dt.timedelta(days=back)
                 else:

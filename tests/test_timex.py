@@ -1144,3 +1144,52 @@ def test_weekday_tod_rel_prefix():
     assert _norm("monday morning") == "2024-03-18TMO"
     # plural set forms unaffected by the prefix widening
     assert _norm("monday mornings") == "XXXX-WXX-1TMO"
+
+
+def test_rel_month_and_this_partial():
+    # en.grammar:398-400/426-428 FindEarlier/FindLater over the
+    # MonthOfYear Partial, and :389+440-441 this/that AllowsThis.
+    # Anchor 2024-03-15 is a Friday in ISO week 11.
+    assert _norm("last january") == "2024-01"
+    assert _norm("last march") == "2023-03"   # own month is not earlier
+    assert _norm("next june") == "2024-06"
+    assert _norm("next march") == "2025-03"   # own month is not later
+    assert _norm("this january") == "2024-01"
+    # this/that weekday = the CURRENT ISO week's occurrence, not the
+    # W7-nearest ("this friday" from a Monday anchor differs from bare)
+    import datetime as dtm
+
+    monday = dtm.date(2024, 3, 11)
+    assert normalize_timex("this friday", "rel_weekday", monday) == \
+        "2024-03-15"
+    assert normalize_timex("friday", "weekday", monday) == "2024-03-08"
+    # dated continuations stay with their own kinds (lookahead)
+    det = detect_timexes("due last january 2020")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("month_year", "january 2020")
+    ]
+    det2 = detect_timexes("due next june 5")
+    assert [(d["kind"], d["surface"]) for d in det2] == [
+        ("month_day", "june 5")
+    ]
+
+
+def test_holiday_eve_guard():
+    # eves are not grammar-backed: emitting the bare-holiday fragment
+    # would name the WRONG day (Dec 25 for a phrase meaning Dec 24)
+    assert detect_timexes("new year's eve") == []
+    assert detect_timexes("christmas eve") == []
+    # non-eve forms unchanged
+    assert detect_timexes("christmas day")[0]["kind"] == "holiday"
+    assert detect_timexes("new year's day")[0]["kind"] == "holiday"
+
+
+def test_past_weekend():
+    # the span begins at the rel word ("the" stays outside, like the
+    # other rel-prefixed weekend forms)
+    det = detect_timexes("the past weekend")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("weekend", "past weekend")
+    ]
+    assert normalize_timex("past weekend", "weekend", ANCHOR) == "2024-W10-WE"
+    assert _norm("that weekend") == "2024-W11-WE"
