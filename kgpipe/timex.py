@@ -112,7 +112,7 @@ _DATE_AT_ALT = (
     r"|(?:this|tomorrow|yesterday)\s+(?:morning|afternoon|evening)"
     r"|(?:last|tomorrow|yesterday)\s+night|tonight"
     r"|yesterday|today|tomorrow"
-    rf"|(?:last|next|this|coming|following|preceding|past|previous)\s+(?:{_WEEKDAY_ALT})"
+    rf"|(?:last|next|this|that|coming|following|preceding|past|previous)\s+(?:{_WEEKDAY_ALT})"
     rf"|(?:{_WEEKDAY_ALT})"
     rf"|(?:{_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
     r"|\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}"
@@ -436,7 +436,9 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             rf"\b(?:the\s+)?week\s+of\s+(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
             r"|(?:christmas|xmas|thanksgiving|halloween|easter(?:\s+sunday)?"
-            r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?)\b",
+            # the same eve guard as the bare holiday kind: "the week of
+            # new year's eve" must not emit the Jan-1 week
+            r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?(?!(?:'?s)?\s+eve\b))\b",
             re.I,
         ),
     ),
@@ -493,10 +495,14 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             r"\b(spring|summer|fall|autumn|winter)\s+(?:of\s+)?(\d{4})\b", re.I
         ),
     ),
+    # past/that/following join the rel-synonym families like the sibling
+    # partials (en.grammar:399 FindEarlier "past", :428 FindLater
+    # "following", :440-441 AllowsThis "that")
     (
         "rel_season",
         re.compile(
-            r"\b(last|next|this|previous|coming)\s+(spring|summer|fall|autumn|winter)\b",
+            r"\b(last|past|next|this|that|previous|coming|following)\s+"
+            r"(spring|summer|fall|autumn|winter)\b",
             re.I,
         ),
     ),
@@ -508,11 +514,18 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # digit/of-year lookahead leaves dated spans to their own kinds
     # ("last january 2020" -> month_year, "next june 5" -> month_day) —
     # the bound_unit continuation lesson
+    # the optional day group covers "next january 1st" (FindLater over
+    # the MonthDay Partial — W7-nearest would put a "next" date in the
+    # past); its inner lookahead hands year-bearing spans to
+    # month_day_year, and the trailing lookahead hands "next january
+    # 2020" to month_year
     (
         "rel_month",
         re.compile(
             rf"\b(last|past|previous|next|coming|following|this|that)\s+"
-            rf"({_MONTH_FULL_ALT})\b(?!\s+(?:of\s+)?\d)",
+            rf"({_MONTH_FULL_ALT})"
+            rf"(?:\s+(\d{{1,2}})(?:st|nd|rd|th)?\b(?!\s*,?\s+\d{{4}}))?"
+            r"\b(?!\s+(?:of\s+)?\d)",
             re.I,
         ),
     ),
@@ -713,8 +726,8 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?\s*,?\s+\d{{4}}"
             rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}}"
             r"|(?:christmas|xmas|halloween|thanksgiving|easter(?:\s+sunday)?"
-            r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?"
-            rf"|(?:last|next|following|preceding|coming|past|previous|this)\s+({_WEEKDAY_ALT})"
+            r"|new\s+year'?s?(?:\s+day)?)(?:\s+\d{4})?(?!(?:'?s)?\s+eve\b)"
+            rf"|(?:last|next|following|preceding|coming|past|previous|this|that)\s+({_WEEKDAY_ALT})"
             rf"|({_WEEKDAY_ALT}))\b",
             re.I,
         ),
@@ -1877,7 +1890,7 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 # the bare-weekday W7 ("the day before last tuesday",
                 # en.grammar:413-414)
                 wm = re.match(
-                    rf"(?:(last|next|following|preceding|coming|past|previous|this)\s+)?"
+                    rf"(?:(last|next|following|preceding|coming|past|previous|this|that)\s+)?"
                     rf"({_WEEKDAY_ALT})$",
                     inner_txt, re.I,
                 )
@@ -1891,8 +1904,13 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 elif word in ("next", "following", "coming"):
                     fwd = (target - anchor.weekday() - 1) % 7 + 1
                     inner = anchor + dt.timedelta(days=fwd)
+                elif word in ("this", "that"):
+                    # the current ISO week's occurrence — consistent with
+                    # the standalone rel_weekday this/that semantics
+                    iso = anchor.isocalendar()
+                    inner = dt.date.fromisocalendar(iso[0], iso[1], target + 1)
                 else:
-                    # bare / "this": W7 nearest occurrence
+                    # bare weekday: W7 nearest occurrence
                     back = (anchor.weekday() - target) % 7
                     fwd = (target - anchor.weekday()) % 7
                     parses = [
@@ -2288,7 +2306,8 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             return _fmt_day(d) if d is not None else None
         if kind == "rel_season":
             m = re.match(
-                r"(last|next|this|previous|coming)\s+(spring|summer|fall|autumn|winter)",
+                r"(last|past|next|this|that|previous|coming|following)\s+"
+                r"(spring|summer|fall|autumn|winter)",
                 s, re.I,
             )
             code, start_month = _SEASONS[m.group(2).lower()]
@@ -2297,7 +2316,8 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             this_label = anchor.year
             if code == "WI" and anchor.month < 3:
                 this_label -= 1
-            word = {"previous": "last", "coming": "next"}.get(
+            word = {"previous": "last", "past": "last", "coming": "next",
+                    "following": "next", "that": "this"}.get(
                 m.group(1).lower(), m.group(1).lower()
             )
             if word == "this":
@@ -2312,11 +2332,28 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
         if kind == "rel_month":
             m = re.match(
                 rf"(last|past|previous|next|coming|following|this|that)\s+"
-                rf"({_MONTH_FULL_ALT})",
+                rf"({_MONTH_FULL_ALT})"
+                rf"(?:\s+(\d{{1,2}})(?:st|nd|rd|th)?\b)?",
                 s, re.I,
             )
             word = m.group(1).lower()
             month = _MONTHS[m.group(2).lower()]
+            if m.group(3):
+                # MonthDay partial: FindEarlier/FindLater over the DAY
+                # ("next january 1st" -> next year's Jan 1, never a past
+                # date); invalid days (Feb 30) drop via the outer guard
+                day = int(m.group(3))
+                if word in ("this", "that"):
+                    return _fmt_day(dt.date(anchor.year, month, day))
+                if word in ("last", "past", "previous"):
+                    d0 = dt.date(anchor.year, month, day)
+                    if d0 < anchor:
+                        return _fmt_day(d0)
+                    return _fmt_day(dt.date(anchor.year - 1, month, day))
+                d0 = dt.date(anchor.year, month, day)
+                if d0 > anchor:
+                    return _fmt_day(d0)
+                return _fmt_day(dt.date(anchor.year + 1, month, day))
             if word in ("this", "that"):
                 # AllowsThis: the anchor year's instance (en.grammar:389)
                 return _fmt_month(anchor.year, month)

@@ -1163,15 +1163,51 @@ def test_rel_month_and_this_partial():
     assert normalize_timex("this friday", "rel_weekday", monday) == \
         "2024-03-15"
     assert normalize_timex("friday", "weekday", monday) == "2024-03-08"
-    # dated continuations stay with their own kinds (lookahead)
+    # year continuations stay with their own kinds (lookahead)
     det = detect_timexes("due last january 2020")
     assert [(d["kind"], d["surface"]) for d in det] == [
         ("month_year", "january 2020")
     ]
+    # a month-day partial KEEPS the direction word — W7-nearest would
+    # put a "next" date in the past ("next january 1st" from March)
     det2 = detect_timexes("due next june 5")
     assert [(d["kind"], d["surface"]) for d in det2] == [
-        ("month_day", "june 5")
+        ("rel_month", "next june 5")
     ]
+    assert _norm("next june 5") == "2024-06-05"
+    assert _norm("next january 1st") == "2025-01-01"
+    # "last march 20": the latest such date strictly before the anchor
+    assert _norm("last march 20") == "2023-03-20"  # 2024-03-20 >= 3/15
+    assert _norm("last march 20", anchor=dt.date(2024, 3, 25)) == \
+        "2024-03-20"
+    # a full date with year is not a rel_month span
+    det3 = detect_timexes("next january 1, 2020")
+    assert det3[0]["kind"] == "month_day_year"
+
+
+def test_rel_consistency_review_fixes():
+    # "that <weekday> at <clock>" must still compose (regression guard:
+    # adding "that" to rel_weekday without _DATE_AT_ALT killed it)
+    det = detect_timexes("that tuesday at noon")
+    assert det[0]["kind"] == "date_at_time"
+    assert _norm("that tuesday at noon") == "2024-03-12T12:00"
+    # eve guard through the composing patterns
+    assert detect_timexes("the week of new year's eve") == []
+    assert detect_timexes("two days before christmas eve") == []
+    # period-offset weekday inners share the this/that ISO-week rule
+    monday = dt.date(2024, 3, 11)
+    det2 = detect_timexes("two days after this sunday")
+    assert det2[0]["kind"] == "period_offset_date"
+    assert normalize_timex(det2[0]["surface"], det2[0]["kind"], monday) == \
+        "2024-03-19"
+    det3 = detect_timexes("the day before that sunday")
+    assert det3[0]["kind"] == "period_offset_date"
+    assert normalize_timex(det3[0]["surface"], det3[0]["kind"], monday) == \
+        "2024-03-16"
+    # rel_season synonym families match the sibling partials
+    assert _norm("that summer") == "2024-SU"
+    assert _norm("past winter") == "2023-WI"
+    assert _norm("following summer") == "2024-SU"
 
 
 def test_holiday_eve_guard():
