@@ -808,11 +808,49 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
-    # "recent [Unit:Plural]" (en.grammar:299 — Unspecified [Unit:Plural]):
-    # "in recent weeks" -> PXW
+    # "recent/early/first [Unit:Plural]" (en.grammar:299-301 —
+    # Unspecified [Unit:Plural]): "in recent weeks" / "the early weeks" /
+    # "the first weeks" -> PXW. "first [Int] [Unit]" keeps its exact
+    # count via the longer first_period span (a number after "first"
+    # fails this pattern's plural-unit slot)
     (
         "recent_period",
-        re.compile(r"\brecent\s+(minutes|hours|days|weeks|months|years)\b", re.I),
+        re.compile(
+            r"\b(?:recent|early|first)\s+(minutes|hours|days|weeks|months|years)\b",
+            re.I,
+        ),
+    ),
+    # period modifiers that keep the period value (en.grammar:305-318
+    # WithModifier LESS_THAN/MORE_THAN/EQUAL_OR_MORE/EQUAL_OR_LESS/
+    # APPROX): "more than two years", "at least two months", "nearly a
+    # year", "about two weeks" -> the bare period, mod dropped (outside
+    # the output schema, the WithModifier convention). The trailing
+    # lookaheads keep anchored readings intact: "about two weeks ago"
+    # stays a MoveEarlier, "nearly a year and a half" keeps its fraction
+    (
+        "period_mod",
+        re.compile(
+            rf"\b(?:less\s+than|more\s+than|no\s+more\s+than|at\s+least"
+            rf"|nearly|over|about|around|almost)\s+({_NUM_ALT})\s+"
+            r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?)\b"
+            r"(?!\s+(?:ago|earlier)\b)(?!\s+from\s+now\b)"
+            r"(?!\s+and\s+a\s+half\b)(?!\s+or\s+so\b)",
+            re.I,
+        ),
+    ),
+    # fractional periods in slash notation (en.grammar:287 Fractional
+    # [Int] [Int]/[Int] [Unit]): "2 1/2 years" -> the same
+    # integral-conversion convention as the worded fractions (years ->
+    # months, months -> days, hours -> minutes, minutes -> seconds),
+    # decimal in the original unit when the conversion is not integral,
+    # silent drop when the decimal does not terminate
+    (
+        "frac_slash",
+        re.compile(
+            r"\b(\d{1,2})\s+(\d{1,2})/(\d{1,2})\s+"
+            r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?)\b",
+            re.I,
+        ),
     ),
     # fully-unspecified periods (en.grammar:294-296 — "a while" /
     # "some time" / "lengthy period" -> Unspecified UNSPECIFIED): both the
@@ -991,7 +1029,13 @@ _QUICK_KEYS = {
     "first_period": ("first",),
     "freq_set": ("once", "twice", "thrice", "times"),
     "period_phrase": ("period",),
-    "recent_period": ("recent",),
+    "recent_period": ("recent", "early", "first"),
+    # every alternative contains one: less/more/no-more THAN, at LEAST,
+    # or one of the single-word modifiers
+    "period_mod": (
+        "than", "least", "nearly", "over", "about", "around", "almost",
+    ),
+    "frac_slash": ("/",),
     "in_n": ("in",),
     "day_offset": ("day",),
     # every match spells am/pm (optionally dotted) — "example" false-hits
@@ -1156,6 +1200,15 @@ _QUICK_KEYS2 = {
         "decade", "centur",
     ),
     "period_approx": (
+        "minute", "hour", "day", "week", "month", "year",
+    ),
+    "period_mod": (
+        "second", "minute", "hour", "day", "week", "month", "year",
+    ),
+    "frac_slash": (
+        "second", "minute", "hour", "day", "week", "month", "year",
+    ),
+    "recent_period": (
         "minute", "hour", "day", "week", "month", "year",
     ),
     "period_set": (
@@ -1461,8 +1514,52 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 return None
             return _period_value(n, m.group(2))
         if kind == "recent_period":
-            m = re.match(r"recent\s+(minutes|hours|days|weeks|months|years)", s, re.I)
+            m = re.match(
+                r"(?:recent|early|first)\s+(minutes|hours|days|weeks|months|years)",
+                s, re.I,
+            )
             return _period_value("X", m.group(1))
+        if kind == "period_mod":
+            m = re.match(
+                rf"(?:less\s+than|more\s+than|no\s+more\s+than|at\s+least"
+                rf"|nearly|over|about|around|almost)\s+({_NUM_ALT})\s+"
+                r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?)",
+                s, re.I,
+            )
+            n = _num(m.group(1))
+            if n is None:
+                return None
+            return _period_value(n, m.group(2))
+        if kind == "frac_slash":
+            m = re.match(
+                r"(\d{1,2})\s+(\d{1,2})/(\d{1,2})\s+"
+                r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?)",
+                s, re.I,
+            )
+            whole, num, den = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            unit = m.group(4).lower().rstrip("s")
+            if den == 0 or num >= den:
+                return None  # "2 3/2 years" is not a proper fraction
+            total_num = whole * den + num  # value = total_num / den units
+            finer = {"year": (12, "M", ""), "month": (30, "D", ""),
+                     "hour": (60, "M", "T"), "minute": (60, "S", "T")}
+            if unit in finer:
+                factor, code, t = finer[unit]
+                scaled = total_num * factor
+                if scaled % den == 0:
+                    return f"P{t}{scaled // den}{code}"
+            # decimal in the original unit when it terminates (den is a
+            # product of 2s and 5s), else silent drop (O3)
+            d = den
+            while d % 2 == 0:
+                d //= 2
+            while d % 5 == 0:
+                d //= 5
+            if d != 1:
+                return None
+            frac = total_num / den
+            t = "T" if unit in ("second", "minute", "hour") else ""
+            return f"P{t}{frac:g}{unit[0].upper()}"
         if kind == "period_approx":
             # "[Period] or so" (APPROX, en.grammar:311) / "up to [Period]"
             # (EQUAL_OR_LESS, en.grammar:318): value = the period itself;
