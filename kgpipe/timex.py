@@ -67,6 +67,19 @@ _WEEKDAYS = {
     "friday": 4, "saturday": 5, "sunday": 6,
 }
 _WEEKDAY_ALT = "|".join(_WEEKDAYS)
+# abbreviated day names (en.grammar:135-144). Deliberate precision gate
+# (documented deviation, same family as the springs/falls verb gate):
+# abbreviations are accepted only in COMPOSED contexts — rel-prefixed
+# ("next fri"), part-of-day ("mon morning"), or before a date ("fri
+# march 5") — never bare, because sat/sun/wed/mon are common
+# verb/noun/name homographs ("we sat down", "the sun is out")
+_WEEKDAY_ABBRS = {
+    "mon": 0, "tue": 1, "tues": 1, "wed": 2, "thu": 3, "thur": 3,
+    "thurs": 3, "fri": 4, "sat": 5, "sun": 6,
+}
+_WEEKDAYS_ANY = {**_WEEKDAYS, **_WEEKDAY_ABBRS}
+_WEEKDAY_ANY_ALT = "|".join(sorted(_WEEKDAYS_ANY, key=len, reverse=True))
+_WEEKDAY_ANY_KEYS = tuple(_WEEKDAYS_ANY)
 
 _UNIT_WORDS = {
     "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
@@ -113,8 +126,12 @@ _DATE_AT_ALT = (
     r"|(?:last|tomorrow|yesterday)\s+night|tonight"
     r"|yesterday|today|tomorrow"
     rf"|(?:last|next|this|that|coming|following|preceding|past|previous)\s+(?:{_WEEKDAY_ALT})"
+    # the weekday-prefixed month-day alternative must come BEFORE the
+    # bare weekday one: regex alternation takes the first match, and a
+    # bare-weekday win would truncate "noon on friday march 5, 2021"
+    # at "friday"
+    rf"|(?:(?:{_WEEKDAY_ANY_ALT})\s*,?\s+)?(?:{_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
     rf"|(?:{_WEEKDAY_ALT})"
-    rf"|(?:{_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
     r"|\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}"
 )
 _CLOCK_AT_ALT = (
@@ -141,6 +158,21 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "month_day_year",
         re.compile(
             rf"\b({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?\s*,?\s+\d{{4}}\b",
+            re.I,
+        ),
+    ),
+    # "[DayOfWeek] [MonthDay]" composition (en.grammar:239 — "friday
+    # march 5" / "friday, march 5, 2021"): ONE timex whose value is the
+    # date. Without it the weekday fragment would emit its own
+    # W7-nearest day, which can CONTRADICT the named date (the
+    # wrong-value-fragment class). Year-less inners pick the nearest
+    # candidate year whose date falls on the named weekday
+    (
+        "weekday_date",
+        re.compile(
+            rf"\b({_WEEKDAY_ANY_ALT})\s*,?\s+"
+            rf"(?:({_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
+            rf"|\d{{1,2}}/\d{{1,2}}/\d{{2,4}}|\d{{4}}-\d{{2}}-\d{{2}})\b",
             re.I,
         ),
     ),
@@ -639,7 +671,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         "weekday_tod",
         re.compile(
             r"\b(?:(last|next|following|preceding|coming|past|previous|this|that)\s+)?"
-            rf"({_WEEKDAY_ALT})\s+(morning|afternoon|evening|night)\b",
+            rf"({_WEEKDAY_ANY_ALT})\s+(morning|afternoon|evening|night)\b",
             re.I,
         ),
     ),
@@ -947,7 +979,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
         # SAME week's friday, where the bare-weekday W7 nearest-distance
         # rule could pick the previous week's
         re.compile(
-            rf"\b(last|next|following|preceding|coming|past|previous|this|that)\s+({_WEEKDAY_ALT})\b",
+            rf"\b(last|next|following|preceding|coming|past|previous|this|that)\s+({_WEEKDAY_ANY_ALT})\b",
             re.I,
         ),
     ),
@@ -1009,6 +1041,7 @@ _QUICK_KEYS = {
     # turn carries digits (dates), so the word check is the discriminating
     # prefilter; the 12 abbreviations are substrings of their full names
     "month_day_year": _MONTH_QUICK,
+    "weekday_date": _WEEKDAY_ANY_KEYS,
     "month_year": _MONTH_QUICK,
     "month_day": _MONTH_QUICK,
     "holiday": (
@@ -1167,9 +1200,10 @@ _QUICK_KEYS2 = {
     "ago_partial": ("year", "years"),
     "hour_ampm_word": ("in",),
     "date_at_time_word": ("in",),
-    "weekday_tod": _WEEKDAY_KEYS,
+    "weekday_tod": _WEEKDAY_ANY_KEYS,
     "weekday_tod_set": _WEEKDAY_KEYS,
-    "rel_weekday": _WEEKDAY_KEYS,
+    "rel_weekday": _WEEKDAY_ANY_KEYS,
+    "weekday_date": _MONTH_QUICK + ("/", "-"),
     "rel_month": _MONTH_QUICK,
     "month_rel_year": _MONTH_QUICK,
     "day_offset": ("before", "after"),
@@ -1939,6 +1973,40 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             part = {"morning": "MO", "afternoon": "AF", "evening": "EV",
                     "night": "NI"}[m.group(1).lower()]
             return f"{inner.isoformat()}T{part}"
+        if kind == "weekday_date":
+            m = re.match(rf"({_WEEKDAY_ANY_ALT})\s*,?\s+(.+)$", s, re.I)
+            target = _WEEKDAYS_ANY[m.group(1).lower()]
+            inner_txt = m.group(2)
+            inner = _parse_inner_date(inner_txt)
+            if inner is not None:
+                # an explicit year / slash / ISO date governs; a
+                # mismatched weekday word does not override it (recall
+                # over drop — the date is the informative part)
+                return _fmt_day(inner)
+            if anchor is None:
+                return None
+            mm = re.search(
+                rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?\b",
+                inner_txt, re.I,
+            )
+            if not mm:
+                return None
+            month, day = _MONTHS[mm.group(1).lower()], int(mm.group(2))
+            # the weekday field CONSTRAINS the year search: nearest
+            # candidate year where the month-day falls on that weekday
+            # (any month-day hits each weekday within <= 12 years)
+            parses = []
+            for y in range(anchor.year - 6, anchor.year + 7):
+                try:
+                    d = dt.date(y, month, day)
+                except ValueError:
+                    continue
+                if d.weekday() == target:
+                    parses.append(TimexParse(_fmt_day(d), True, d, False))
+            if not parses:
+                pick = _md_w7_pick(inner_txt, anchor)
+                return _fmt_day(pick) if pick is not None else None
+            return rank_parses(parses, anchor)[0].value
         if kind == "period_offset_date":
             m = re.match(
                 rf"(?:({_NUM_ALT})\s+(days?|weeks?|months?|years?)"
@@ -2378,10 +2446,10 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             return f"{anchor.isoformat()}T{_clock_hm(m.group(1))}"
         if kind == "rel_weekday":
             m = re.match(
-                rf"(last|next|following|preceding|coming|past|previous|this|that)\s+({_WEEKDAY_ALT})",
+                rf"(last|next|following|preceding|coming|past|previous|this|that)\s+({_WEEKDAY_ANY_ALT})",
                 s, re.I,
             )
-            target = _WEEKDAYS[m.group(2).lower()]
+            target = _WEEKDAYS_ANY[m.group(2).lower()]
             word = m.group(1).lower()
             if word in ("this", "that"):
                 # FindEnclosed over the current ISO week (en.grammar:389)
@@ -2518,12 +2586,12 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             # the current ISO week's occurrence)
             m = re.match(
                 r"(?:(last|next|following|preceding|coming|past|previous|this|that)\s+)?"
-                rf"({_WEEKDAY_ALT})\s+(morning|afternoon|evening|night)",
+                rf"({_WEEKDAY_ANY_ALT})\s+(morning|afternoon|evening|night)",
                 s, re.I,
             )
             part = {"morning": "MO", "afternoon": "AF",
                     "evening": "EV", "night": "NI"}[m.group(3).lower()]
-            target = _WEEKDAYS[m.group(2).lower()]
+            target = _WEEKDAYS_ANY[m.group(2).lower()]
             if m.group(1):
                 word = m.group(1).lower()
                 if word in ("this", "that"):

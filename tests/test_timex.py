@@ -1229,3 +1229,25 @@ def test_past_weekend():
     ]
     assert normalize_timex("past weekend", "weekend", ANCHOR) == "2024-W10-WE"
     assert _norm("that weekend") == "2024-W11-WE"
+
+
+def test_weekday_date_composition_and_abbrs():
+    # "[DayOfWeek] [MonthDay]" (en.grammar:239) is ONE timex — the bare
+    # weekday fragment's W7 value could CONTRADICT the named date
+    det = detect_timexes("friday march 5")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("weekday_date", "friday march 5")
+    ]
+    # nearest year where March 5 IS a friday (2021 back vs 2027 fwd)
+    assert _norm("friday march 5") == "2027-03-05"
+    # an explicit year governs regardless of weekday arithmetic
+    assert _norm("friday, march 5, 2021") == "2021-03-05"
+    # the composition threads through date_at_time
+    assert _norm("friday march 5, 2021 at midnight") == "2021-03-05T00:00"
+    # abbreviations only in COMPOSED contexts (precision gate: sat/sun/
+    # wed/mon are verb/noun homographs)
+    assert _norm("next fri") == "2024-03-22"
+    assert _norm("mon morning") == "2024-03-18TMO"
+    assert detect_timexes("we sat down") == []
+    assert detect_timexes("the sun is out") == []
+    assert detect_timexes("see you fri") == []
