@@ -813,7 +813,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     (
         "span_set",
         re.compile(
-            rf"\b(?:each|every)\s+((?:{_MONTH_FULL_ALT})|(?:{_WEEKDAY_ALT}))\b"
+            rf"\b(?:each|every)\s+((?:{_MONTH_FULL_ALT})|(?:{_WEEKDAY_ALT})|weekend)\b"
             r"(?!\s+\d)",
             re.I,
         ),
@@ -1250,7 +1250,7 @@ _QUICK_KEYS2 = {
         "year", "hourly", "daily", "weekly", "monthly", "quarterly",
         "yearly", "annually",
     ),
-    "span_set": _MONTH_QUICK + _WEEKDAY_KEYS,
+    "span_set": _MONTH_QUICK + _WEEKDAY_KEYS + ("weekend",),
     "modified": _MONTH_QUICK + (
         "0s", "19", "20", "spring", "summer", "fall", "autumn", "winter",
         "last", "next", "this",
@@ -1951,10 +1951,14 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                     "week": "P0.5W", "month": "P15D", "year": "P6M"}[unit]
         if kind == "span_set":
             m = re.match(
-                rf"(?:each|every)\s+((?:{_MONTH_FULL_ALT})|(?:{_WEEKDAY_ALT}))",
+                rf"(?:each|every)\s+((?:{_MONTH_FULL_ALT})|(?:{_WEEKDAY_ALT})|weekend)",
                 s, re.I,
             )
             word = m.group(1).lower()
+            if word == "weekend":
+                # recurring weekend set (each [Partial] over the
+                # WeekendOfWeek field, en.grammar:526+151)
+                return "XXXX-WXX-WE"
             if word in _WEEKDAYS:
                 # TimeML recurring weekday: XXXX-WXX-D, ISO day number 1-7
                 return f"XXXX-WXX-{_WEEKDAYS[word] + 1}"
