@@ -51,6 +51,11 @@ _MONTH_FULL = (
     "august", "september", "october", "november", "december",
 )
 _MONTH_FULL_ALT = "|".join(sorted(_MONTH_FULL, key=len, reverse=True))
+# full months minus "may" — for contexts where "may" is overwhelmingly
+# the modal verb ("this may", "the past may")
+_MONTH_FULL_NO_MAY_ALT = "|".join(
+    sorted((m for m in _MONTH_FULL if m != "may"), key=len, reverse=True)
+)
 _MONTH_ABBR_ALT = "|".join(
     sorted((m for m in _MONTHS if m not in _MONTH_FULL), key=len, reverse=True)
 )
@@ -551,11 +556,17 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # past); its inner lookahead hands year-bearing spans to
     # month_day_year, and the trailing lookahead hands "next january
     # 2020" to month_year
+    # "this/that/past may" is gated behind a day continuation: "may"
+    # after those words is overwhelmingly the modal verb ("this may be a
+    # problem", "the past may indicate") — the same homograph-precision
+    # family as the sat/sun and springs/falls gates. "last/next may"
+    # stay open (the modal reading is ungrammatical there)
     (
         "rel_month",
         re.compile(
-            rf"\b(last|past|previous|next|coming|following|this|that)\s+"
-            rf"({_MONTH_FULL_ALT})"
+            rf"\b(?:(last|previous|next|coming|following)\s+({_MONTH_FULL_ALT})"
+            rf"|(this|that|past)\s+({_MONTH_FULL_NO_MAY_ALT}"
+            rf"|may(?=\s+\d{{1,2}}(?:st|nd|rd|th)?\b)))"
             rf"(?:\s+(\d{{1,2}})(?:st|nd|rd|th)?\b(?!\s*,?\s+\d{{4}}))?"
             r"\b(?!\s+(?:of\s+)?\d)",
             re.I,
@@ -865,7 +876,7 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             rf"\b(?:less\s+than|more\s+than|no\s+more\s+than|at\s+least"
             rf"|nearly|over|about|around|almost)\s+({_NUM_ALT})\s+"
             r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?)\b"
-            r"(?!\s+(?:ago|earlier)\b)(?!\s+from\s+now\b)"
+            r"(?!\s+(?:ago|earlier|before|after)\b)(?!\s+from\s+now\b)"
             r"(?!\s+and\s+a\s+half\b)(?!\s+or\s+so\b)",
             re.I,
         ),
@@ -875,12 +886,18 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
     # integral-conversion convention as the worded fractions (years ->
     # months, months -> days, hours -> minutes, minutes -> seconds),
     # decimal in the original unit when the conversion is not integral,
-    # silent drop when the decimal does not terminate
+    # silent drop when the decimal does not terminate. Like frac_period,
+    # an "in" prefix / ago / "from now" suffix composes the fraction
+    # through MoveEarlier/MoveLater into an anchored point ("2 1/2
+    # years ago" -> the month 30 months back — the ago fragment must
+    # not be dropped, and the denominator must not leak into a bare
+    # "[den] years ago" reading)
     (
         "frac_slash",
         re.compile(
-            r"\b(\d{1,2})\s+(\d{1,2})/(\d{1,2})\s+"
-            r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?)\b",
+            r"\b(?:(in)\s+)?(\d{1,2})\s+(\d{1,2})/(\d{1,2})\s+"
+            r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?)"
+            r"(\s+(?:ago|earlier)|\s+from\s+now)?\b",
             re.I,
         ),
     ),
@@ -1566,15 +1583,55 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             return _period_value(n, m.group(2))
         if kind == "frac_slash":
             m = re.match(
-                r"(\d{1,2})\s+(\d{1,2})/(\d{1,2})\s+"
-                r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?)",
+                r"(?:(in)\s+)?(\d{1,2})\s+(\d{1,2})/(\d{1,2})\s+"
+                r"(seconds?|minutes?|hours?|days?|weeks?|months?|years?)"
+                r"(\s+(?:ago|earlier)|\s+from\s+now)?",
                 s, re.I,
             )
-            whole, num, den = int(m.group(1)), int(m.group(2)), int(m.group(3))
-            unit = m.group(4).lower().rstrip("s")
+            whole, num, den = int(m.group(2)), int(m.group(3)), int(m.group(4))
+            unit = m.group(5).lower().rstrip("s")
             if den == 0 or num >= den:
                 return None  # "2 3/2 years" is not a proper fraction
             total_num = whole * den + num  # value = total_num / den units
+            moved_later = bool(m.group(1)) or (
+                m.group(6) is not None and "now" in m.group(6).lower()
+            )
+            moved_earlier = (
+                m.group(6) is not None and "now" not in m.group(6).lower()
+            )
+            if moved_later and moved_earlier:
+                return None  # contradictory "in ... ago" fusion
+            if moved_later or moved_earlier:
+                # anchored MoveEarlier/MoveLater at the granularity the
+                # fraction converts to integrally (the frac_period
+                # convention); non-integral conversions silently drop
+                if anchor is None:
+                    return None
+                sign = 1 if moved_later else -1
+                if unit == "year" and (total_num * 12) % den == 0:
+                    y, mo = _shift_month(
+                        anchor.year, anchor.month,
+                        sign * (total_num * 12) // den,
+                    )
+                    return _fmt_month(y, mo)
+                if unit == "month" and (total_num * 30) % den == 0:
+                    return _fmt_day(anchor + dt.timedelta(
+                        days=sign * (total_num * 30) // den))
+                if anchor_dt is None:
+                    return None
+                if unit == "day" and (total_num * 24) % den == 0:
+                    shifted = anchor_dt + dt.timedelta(
+                        hours=sign * (total_num * 24) // den)
+                    return shifted.strftime("%Y-%m-%dT%H")
+                if unit == "hour" and (total_num * 60) % den == 0:
+                    shifted = anchor_dt + dt.timedelta(
+                        minutes=sign * (total_num * 60) // den)
+                    return shifted.strftime("%Y-%m-%dT%H:%M")
+                if unit == "minute" and (total_num * 60) % den == 0:
+                    shifted = anchor_dt + dt.timedelta(
+                        seconds=sign * (total_num * 60) // den)
+                    return shifted.strftime("%Y-%m-%dT%H:%M:%S")
+                return None
             finer = {"year": (12, "M", ""), "month": (30, "D", ""),
                      "hour": (60, "M", "T"), "minute": (60, "S", "T")}
             if unit in finer:
@@ -1997,10 +2054,13 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 return None
             month, day = _MONTHS[mm.group(1).lower()], int(mm.group(2))
             # the weekday field CONSTRAINS the year search: nearest
-            # candidate year where the month-day falls on that weekday
-            # (any month-day hits each weekday within <= 12 years)
+            # candidate year where the month-day falls on that weekday.
+            # +-14 years: ordinary dates hit every weekday within <= 12
+            # years, but Feb 29 weekdays run a 28-year cycle — a +-6
+            # window would miss e.g. "friday february 29" entirely and
+            # the fallback would emit a contradicting weekday
             parses = []
-            for y in range(anchor.year - 6, anchor.year + 7):
+            for y in range(anchor.year - 14, anchor.year + 15):
                 try:
                     d = dt.date(y, month, day)
                 except ValueError:
@@ -2500,29 +2560,31 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             return f"{label:04d}-{code}"
         if kind == "rel_month":
             m = re.match(
-                rf"(last|past|previous|next|coming|following|this|that)\s+"
-                rf"({_MONTH_FULL_ALT})"
+                rf"(?:(last|previous|next|coming|following)\s+({_MONTH_FULL_ALT})"
+                rf"|(this|that|past)\s+({_MONTH_FULL_NO_MAY_ALT}|may))"
                 rf"(?:\s+(\d{{1,2}})(?:st|nd|rd|th)?\b)?",
                 s, re.I,
             )
-            word = m.group(1).lower()
-            month = _MONTHS[m.group(2).lower()]
-            if m.group(3):
+            word = (m.group(1) or m.group(3)).lower()
+            month = _MONTHS[(m.group(2) or m.group(4)).lower()]
+            if m.group(5):
                 # MonthDay partial: FindEarlier/FindLater over the DAY
                 # ("next january 1st" -> next year's Jan 1, never a past
-                # date); invalid days (Feb 30) drop via the outer guard
-                day = int(m.group(3))
+                # date). The year search walks until the date EXISTS
+                # ("next february 29" must find 2028, not die on 2025);
+                # impossible days (Feb 30) exhaust the walk and drop
+                day = int(m.group(5))
                 if word in ("this", "that"):
                     return _fmt_day(dt.date(anchor.year, month, day))
-                if word in ("last", "past", "previous"):
-                    d0 = dt.date(anchor.year, month, day)
-                    if d0 < anchor:
+                step = -1 if word in ("last", "past", "previous") else 1
+                for y in range(anchor.year, anchor.year + step * 9, step):
+                    try:
+                        d0 = dt.date(y, month, day)
+                    except ValueError:
+                        continue
+                    if (step < 0 and d0 < anchor) or (step > 0 and d0 > anchor):
                         return _fmt_day(d0)
-                    return _fmt_day(dt.date(anchor.year - 1, month, day))
-                d0 = dt.date(anchor.year, month, day)
-                if d0 > anchor:
-                    return _fmt_day(d0)
-                return _fmt_day(dt.date(anchor.year + 1, month, day))
+                return None
             if word in ("this", "that"):
                 # AllowsThis: the anchor year's instance (en.grammar:389)
                 return _fmt_month(anchor.year, month)
