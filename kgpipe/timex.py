@@ -1320,6 +1320,69 @@ def _digit_region(text: str, first: int, last_end: int) -> Tuple[int, int]:
     return start, min(len(text), last_end + 4)
 
 
+def _word_region(
+    text: str, begin: int, end: int, left_words: int, right_words: int
+) -> Tuple[int, int]:
+    """Word-aligned window [begin, end) widened by N whitespace gaps on
+    each side. Both edges land ON whitespace (or the true text ends), so
+    a pos/endpos-bounded finditer preserves \\b semantics — no edge can
+    fall mid-word and fabricate a boundary."""
+    start = begin
+    gaps = 0
+    in_space = False
+    while start > 0 and gaps <= left_words:
+        start -= 1
+        if text[start].isspace():
+            if not in_space:
+                gaps += 1
+                if gaps > left_words:
+                    break  # leave start ON this whitespace char
+            in_space = True
+        else:
+            in_space = False
+    stop = end
+    gaps = 0
+    in_space = False
+    n = len(text)
+    while stop < n and gaps <= right_words:
+        if text[stop].isspace():
+            if not in_space:
+                gaps += 1
+                if gaps > right_words:
+                    break  # leave stop ON this whitespace char
+            in_space = True
+        else:
+            in_space = False
+        stop += 1
+    return start, stop
+
+
+# Region-bounded patterns: each can only match within a few words of a
+# RARE indicator token (a clock, a fraction slash, an or-so/up-to
+# connective), while its quick-key prefilters pass on far more texts
+# than can actually match (":" and "am"-as-substring appear throughout
+# the corpus). Scanning word-aligned windows around the indicators
+# instead of the whole text cuts the dominant per-turn regex cost; a
+# differential test asserts region-bounded == full-text detection.
+# Margins are generous upper bounds on the pattern's reach around its
+# indicator (date side up to ~5 words + connectives).
+_REGION_BOUNDED: dict = {
+    # clock indicator: ":", a word-INITIAL am/pm (the lookaround keeps
+    # "stream"/"example" from creating windows), or noon/midday/midnight
+    "date_at_time": (
+        re.compile(r":|(?<![a-z])(?:[ap]\.?m\.?(?![a-z])|noon|midday|midnight)"),
+        8, 8,
+    ),
+    # worded clock: "<digit> in the" (the tod word follows inside the
+    # window)
+    "date_at_time_word": (re.compile(r"\d\s+in\s+the\b"), 8, 10),
+    # proper fraction core
+    "frac_slash": (re.compile(r"\d/\d"), 4, 5),
+    # "or so" / "up to" connectives
+    "period_approx": (re.compile(r"\bor\s+so\b|\bup\s+to\b"), 5, 5),
+}
+
+
 def detect_timexes(text: str):
     """All timex spans in one turn: longest non-overlapping, earliest-first.
 
@@ -1356,6 +1419,23 @@ def detect_timexes(text: str):
                     r_begin + m.start(), -(m.end() - m.start()), prio,
                     r_begin + m.end(), kind,
                 ))
+            continue
+        bounded = _REGION_BOUNDED.get(kind)
+        if bounded is not None:
+            ind, lw, rw = bounded
+            spans: List[Tuple[int, int]] = []
+            for im in ind.finditer(lower):
+                b, e = _word_region(text, im.start(), im.end(), lw, rw)
+                if spans and b <= spans[-1][1]:
+                    if e > spans[-1][1]:
+                        spans[-1] = (spans[-1][0], e)
+                else:
+                    spans.append((b, e))
+            for b, e in spans:
+                for m in pat.finditer(text, b, e):
+                    candidates.append(
+                        (m.start(), -(m.end() - m.start()), prio, m.end(), kind)
+                    )
             continue
         for m in pat.finditer(text):
             candidates.append((m.start(), -(m.end() - m.start()), prio, m.end(), kind))

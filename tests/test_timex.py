@@ -1251,3 +1251,42 @@ def test_weekday_date_composition_and_abbrs():
     assert detect_timexes("we sat down") == []
     assert detect_timexes("the sun is out") == []
     assert detect_timexes("see you fri") == []
+
+
+def test_region_bounded_scan_matches_full_scan():
+    # the region-bounded patterns (scanned only near their indicator
+    # tokens) must find EXACTLY the spans a full-text scan finds — the
+    # margins are upper bounds on each pattern's reach incl. lookaheads
+    from kgpipe.timex import (
+        TIMEX_PATTERNS, _REGION_BOUNDED, _word_region,
+    )
+
+    pats = {k: p for k, p in TIMEX_PATTERNS if k in _REGION_BOUNDED}
+    assert set(pats) == set(_REGION_BOUNDED)
+    cases = [
+        "meet tomorrow at 19:30 ok", "at noon on friday march 5, 2021 x",
+        "5 in the afternoon on friday", "up to 30 minutes or more",
+        "two weeks or so later", "in 2 1/2 years from now",
+        "2 1/2 years ago", "nothing here at all", "a:b c:d 16:9 score",
+        "i am here, the stream is on", "19:30 yesterday",
+        "friday march 5, 2021 at midnight", "at 8 in the morning tomorrow",
+        "noon\nnext friday", "up to\ntwo weeks ago", "9 pm 10 pm 11 pm",
+        "::: odd ::: 1/2 ::: tokens",
+    ]
+    for t in cases:
+        lower = t.lower()
+        for kind, pat in pats.items():
+            full = [(m.start(), m.end()) for m in pat.finditer(t)]
+            ind, lw, rw = _REGION_BOUNDED[kind]
+            spans = []
+            for im in ind.finditer(lower):
+                b, e = _word_region(t, im.start(), im.end(), lw, rw)
+                if spans and b <= spans[-1][1]:
+                    if e > spans[-1][1]:
+                        spans[-1] = (spans[-1][0], e)
+                else:
+                    spans.append((b, e))
+            bounded = []
+            for b, e in spans:
+                bounded += [(m.start(), m.end()) for m in pat.finditer(t, b, e)]
+            assert full == bounded, (kind, t, full, bounded)
