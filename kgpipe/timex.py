@@ -1370,17 +1370,43 @@ _REGION_BOUNDED: dict = {
     # clock indicator: ":", a word-INITIAL am/pm (the lookaround keeps
     # "stream"/"example" from creating windows), or noon/midday/midnight
     "date_at_time": (
-        re.compile(r":|(?<![a-z])(?:[ap]\.?m\.?(?![a-z])|noon|midday|midnight)"),
+        re.compile(
+            r":|(?<![a-z])(?:[ap]\.?m\.?(?![a-z])|noon|midday|midnight)",
+            re.I,
+        ),
         8, 8,
     ),
     # worded clock: "<digit> in the" (the tod word follows inside the
     # window)
-    "date_at_time_word": (re.compile(r"\d\s+in\s+the\b"), 8, 10),
+    "date_at_time_word": (re.compile(r"\d\s+in\s+the\b", re.I), 8, 10),
     # proper fraction core
     "frac_slash": (re.compile(r"\d/\d"), 4, 5),
-    # "or so" / "up to" connectives
-    "period_approx": (re.compile(r"\bor\s+so\b|\bup\s+to\b"), 5, 5),
+    # "or so" / "up to" connectives. The right margin must cover the
+    # up-to branch's FULL reach incl. the trailing (?!ago|earlier)
+    # lookahead — "up to a couple of weeks ago" is 6 words past the
+    # indicator, and a truncated lookahead would vacuously pass and
+    # mis-accept the anchored reading as a period (test-pinned)
+    "period_approx": (re.compile(r"\bor\s+so\b|\bup\s+to\b", re.I), 5, 7),
 }
+
+
+def _bounded_windows(text: str, kind: str) -> List[Tuple[int, int]]:
+    """Merged word-aligned scan windows around ``kind``'s indicator
+    tokens. Indicators scan TEXT directly (IGNORECASE), never a
+    lowercased copy — str.lower() can change string length (e.g. the
+    Turkish dotted capital I), which would misalign or overflow every
+    window offset. Shared by detect_timexes and the differential test
+    so the test exercises the production windowing, not a copy."""
+    ind, lw, rw = _REGION_BOUNDED[kind]
+    spans: List[Tuple[int, int]] = []
+    for im in ind.finditer(text):
+        b, e = _word_region(text, im.start(), im.end(), lw, rw)
+        if spans and b <= spans[-1][1]:
+            if e > spans[-1][1]:
+                spans[-1] = (spans[-1][0], e)
+        else:
+            spans.append((b, e))
+    return spans
 
 
 def detect_timexes(text: str):
@@ -1420,18 +1446,8 @@ def detect_timexes(text: str):
                     r_begin + m.end(), kind,
                 ))
             continue
-        bounded = _REGION_BOUNDED.get(kind)
-        if bounded is not None:
-            ind, lw, rw = bounded
-            spans: List[Tuple[int, int]] = []
-            for im in ind.finditer(lower):
-                b, e = _word_region(text, im.start(), im.end(), lw, rw)
-                if spans and b <= spans[-1][1]:
-                    if e > spans[-1][1]:
-                        spans[-1] = (spans[-1][0], e)
-                else:
-                    spans.append((b, e))
-            for b, e in spans:
+        if kind in _REGION_BOUNDED:
+            for b, e in _bounded_windows(text, kind):
                 for m in pat.finditer(text, b, e):
                     candidates.append(
                         (m.start(), -(m.end() - m.start()), prio, m.end(), kind)

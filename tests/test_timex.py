@@ -1256,10 +1256,10 @@ def test_weekday_date_composition_and_abbrs():
 def test_region_bounded_scan_matches_full_scan():
     # the region-bounded patterns (scanned only near their indicator
     # tokens) must find EXACTLY the spans a full-text scan finds — the
-    # margins are upper bounds on each pattern's reach incl. lookaheads
-    from kgpipe.timex import (
-        TIMEX_PATTERNS, _REGION_BOUNDED, _word_region,
-    )
+    # margins are upper bounds on each pattern's reach incl. lookaheads.
+    # The test calls the PRODUCTION window helper (_bounded_windows), so
+    # it validates the real code path, not a copy.
+    from kgpipe.timex import TIMEX_PATTERNS, _REGION_BOUNDED, _bounded_windows
 
     pats = {k: p for k, p in TIMEX_PATTERNS if k in _REGION_BOUNDED}
     assert set(pats) == set(_REGION_BOUNDED)
@@ -1272,21 +1272,21 @@ def test_region_bounded_scan_matches_full_scan():
         "friday march 5, 2021 at midnight", "at 8 in the morning tomorrow",
         "noon\nnext friday", "up to\ntwo weeks ago", "9 pm 10 pm 11 pm",
         "::: odd ::: 1/2 ::: tokens",
+        # MARGIN-TIGHT cases: a truncated trailing negative lookahead
+        # would vacuously pass and mis-ACCEPT (not just miss) — the
+        # up-to branch's full reach is 6 words past the indicator
+        "up to a couple of weeks ago", "up to twenty one days earlier",
+        "due at NOON ON FRIDAY", "AT 19:30 YESTERDAY ok",
+        # str.lower() length drift (Turkish dotted capital I lowercases
+        # to two chars) must not misalign or overflow the windows
+        "İ" * 40 + " meet tomorrow at 19:30 ok",
     ]
     for t in cases:
-        lower = t.lower()
         for kind, pat in pats.items():
             full = [(m.start(), m.end()) for m in pat.finditer(t)]
-            ind, lw, rw = _REGION_BOUNDED[kind]
-            spans = []
-            for im in ind.finditer(lower):
-                b, e = _word_region(t, im.start(), im.end(), lw, rw)
-                if spans and b <= spans[-1][1]:
-                    if e > spans[-1][1]:
-                        spans[-1] = (spans[-1][0], e)
-                else:
-                    spans.append((b, e))
             bounded = []
-            for b, e in spans:
+            for b, e in _bounded_windows(t, kind):
                 bounded += [(m.start(), m.end()) for m in pat.finditer(t, b, e)]
             assert full == bounded, (kind, t, full, bounded)
+    # the crash repro from review: must not raise
+    assert detect_timexes("İ" * 40 + " meet tomorrow at 19:30 ok")
