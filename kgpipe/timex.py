@@ -1387,6 +1387,16 @@ _REGION_BOUNDED: dict = {
     # indicator, and a truncated lookahead would vacuously pass and
     # mis-accept the anchored reading as a period (test-pinned)
     "period_approx": (re.compile(r"\bor\s+so\b|\bup\s+to\b", re.I), 5, 7),
+    # every clock_time match ends at a word-initial-or-digit-adjacent
+    # am/pm ("am" as a plain substring hits "stream" on most turns)
+    "clock_time": (
+        re.compile(r"(?<![a-z])[ap]\.?m\.?(?![a-z])", re.I), 3, 2,
+    ),
+    # every mod_in_span match starts at its connective ("part" is a
+    # corpus vocabulary word, so the substring prefilter passes broadly)
+    "mod_in_span": (
+        re.compile(r"\b(?:earlier|later)\s+in\b|\bpart\s+of\b", re.I), 1, 4,
+    ),
 }
 
 

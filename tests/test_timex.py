@@ -1280,6 +1280,10 @@ def test_region_bounded_scan_matches_full_scan():
         # str.lower() length drift (Turkish dotted capital I lowercases
         # to two chars) must not misalign or overflow the windows
         "İ" * 40 + " meet tomorrow at 19:30 ok",
+        # clock_time / mod_in_span bounded-kind cases
+        "at 10:30 am today", "3pm sharp", "7 p.m. tonight",
+        "earlier in the year", "later in 2020", "part of the quarter",
+        "an example of programming", "the stream of data",
     ]
     for t in cases:
         for kind, pat in pats.items():
