@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import datetime as dt
 import re
+from functools import lru_cache
 from typing import List, NamedTuple, Optional, Tuple
 
 __all__ = [
@@ -1285,6 +1286,13 @@ _QUICK_SUBSTRINGS = tuple(sorted(
 ))
 
 
+@lru_cache(maxsize=65536)
+def _word_quick_keys(word: str) -> frozenset:
+    """Quick-key substrings present in one (lowercased) whitespace
+    token. Memoized across calls — see the detect_timexes prefilter."""
+    return frozenset(k for k in _QUICK_SUBSTRINGS if k in word)
+
+
 # Patterns whose every match contains at least one digit AND extends at most
 # 2 whitespace-words left of its first digit ("september 5, 2021": one month
 # word) and 0 chars right of its last digit (all five end on \d\b). Their
@@ -1437,7 +1445,15 @@ def detect_timexes(text: str):
         last_digit_end = max(m.end() for m in _DIGIT_RE.finditer(text))
         r_begin, r_end = _digit_region(text, first_digit.start(), last_digit_end)
         region = text[r_begin:r_end]
-    present = {k for k in _QUICK_SUBSTRINGS if k in lower}
+    # quick-key presence per WORD, memoized: every key is single-word
+    # (module invariant, asserted above), so the union of per-word key
+    # sets over the distinct whitespace tokens equals the whole-text
+    # substring scan — and natural-language word distributions are
+    # Zipfian, so the per-word sets cache extremely well (the 172-key
+    # scan itself was 25% of per-turn detection cost)
+    present = set()
+    for w in set(lower.split()):
+        present |= _word_quick_keys(w)
     candidates = []
     for prio, (kind, pat) in enumerate(TIMEX_PATTERNS):
         quick = _QUICK_KEYS.get(kind)

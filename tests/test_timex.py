@@ -1294,3 +1294,20 @@ def test_region_bounded_scan_matches_full_scan():
             assert full == bounded, (kind, t, full, bounded)
     # the crash repro from review: must not raise
     assert detect_timexes("İ" * 40 + " meet tomorrow at 19:30 ok")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(max_codepoint=0x2FF), max_size=120))
+def test_word_memoized_prefilter_matches_whole_text_scan(t):
+    # the per-word memoized quick-key presence set must equal the
+    # whole-text substring scan — sound because every key is single-word
+    # (module invariant); fuzz includes unicode whose lower() can change
+    # length
+    from kgpipe.timex import _QUICK_SUBSTRINGS, _word_quick_keys
+
+    lower = t.lower()
+    full = {k for k in _QUICK_SUBSTRINGS if k in lower}
+    per_word = set()
+    for w in set(lower.split()):
+        per_word |= _word_quick_keys(w)
+    assert full == per_word
