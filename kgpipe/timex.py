@@ -1177,9 +1177,10 @@ _QUICK_KEYS = {
 for _kind, _quick in _QUICK_KEYS.items():
     if _quick != "digit":
         for _k in _quick:
-            assert " " not in _k, (
+            assert not any(c.isspace() for c in _k), (
                 f"multi-word quick key {_k!r} for {_kind} — prefilters must "
-                "not span whitespace"
+                "not span ANY whitespace (the per-word memoized presence "
+                "scan splits on every whitespace character)"
             )
 
 # Deduplicated prefilter plan: many patterns share substrings ("last",
@@ -1277,13 +1278,20 @@ _QUICK_KEYS2 = {
 for _kind, _quick in _QUICK_KEYS2.items():
     assert _kind in _QUICK_KEYS, _kind
     for _k in _quick:
-        assert " " not in _k, (
+        assert not any(c.isspace() for c in _k), (
             f"multi-word second-level quick key {_k!r} for {_kind}"
         )
 _QUICK_SETS2 = {k: frozenset(v) for k, v in _QUICK_KEYS2.items()}
 _QUICK_SUBSTRINGS = tuple(sorted(
     set().union(*_QUICK_SETS.values()) | set().union(*_QUICK_SETS2.values())
 ))
+
+
+# tokens longer than this bypass the cache: real vocabulary words are
+# short, while long unique tokens (URLs, hashes, base64 blobs in tool
+# output) would fill the LRU with never-reused entries and pay cache
+# bookkeeping on top of the probe
+_MAX_CACHED_WORD = 24
 
 
 @lru_cache(maxsize=65536)
@@ -1453,7 +1461,10 @@ def detect_timexes(text: str):
     # scan itself was 25% of per-turn detection cost)
     present = set()
     for w in set(lower.split()):
-        present |= _word_quick_keys(w)
+        if len(w) <= _MAX_CACHED_WORD:
+            present |= _word_quick_keys(w)
+        else:
+            present.update(k for k in _QUICK_SUBSTRINGS if k in w)
     candidates = []
     for prio, (kind, pat) in enumerate(TIMEX_PATTERNS):
         quick = _QUICK_KEYS.get(kind)
