@@ -138,6 +138,14 @@ _DATE_AT_ALT = (
     # at "friday"
     rf"|(?:(?:{_WEEKDAY_ANY_ALT})\s*,?\s+)?(?:{_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
     rf"|(?:{_WEEKDAY_ALT})"
+    # calendar-granularity MoveEarlier/MoveLater spans compose with a
+    # clock too ("two days ago at 19:30" = yesterday-like anchoring;
+    # the grammar's [TimeSpan] at [Time] accepts ANY TimeSpan). Week/
+    # month/year spans have no single day — the handler's degrade path
+    # then keeps the DATE value and drops the clock rather than
+    # mis-anchoring it to the turn day
+    rf"|(?:{_NUM_ALT})\s+(?:days?|weeks?|months?|years?)\s+ago"
+    rf"|in\s+(?:{_NUM_ALT})\s+(?:days?|weeks?|months?|years?)"
     r"|\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}"
 )
 _CLOCK_AT_ALT = (
@@ -1213,7 +1221,7 @@ _QUICK_KEYS2 = {
     "mod_tod": ("early", "mid", "late"),
     "date_at_time": (
         ("yesterday", "today", "tomorrow", "tonight", "night", "morning",
-         "afternoon", "evening", "day", "/", "-")
+         "afternoon", "evening", "day", "week", "month", "year", "/", "-")
         + _WEEKDAY_KEYS + _MONTH_QUICK
     ),
     "ago_partial": ("year", "years"),
