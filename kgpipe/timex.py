@@ -131,13 +131,19 @@ _DATE_AT_ALT = (
     r"|(?:this|tomorrow|yesterday)\s+(?:morning|afternoon|evening)"
     r"|(?:last|tomorrow|yesterday)\s+night|tonight"
     r"|yesterday|today|tomorrow"
+    # the optional part-of-day suffix keeps "next tuesday morning at 8
+    # am" composing (the weekday_tod value's TMO part strips to its day
+    # in the handler); rel-prefixed before bare so the longer form wins
     rf"|(?:last|next|this|that|coming|following|preceding|past|previous)\s+(?:{_WEEKDAY_ALT})"
-    # the weekday-prefixed month-day alternative must come BEFORE the
+    r"(?:\s+(?:morning|afternoon|evening|night))?"
+    # the weekday/rel-prefixed month-day alternative must come BEFORE the
     # bare weekday one: regex alternation takes the first match, and a
     # bare-weekday win would truncate "noon on friday march 5, 2021"
-    # at "friday"
-    rf"|(?:(?:{_WEEKDAY_ANY_ALT})\s*,?\s+)?(?:{_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
-    rf"|(?:{_WEEKDAY_ALT})"
+    # at "friday". The rel prefix keeps "next june 5 at noon" composing
+    # (rel_month would otherwise win the sweep and orphan the clock)
+    rf"|(?:(?:last|previous|next|coming|following|this|that|past)\s+)?"
+    rf"(?:(?:{_WEEKDAY_ANY_ALT})\s*,?\s+)?(?:{_MONTH_ALT})\.?\s+\d{{1,2}}(?:st|nd|rd|th)?(?:\s*,?\s+\d{{4}})?"
+    rf"|(?:{_WEEKDAY_ALT})(?:\s+(?:morning|afternoon|evening|night))?"
     # calendar-granularity MoveEarlier/MoveLater spans compose with a
     # clock too ("two days ago at 19:30" = yesterday-like anchoring;
     # the grammar's [TimeSpan] at [Time] accepts ANY TimeSpan). Week/
@@ -149,7 +155,11 @@ _DATE_AT_ALT = (
     r"|\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}"
 )
 _CLOCK_AT_ALT = (
-    r"\d{1,2}(?::[0-5]\d)?\s*[ap]\.?m\.?"
+    # the am/pm form accepts a trailing dot ONLY when internally dotted
+    # ("p.m."): with a bare "pm" the dot is a sentence period, and
+    # consuming it would let the composition swallow the NEXT sentence's
+    # date ("It was 8 pm. Tomorrow ..." must stay two timexes)
+    r"\d{1,2}(?::[0-5]\d)?\s*(?:[ap]m\b|[ap]\.m\.?)"
     r"|(?:[01]?\d|2[0-3]):[0-5]\d(?::[0-5]\d)?"
     r"|noon|midday|midnight"
 )
@@ -731,21 +741,30 @@ TIMEX_PATTERNS: List[Tuple[str, re.Pattern]] = [
             re.I,
         ),
     ),
+    # counted bare-plural tod spans ("two mornings", "eleven evenings"):
+    # "morning" is not a grammar Unit, so the reference emits NOTHING for
+    # these — this dead pattern wins the earliest-begin sweep over the
+    # tod_set plural and its normalizer returns None (silent drop). A
+    # consuming span is robust where the previous fixed-width lookbehind
+    # chain was not: any count word, any whitespace run ("two  mornings"
+    # with a double space bypassed a single-\s lookbehind)
+    (
+        "counted_tod_drop",
+        re.compile(
+            rf"\b({_NUM_ALT}|{_VAGUE_ALT})\s+"
+            r"(mornings|afternoons|evenings|nights)\b",
+            re.I,
+        ),
+    ),
     # recurring times of day — en.grammar:508-511,526-532: "every morning",
-    # "mornings" -> TIMEX3 SET XXXX-XX-XXTMO/TAF/TEV/TNI. The bare-plural
-    # branch is count-gated (fixed-width lookbehinds + an ago/earlier
-    # lookahead, mirroring the springs/falls verb gate): "two mornings
-    # ago" is a counted span — "morning" is not a grammar Unit, so the
-    # reference emits nothing and the fragment must silently drop rather
-    # than fire the recurring-set reading
+    # "mornings" -> TIMEX3 SET XXXX-XX-XXTMO/TAF/TEV/TNI. The counted
+    # spans are eaten by counted_tod_drop above; the ago/earlier
+    # lookahead also drops the rare count-less "mornings ago" fragment
     (
         "tod_set",
         re.compile(
             r"\b(?:(?:every|each)\s+(morning|afternoon|evening|night)"
-            r"|(?<!\d\s)(?<!two\s)(?<!three\s)(?<!four\s)(?<!five\s)"
-            r"(?<!six\s)(?<!seven\s)(?<!eight\s)(?<!nine\s)(?<!ten\s)"
-            r"(?<!few\s)(?<!couple\s)(?<!several\s)"
-            r"(mornings|afternoons|evenings|nights)"
+            r"|(mornings|afternoons|evenings|nights)"
             r"(?!\s+(?:ago|earlier)\b))\b",
             re.I,
         ),
@@ -1136,6 +1155,7 @@ _QUICK_KEYS = {
     ),
     "suffix_modified": ("later", "earlier", "beyond", "before"),
     "bound_unit": ("beginning", "start", "end"),
+    "counted_tod_drop": ("mornings", "afternoons", "evenings", "nights"),
     "tod_set": ("morning", "afternoon", "evening", "night"),
     "weekday_tod_set": ("mornings", "afternoons", "evenings", "nights"),
     "tod_of_date": ("morning", "afternoon", "evening", "night"),
@@ -1630,6 +1650,11 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
         anchor = anchor_dt.date()
     s = " ".join(surface.split())
     try:
+        if kind == "counted_tod_drop":
+            # deliberate dead span: counted bare-plural parts of day have
+            # no grammar reading ("morning" is not a Unit) — consuming
+            # them silently is the drop mechanism (see the battery entry)
+            return None
         if kind == "slash_date":
             parts = s.split("/")
             if len(parts) != 3 or not all(p.isdigit() for p in parts):
@@ -1743,36 +1768,10 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
             if moved_later and moved_earlier:
                 return None  # contradictory "in ... ago" fusion
             if moved_later or moved_earlier:
-                # anchored MoveEarlier/MoveLater at the granularity the
-                # fraction converts to integrally (the frac_period
-                # convention); non-integral conversions silently drop
-                if anchor is None:
-                    return None
                 sign = 1 if moved_later else -1
-                if unit == "year" and (total_num * 12) % den == 0:
-                    y, mo = _shift_month(
-                        anchor.year, anchor.month,
-                        sign * (total_num * 12) // den,
-                    )
-                    return _fmt_month(y, mo)
-                if unit == "month" and (total_num * 30) % den == 0:
-                    return _fmt_day(anchor + dt.timedelta(
-                        days=sign * (total_num * 30) // den))
-                if anchor_dt is None:
-                    return None
-                if unit == "day" and (total_num * 24) % den == 0:
-                    shifted = anchor_dt + dt.timedelta(
-                        hours=sign * (total_num * 24) // den)
-                    return shifted.strftime("%Y-%m-%dT%H")
-                if unit == "hour" and (total_num * 60) % den == 0:
-                    shifted = anchor_dt + dt.timedelta(
-                        minutes=sign * (total_num * 60) // den)
-                    return shifted.strftime("%Y-%m-%dT%H:%M")
-                if unit == "minute" and (total_num * 60) % den == 0:
-                    shifted = anchor_dt + dt.timedelta(
-                        seconds=sign * (total_num * 60) // den)
-                    return shifted.strftime("%Y-%m-%dT%H:%M:%S")
-                return None
+                return _frac_anchored(
+                    total_num, den, unit, sign, anchor, anchor_dt
+                )
             finer = {"year": (12, "M", ""), "month": (30, "D", ""),
                      "hour": (60, "M", "T"), "minute": (60, "S", "T")}
             if unit in finer:
@@ -2082,32 +2081,13 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 # drop rather than emit a confidently wrong direction (O3)
                 return None
             if moved_later or moved_earlier:
-                if anchor is None:
-                    return None
+                # n-and-a-half = (2n+1)/2 units through the shared
+                # fractional-anchor helper (minute fractions land on
+                # seconds, which the helper also serves)
                 sign = 1 if moved_later else -1
-                if unit == "year":
-                    y, mo = _shift_month(
-                        anchor.year, anchor.month, sign * (12 * n + 6)
-                    )
-                    return _fmt_month(y, mo)
-                if unit == "month":
-                    return _fmt_day(
-                        anchor + dt.timedelta(days=sign * (30 * n + 15))
-                    )
-                if unit == "week":
-                    return None  # no integral finer unit — silent drop
-                # sub-day fractions: arithmetic on the FULL timestamp,
-                # date-only anchors silently drop (O3)
-                if anchor_dt is None:
-                    return None
-                if unit == "day":
-                    shifted = anchor_dt + dt.timedelta(hours=sign * (24 * n + 12))
-                    return shifted.strftime("%Y-%m-%dT%H")
-                if unit == "hour":
-                    shifted = anchor_dt + dt.timedelta(minutes=sign * (60 * n + 30))
-                    return shifted.strftime("%Y-%m-%dT%H:%M")
-                shifted = anchor_dt + dt.timedelta(seconds=sign * (60 * n + 30))
-                return shifted.strftime("%Y-%m-%dT%H:%M:%S")
+                return _frac_anchored(
+                    2 * n + 1, 2, unit, sign, anchor, anchor_dt
+                )
             if unit == "year":
                 return f"P{12 * n + 6}M"
             if unit == "month":
@@ -2268,17 +2248,10 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                     return None
                 target = _WEEKDAYS[wm.group(2).lower()]
                 word = (wm.group(1) or "").lower()
-                if word in ("last", "preceding", "past", "previous"):
-                    back = (anchor.weekday() - target - 1) % 7 + 1
-                    inner = anchor - dt.timedelta(days=back)
-                elif word in ("next", "following", "coming"):
-                    fwd = (target - anchor.weekday() - 1) % 7 + 1
-                    inner = anchor + dt.timedelta(days=fwd)
-                elif word in ("this", "that"):
-                    # the current ISO week's occurrence — consistent with
-                    # the standalone rel_weekday this/that semantics
-                    iso = anchor.isocalendar()
-                    inner = dt.date.fromisocalendar(iso[0], iso[1], target + 1)
+                if word:
+                    # rel-prefixed inner: same resolution as the
+                    # standalone rel_weekday (shared helper)
+                    inner = _rel_weekday_date(word, target, anchor)
                 else:
                     # bare weekday: W7 nearest occurrence
                     back = (anchor.weekday() - target) % 7
@@ -2655,19 +2628,9 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                 s, re.I,
             )
             target = _WEEKDAYS_ANY[m.group(2).lower()]
-            word = m.group(1).lower()
-            if word in ("this", "that"):
-                # FindEnclosed over the current ISO week (en.grammar:389)
-                iso = anchor.isocalendar()
-                return _fmt_day(
-                    dt.date.fromisocalendar(iso[0], iso[1], target + 1)
-                )
-            if word in ("last", "preceding", "past", "previous"):
-                # latest such weekday strictly before the anchor
-                back = (anchor.weekday() - target - 1) % 7 + 1
-                return _fmt_day(anchor - dt.timedelta(days=back))
-            fwd = (target - anchor.weekday() - 1) % 7 + 1
-            return _fmt_day(anchor + dt.timedelta(days=fwd))
+            return _fmt_day(
+                _rel_weekday_date(m.group(1).lower(), target, anchor)
+            )
         if kind == "month_day":
             # W7 proper via the shared helper: three candidate years,
             # nearest start to the anchor wins (TEP.scala:238-243);
@@ -2800,16 +2763,7 @@ def normalize_timex(surface: str, kind: str, anchor=None) -> Optional[str]:
                     "evening": "EV", "night": "NI"}[m.group(3).lower()]
             target = _WEEKDAYS_ANY[m.group(2).lower()]
             if m.group(1):
-                word = m.group(1).lower()
-                if word in ("this", "that"):
-                    iso = anchor.isocalendar()
-                    day = dt.date.fromisocalendar(iso[0], iso[1], target + 1)
-                elif word in ("last", "preceding", "past", "previous"):
-                    back = (anchor.weekday() - target - 1) % 7 + 1
-                    day = anchor - dt.timedelta(days=back)
-                else:
-                    fwd = (target - anchor.weekday() - 1) % 7 + 1
-                    day = anchor + dt.timedelta(days=fwd)
+                day = _rel_weekday_date(m.group(1).lower(), target, anchor)
                 return _fmt_day(day) + "T" + part
             back = (anchor.weekday() - target) % 7
             fwd = (target - anchor.weekday()) % 7
@@ -2966,6 +2920,56 @@ def _bare_month_w7(inner_txt: str, anchor):
         for y in (anchor.year - 1, anchor.year, anchor.year + 1)
     ]
     return rank_parses(parses, anchor)[0].value
+
+
+def _rel_weekday_date(word: str, target: int, anchor: dt.date) -> dt.date:
+    """Shared rel-weekday resolution (rel_weekday, the weekday_tod
+    prefix, and period_offset_date's weekday inner — three sites that
+    previously carried hand-rolled copies): this/that = the current ISO
+    week's occurrence (en.grammar:389); the last family = strictly
+    previous; the next family = strictly next."""
+    if word in ("this", "that"):
+        iso = anchor.isocalendar()
+        return dt.date.fromisocalendar(iso[0], iso[1], target + 1)
+    if word in ("last", "preceding", "past", "previous"):
+        back = (anchor.weekday() - target - 1) % 7 + 1
+        return anchor - dt.timedelta(days=back)
+    fwd = (target - anchor.weekday() - 1) % 7 + 1
+    return anchor + dt.timedelta(days=fwd)
+
+
+def _frac_anchored(total_num: int, den: int, unit: str, sign: int,
+                   anchor, anchor_dt) -> Optional[str]:
+    """Anchored MoveEarlier/MoveLater for a fractional period of
+    total_num/den units (shared by the worded and slash fraction kinds):
+    the value lands at the granularity the fraction converts to
+    integrally — years -> months, months -> days (30-day convention),
+    day/hour/minute on the FULL timestamp — and silently drops (O3) on
+    non-integral conversions, week granularity (no integral finer
+    calendar unit), or a missing anchor."""
+    if anchor is None:
+        return None
+    if unit == "year" and (total_num * 12) % den == 0:
+        y, mo = _shift_month(
+            anchor.year, anchor.month, sign * (total_num * 12) // den
+        )
+        return _fmt_month(y, mo)
+    if unit == "month" and (total_num * 30) % den == 0:
+        return _fmt_day(
+            anchor + dt.timedelta(days=sign * (total_num * 30) // den)
+        )
+    if unit == "week" or anchor_dt is None:
+        return None
+    if unit == "day" and (total_num * 24) % den == 0:
+        shifted = anchor_dt + dt.timedelta(hours=sign * (total_num * 24) // den)
+        return shifted.strftime("%Y-%m-%dT%H")
+    if unit == "hour" and (total_num * 60) % den == 0:
+        shifted = anchor_dt + dt.timedelta(minutes=sign * (total_num * 60) // den)
+        return shifted.strftime("%Y-%m-%dT%H:%M")
+    if unit == "minute" and (total_num * 60) % den == 0:
+        shifted = anchor_dt + dt.timedelta(seconds=sign * (total_num * 60) // den)
+        return shifted.strftime("%Y-%m-%dT%H:%M:%S")
+    return None
 
 
 def _md_w7_pick(txt: str, anchor) -> Optional[dt.date]:

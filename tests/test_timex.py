@@ -1122,9 +1122,17 @@ def test_hour_ampm_word_and_tod_guards():
     assert detect_timexes("chapter 5 in the book") == []
     # invalid 12h hour silently drops
     assert _norm("13 in the afternoon") is None
-    # counted bare-plural tod fragments silently drop (not grammar Units)
-    assert detect_timexes("two mornings ago") == []
-    assert detect_timexes("we met 3 evenings ago") == []
+    # counted bare-plural tod fragments silently drop (not grammar
+    # Units): the dead counted_tod_drop span wins the sweep and its
+    # value is None (the F5 normalized-timex filter discards it) —
+    # robust to any count word and any whitespace run
+    for phrase in ("two mornings ago", "we met 3 evenings ago",
+                   "two  mornings ago", "eleven mornings",
+                   "twenty mornings there", "a few evenings"):
+        det = detect_timexes(phrase)
+        assert [d["kind"] for d in det] == ["counted_tod_drop"], phrase
+        assert normalize_timex(det[0]["surface"], det[0]["kind"],
+                               ANCHOR) is None
     # the recurring-set readings stay
     assert _norm("every morning") == "XXXX-XX-XXTMO"
     assert detect_timexes("most mornings work")[0]["kind"] == "tod_set"
@@ -1311,3 +1319,16 @@ def test_word_memoized_prefilter_matches_whole_text_scan(t):
     for w in set(lower.split()):
         per_word |= _word_quick_keys(w)
     assert full == per_word
+
+
+def test_sentence_period_does_not_fuse_clock_with_next_sentence():
+    # "8 pm." + capitalized next sentence: the bare am/pm form must not
+    # consume the sentence period and compose with the NEXT sentence's
+    # date (regression: 'It was 8 pm. Tomorrow ...' read 2024-03-16T20:00)
+    det = detect_timexes("It was 8 pm. Tomorrow is another day.")
+    assert [(d["kind"], d["surface"]) for d in det] == [
+        ("clock_time", "8 pm"), ("rel_day", "Tomorrow")
+    ]
+    # internally-dotted forms still compose across their own span
+    assert _norm("8 p.m. tomorrow") == "2024-03-16T20:00"
+    assert _norm("8 pm tomorrow") == "2024-03-16T20:00"
