@@ -113,6 +113,7 @@ def annotate_turn(
     blacklist,
     cfg: PipelineConfig,
     with_timexes: bool = True,
+    with_token_rows: bool = True,
 ):
     """Annotate one turn. Returns (anchor_date, tokens, mentions, timexes)
     where the three lists hold dicts shaped like schemas.TOKEN_STRUCT /
@@ -138,16 +139,22 @@ def annotate_turn(
     begins_sorted = [b for b, _ in token_map]
     ends_sorted = [e for _, e in token_map]
 
-    token_rows = [
-        {
-            "tok_idx": i,
-            "begin": token_map[i][0],
-            "end": token_map[i][1],
-            "text": tokens[i],
-            "is_newline": bool(newline_flags[i]),
-        }
-        for i in range(n)
-    ]
+    # token-row dicts are pure repackaging (~5% of per-turn CPU); callers
+    # that never read them (flat mention-row pass) skip the build
+    token_rows = (
+        [
+            {
+                "tok_idx": i,
+                "begin": token_map[i][0],
+                "end": token_map[i][1],
+                "text": tokens[i],
+                "is_newline": bool(newline_flags[i]),
+            }
+            for i in range(n)
+        ]
+        if with_token_rows
+        else []
+    )
 
     # --- timexes: detect + normalize (F6/X4/X5 live inside normalize) ---
     timex_rows = []

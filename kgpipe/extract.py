@@ -29,11 +29,16 @@ from pyspark.sql import functions as F
 
 from .annotate import annotate_turn
 from .config import DEFAULT_CONFIG, PipelineConfig
-from .schemas import ANNOTATED_SCHEMA, ANNOTATION_UNION_SCHEMA
+from .schemas import (
+    ANNOTATED_SCHEMA,
+    ANNOTATION_UNION_SCHEMA,
+    MENTION_ROWS_SCHEMA,
+)
 from .score import tokens_for_mode
 
 __all__ = [
     "annotate_transcripts",
+    "annotate_mention_rows",
     "annotate_union",
     "tokens_table",
     "mentions_table",
@@ -88,6 +93,48 @@ def annotate_transcripts(
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     return transcripts.select(*cols).mapInPandas(gen, schema=ANNOTATED_SCHEMA)
+
+
+_MENTION_ROW_COLS = MENTION_ROWS_SCHEMA.fieldNames()
+
+
+def annotate_mention_rows(
+    transcripts: DataFrame,
+    gazetteer,
+    blacklist,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Mentions-only annotate emitting FLAT mention rows
+    (MENTION_ROWS_SCHEMA) — value-identical to
+    ``mentions_table(annotate_transcripts(..., with_timexes=False))`` but
+    the Arrow boundary carries only the mention columns: no token-struct
+    array, no turn text, no role/tool/ts passthroughs, and no downstream
+    explode. The narrow pass for consumers that read nothing but mentions
+    (cross-turn edges, rollups, canonicalization)."""
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast((gazetteer, blacklist, cfg))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz, _bl, c = bc.value
+        for pdf in batches:
+            out = {k: [] for k in _MENTION_ROW_COLS}
+            for row in pdf.itertuples(index=False):
+                ts = None if pd.isna(row.ts) else row.ts
+                anchor, _toks, ments, _tmx = annotate_turn(
+                    row.conv_id, row.turn_idx, row.text, ts, gaz, _bl, c,
+                    with_timexes=False, with_token_rows=False,
+                )
+                for m in ments:
+                    out["conv_id"].append(row.conv_id)
+                    out["turn_idx"].append(row.turn_idx)
+                    out["anchor_date"].append(anchor)
+                    out["mention_idx"].append(m["mention_idx"])
+                    for k in _MENTION_FIELDS:
+                        out[k].append(m[k])
+            yield pd.DataFrame(out)
+
+    cols = ["conv_id", "turn_idx", "text", "ts"]
+    return transcripts.select(*cols).mapInPandas(gen, schema=MENTION_ROWS_SCHEMA)
 
 
 _UNION_COLS = ANNOTATION_UNION_SCHEMA.fieldNames()

@@ -81,6 +81,22 @@ ANNOTATED_SCHEMA = T.StructType(
     ]
 )
 
+# Mentions-only fast path (build_annotations timexes=False): flat mention
+# rows straight out of the annotate pass. Field set matches
+# mentions_table(annotated) exactly — (conv_id, turn_idx, anchor_date) +
+# MENTION_STRUCT — but the Arrow transfer carries ONLY these columns: no
+# token array, no text, no per-turn passthroughs (those were ~80% of the
+# no-timex annotate stage's serialized bytes and none of its consumers
+# read them).
+MENTION_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("anchor_date", T.DateType()),
+    ]
+    + list(MENTION_STRUCT.fields)
+)
+
 # One-pass structured path (build_triples fused=False): the annotate stage
 # emits mention rows (kind_rank 0), timex rows (kind_rank 1) and ONE
 # token-stream row per turn (kind_rank 2) directly in the merged W1 union

@@ -48,16 +48,21 @@ def with_conv_chunks(
     to is_halo = false rows, equals the same window over the whole
     conversation.
     """
-    chunk = F.floor(F.col("turn_idx") / F.lit(chunk_turns))
-    base = turns.withColumn("chunk", chunk.cast("long")).withColumn(
-        "is_halo", F.lit(False)
+    # Single-pass explode rather than a base ∪ halo union: a union reads
+    # (and recomputes) the whole upstream subtree once per branch — for the
+    # cross-turn path that subtree is the annotation scan itself, so the
+    # union shape doubled the most expensive stage whenever the input was
+    # not persisted. One explode emits the same rows in one pass.
+    chunk = F.floor(F.col("turn_idx") / F.lit(chunk_turns)).cast("long")
+    in_halo = (chunk >= 1) & (
+        F.col("turn_idx") % F.lit(chunk_turns) < F.lit(halo)
     )
-    halo_rows = (
-        turns.withColumn("chunk", (chunk - 1).cast("long"))
-        .where(
-            (F.col("chunk") >= 0)
-            & (F.col("turn_idx") % F.lit(chunk_turns) < F.lit(halo))
-        )
-        .withColumn("is_halo", F.lit(True))
+    emitted = F.explode(
+        F.when(in_halo, F.array(chunk, chunk - 1)).otherwise(F.array(chunk))
     )
-    return base.unionByName(halo_rows)
+    return (
+        turns.withColumn("_base_chunk", chunk)
+        .withColumn("chunk", emitted)
+        .withColumn("is_halo", F.col("chunk") != F.col("_base_chunk"))
+        .drop("_base_chunk")
+    )
