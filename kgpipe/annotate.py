@@ -135,14 +135,21 @@ def annotate_turn(
     anchor_full = full_anchor_for(ts, anchor)
     tokens, token_map, newline_flags = tokenize(text)
     n = len(tokens)
-    begin_map, end_map = invert_token_map(token_map)
-    begins_sorted = [b for b, _ in token_map]
-    ends_sorted = [e for _, e in token_map]
+    # the inverse maps serve only timex token-offset mapping and the conmod
+    # covering-sentence lookup — skip the four O(n) builds when neither runs
+    if with_timexes or cfg.use_conmod:
+        begin_map, end_map = invert_token_map(token_map)
+        begins_sorted = [b for b, _ in token_map]
+        ends_sorted = [e for _, e in token_map]
 
     # token-row dicts are pure repackaging (~5% of per-turn CPU); callers
-    # that never read them (flat mention-row pass) skip the build
-    token_rows = (
-        [
+    # that never read them pass False, callers that only need the raw
+    # streams (fused triple build, union annotate) pass "raw" and get
+    # (tokens, newline_flags) without the per-token dict round-trip
+    if with_token_rows == "raw":
+        token_rows = (tokens, newline_flags)
+    elif with_token_rows:
+        token_rows = [
             {
                 "tok_idx": i,
                 "begin": token_map[i][0],
@@ -152,9 +159,8 @@ def annotate_turn(
             }
             for i in range(n)
         ]
-        if with_token_rows
-        else []
-    )
+    else:
+        token_rows = []
 
     # --- timexes: detect + normalize (F6/X4/X5 live inside normalize) ---
     timex_rows = []

@@ -181,8 +181,9 @@ def annotate_union(
 
             for row in pdf.itertuples(index=False):
                 ts = None if pd.isna(row.ts) else row.ts
-                anchor, toks, ments, tmx = annotate_turn(
-                    row.conv_id, row.turn_idx, row.text, ts, gaz, _bl, c
+                anchor, (toks_raw, nl_raw), ments, tmx = annotate_turn(
+                    row.conv_id, row.turn_idx, row.text, ts, gaz, _bl, c,
+                    with_token_rows="raw",
                 )
                 for m in ments:
                     emit(
@@ -197,11 +198,7 @@ def annotate_union(
                 emit(
                     row.conv_id, row.turn_idx, anchor, 2, 0,
                     tok_stream="\x1f".join(
-                        tokens_for_mode(
-                            [t["text"] for t in toks],
-                            [t["is_newline"] for t in toks],
-                            "dtr",
-                        )
+                        tokens_for_mode(toks_raw, nl_raw, "dtr")
                     ),
                 )
             yield pd.DataFrame(out)

@@ -285,8 +285,9 @@ def turn_triples(
     """All triples for one turn (fused path). Mirrors the structured
     DataFrame algebra exactly; the equality of the two paths is a pytest
     invariant."""
-    anchor, token_rows, mention_rows, timex_rows = annotate_turn(
-        conv_id, turn_idx, text, ts, gazetteer, blacklist, cfg
+    anchor, (toks_raw, nl_raw), mention_rows, timex_rows = annotate_turn(
+        conv_id, turn_idx, text, ts, gazetteer, blacklist, cfg,
+        with_token_rows="raw",
     )
     note = f"{conv_id}_{turn_idx}"
     out: List[dict] = []
@@ -327,9 +328,7 @@ def turn_triples(
     for rank, (_, kind, i) in enumerate(ann):
         ids[(kind, i)] = f"{rank}@e@{note}@system"
 
-    tokens = tokens_for_mode(
-        [t["text"] for t in token_rows], [t["is_newline"] for t in token_rows], "dtr"
-    )
+    tokens = tokens_for_mode(toks_raw, nl_raw, "dtr")
     # the (normed, anchor) -> label map is per-TIMEX, not per-pair: compute
     # once per turn instead of once per (mention, timex) combination
     label_by_timex = [tlink_label(t["normed"], anchor) for t in relevant]

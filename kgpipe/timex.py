@@ -1463,6 +1463,104 @@ def _bounded_windows(text: str, kind: str) -> List[Tuple[int, int]]:
     return spans
 
 
+# --- word-level indicator-presence gate for the region-bounded kinds ---
+#
+# The generic quick keys are SUBSTRING tests ("am" hits "example"/"team",
+# "part" hits "particular"), so the region-bounded kinds ran their
+# indicator finditer on 55-80% of turns and found windows on almost none.
+# Every region-bounded indicator is whitespace-free (asserted below), so an
+# indicator match in the text lies wholly inside one whitespace token, with
+# its word-boundary lookarounds evaluating identically in the token as in
+# the text (token edges abut whitespace / string ends, which are non-word
+# on both sides) — therefore "no token carries the indicator token-level
+# condition" proves "the indicator cannot match the text", and the scan can
+# be skipped EXACTLY. Multi-word indicators (or+so, up+to, part+of,
+# earlier/later+in, digit+in+the) decompose into per-token conditions
+# AND-ed per alternative; per-token results are lru-memoized like the
+# quick keys.
+_AMPM_WORD_RE = re.compile(r"(?<![a-z])[ap]\.?m\.?(?![a-z])")
+_NOON_WORD_RE = re.compile(r"(?<![a-z])(?:noon|midday|midnight)")
+_DSLASH_WORD_RE = re.compile(r"\d/\d")
+
+# token-condition ids
+_IT_COLON, _IT_AMPM, _IT_NOON, _IT_DSLASH = 0, 1, 2, 3
+_IT_IN, _IT_THE, _IT_OR, _IT_SO, _IT_UP, _IT_TO = 4, 5, 6, 7, 8, 9
+_IT_EARLIER_LATER, _IT_PART, _IT_OF = 10, 11, 12
+
+
+@lru_cache(maxsize=65536)
+def _word_indicator_bits(word: str) -> frozenset:
+    """Indicator token-conditions satisfied by one (lowercased)
+    whitespace token. Exact for the single-token regex conditions; the
+    word-piece conditions for multi-word indicators are NECESSARY (never
+    miss a true indicator) but may over-fire — over-firing only costs the
+    scan the gate exists to skip."""
+    bits = []
+    if ":" in word:
+        bits.append(_IT_COLON)
+    if ("m" in word) and _AMPM_WORD_RE.search(word):
+        bits.append(_IT_AMPM)
+    if ("noon" in word or "midday" in word or "midnight" in word) and \
+            _NOON_WORD_RE.search(word):
+        bits.append(_IT_NOON)
+    if "/" in word and _DSLASH_WORD_RE.search(word):
+        bits.append(_IT_DSLASH)
+    if word.startswith("in"):
+        # loose on purpose: "\s+in\s+" needs the exact token but
+        # "...\s+in\b" (mod_in_span) also matches "in," / "in." tokens
+        bits.append(_IT_IN)
+    if word.startswith("the"):
+        bits.append(_IT_THE)
+    if "or" in word:
+        bits.append(_IT_OR)
+    if word.startswith("so"):
+        bits.append(_IT_SO)
+    if word.endswith("up"):
+        bits.append(_IT_UP)
+    if word.startswith("to"):
+        bits.append(_IT_TO)
+    if word.endswith("earlier") or word.endswith("later"):
+        bits.append(_IT_EARLIER_LATER)
+    if word.endswith("part"):
+        bits.append(_IT_PART)
+    if word.startswith("of"):
+        bits.append(_IT_OF)
+    return frozenset(bits)
+
+
+def _region_kind_possible(kind: str, bits: frozenset, has_digit: bool) -> bool:
+    """Can ``kind``'s indicator match a text whose per-token indicator
+    conditions union to ``bits``? False proves the indicator finditer
+    would find nothing (see _word_indicator_bits)."""
+    if kind == "date_at_time":
+        return _IT_COLON in bits or _IT_AMPM in bits or _IT_NOON in bits
+    if kind == "clock_time":
+        return _IT_AMPM in bits
+    if kind == "date_at_time_word":
+        return has_digit and _IT_IN in bits and _IT_THE in bits
+    if kind == "frac_slash":
+        return _IT_DSLASH in bits
+    if kind == "period_approx":
+        return (_IT_OR in bits and _IT_SO in bits) or (
+            _IT_UP in bits and _IT_TO in bits
+        )
+    if kind == "mod_in_span":
+        return (_IT_EARLIER_LATER in bits and _IT_IN in bits) or (
+            _IT_PART in bits and _IT_OF in bits
+        )
+    return True
+
+
+# soundness guard: the token-wise decomposition above is only exact while
+# every region-bounded indicator stays whitespace-free per matched token
+# (\s+ joints between tokens are allowed — they split into the per-token
+# conditions); a new indicator kind must extend both functions above
+assert set(_REGION_BOUNDED) == {
+    "date_at_time", "date_at_time_word", "frac_slash", "period_approx",
+    "clock_time", "mod_in_span",
+}
+
+
 def detect_timexes(text: str):
     """All timex spans in one turn: longest non-overlapping, earliest-first.
 
@@ -1488,11 +1586,14 @@ def detect_timexes(text: str):
     # Zipfian, so the per-word sets cache extremely well (the 172-key
     # scan itself was 25% of per-turn detection cost)
     present = set()
+    ind_bits = set()
     for w in set(lower.split()):
         if len(w) <= _MAX_CACHED_WORD:
             present |= _word_quick_keys(w)
+            ind_bits |= _word_indicator_bits(w)
         else:
             present.update(k for k in _QUICK_SUBSTRINGS if k in w)
+            ind_bits |= _word_indicator_bits.__wrapped__(w)
     candidates = []
     for prio, (kind, pat) in enumerate(TIMEX_PATTERNS):
         quick = _QUICK_KEYS.get(kind)
@@ -1512,6 +1613,8 @@ def detect_timexes(text: str):
                 ))
             continue
         if kind in _REGION_BOUNDED:
+            if not _region_kind_possible(kind, ind_bits, has_digit):
+                continue  # proven: the indicator scan would find nothing
             for b, e in _bounded_windows(text, kind):
                 for m in pat.finditer(text, b, e):
                     candidates.append(

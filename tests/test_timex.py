@@ -1321,6 +1321,37 @@ def test_word_memoized_prefilter_matches_whole_text_scan(t):
     assert full == per_word
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(
+    list("ap.m:nod/ 0123456789\n\tuortsielPAMİ,-") +
+    ["noon", "up to", "or so", "part of", "earlier in", "1/2", "p.m.",
+     "3 in the", "midnight", "in,", "set-up", "AM", "afternoon",
+     "example", "particular"]
+), max_size=40).map("".join))
+def test_indicator_word_gate_is_sound(t):
+    # the word-level indicator-presence gate may only skip a region-bounded
+    # kind's indicator scan when the indicator PROVABLY cannot match: for
+    # every fuzz text and kind, gate == False implies zero indicator hits
+    # (over-firing is allowed — it just runs the scan)
+    from kgpipe.timex import (
+        _MAX_CACHED_WORD, _REGION_BOUNDED, _region_kind_possible,
+        _word_indicator_bits,
+    )
+
+    lower = t.lower()
+    has_digit = any(c.isdigit() for c in t)
+    bits = set()
+    for w in set(lower.split()):
+        if len(w) <= _MAX_CACHED_WORD:
+            bits |= _word_indicator_bits(w)
+        else:
+            bits |= _word_indicator_bits.__wrapped__(w)
+    for kind, (ind, _, _) in _REGION_BOUNDED.items():
+        if not _region_kind_possible(kind, bits, has_digit):
+            hit = ind.search(t)
+            assert hit is None, (kind, t, hit)
+
+
 def test_sentence_period_does_not_fuse_clock_with_next_sentence():
     # "8 pm." + capitalized next sentence: the bare am/pm form must not
     # consume the sentence period and compose with the NEXT sentence's
