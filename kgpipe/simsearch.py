@@ -200,6 +200,29 @@ def _bucket_udf(dim: int, n_bits: int, table: int):
     return bucket
 
 
+def _bucket_all_udf(dim: int, n_bits: int, n_tables: int):
+    """Every table's bucket id in one matrix product: one Arrow pass over
+    the embeddings instead of one scan + UDF per table (the per-table
+    union shape re-read the corpus n_tables times per join side).
+    Identical keys to _bucket_udf(dim, n_bits, t) per table t."""
+    flat = np.concatenate(
+        [_hyperplanes(dim, n_bits, t) for t in range(n_tables)], axis=0
+    )  # (n_tables * n_bits, dim)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy())  # (batch, dim)
+        bits = (mat @ flat.T) > 0  # (batch, n_tables * n_bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        keys = (
+            bits.reshape(len(embs), n_tables, n_bits).astype(np.int64)
+            * weights
+        ).sum(axis=2).astype(np.int32)  # (batch, n_tables)
+        return pd.Series(list(keys))
+
+    return buckets
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -215,21 +238,18 @@ def lsh_topk(
     integer recurrences, so the whole path (bucketing included) replays in
     the DuckDB oracle; ``raw=True`` skips display rounding for floor-scaled
     cross-engine comparison."""
-    corpus = embeddings
-    cand = None
-    for t in range(n_tables):
-        bu = _bucket_udf(dim, n_bits, t)
-        c = corpus.select("vec_id", "embedding", bu("embedding").alias("bkt"))
-        q = queries.select(
-            "query_id",
-            F.col("embedding").alias("q_emb"),
-            bu("embedding").alias("bkt"),
-        )
-        hits = c.join(F.broadcast(q), "bkt").select(
-            "query_id", "vec_id", "q_emb", "embedding"
-        )
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = cand.dropDuplicates(["query_id", "vec_id"])
+    bu = _bucket_all_udf(dim, n_bits, n_tables)
+    c = embeddings.select(
+        "vec_id", "embedding",
+        F.posexplode(bu("embedding")).alias("tbl", "bkt"),
+    )
+    q = queries.select(
+        "query_id", F.col("embedding").alias("q_emb"),
+        F.posexplode(bu("embedding")).alias("tbl", "bkt"),
+    )
+    cand = c.join(F.broadcast(q), ["tbl", "bkt"]).select(
+        "query_id", "vec_id", "q_emb", "embedding"
+    ).dropDuplicates(["query_id", "vec_id"])
     scored = cand.select(
         "query_id",
         "vec_id",
@@ -431,23 +451,27 @@ def embedding_dup_pairs(
     if method == "exact":
         pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     elif method == "lsh":
-        blocked = None
-        for t in range(n_tables):
-            bu = _bucket_udf(dim, n_bits, t)
-            keyed = emb.select("vec_id", "embedding", bu("embedding").alias("bkt"))
-            la = keyed.select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("embedding").alias("emb_a"),
-                "bkt",
-            )
-            lb = keyed.select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("embedding").alias("emb_b"),
-                "bkt",
-            )
-            hit = la.join(lb, "bkt").where(F.col("vec_a") < F.col("vec_b")).drop("bkt")
-            blocked = hit if blocked is None else blocked.unionByName(hit)
-        pairs = blocked.dropDuplicates(["vec_a", "vec_b"])
+        bu = _bucket_all_udf(dim, n_bits, n_tables)
+        keyed = emb.select(
+            "vec_id", "embedding",
+            F.posexplode(bu("embedding")).alias("tbl", "bkt"),
+        )
+        la = keyed.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            "tbl", "bkt",
+        )
+        lb = keyed.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            "tbl", "bkt",
+        )
+        hit = (
+            la.join(lb, ["tbl", "bkt"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .drop("tbl", "bkt")
+        )
+        pairs = hit.dropDuplicates(["vec_a", "vec_b"])
     else:
         raise ValueError(f"unknown method: {method!r}")
     return (

@@ -128,15 +128,23 @@ def minhash_dup_pairs(
     n_bands_hit count orders by similarity evidence."""
     sigs = doc_minhash_signatures(doc_shingles(documents, n=n), k=k)
     r = k // bands
-    banded = None
-    for b in range(bands):
-        cols = [F.col(f"sig_{i}").cast("string") for i in range(b * r, (b + 1) * r)]
-        part = sigs.select(
-            "doc_id",
+    # all bands in ONE pass via explode — the previous per-band union
+    # re-executed the signature subtree (shingle + k-way min aggregate)
+    # once per band per join side; the explode leaves one subtree whose
+    # exchange the self-join's other side reuses
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"sig_{i}").cast("string")
+                for i in range(b * r, (b + 1) * r)
+            ])).alias("band_key"),
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for b in range(bands)
+    ])
+    banded = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
     l, rgt = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -277,15 +285,19 @@ def simhash_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     distance 3 of a 64-bit key must agree exactly on at least one of 4
     16-bit chunks), then verify the true hamming distance."""
     sh = simhash(documents)
-    chunks = None
-    for c in range(4):
-        part = sh.select(
-            "doc_id",
-            "simhash",
+    # one explode pass instead of a 4-way union (which re-ran the simhash
+    # Arrow UDF once per chunk per join side)
+    chunk_structs = F.array(*[
+        F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_key"),
+            F.shiftrightunsigned("simhash", c * 16)
+            .bitwiseAND(F.lit(0xFFFF)).alias("chunk_key"),
         )
-        chunks = part if chunks is None else chunks.unionByName(part)
+        for c in range(4)
+    ])
+    chunks = sh.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("ck")
+    ).select("doc_id", "simhash", "ck.chunk", "ck.chunk_key")
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(

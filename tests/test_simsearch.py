@@ -248,3 +248,32 @@ def test_quantize_embeddings_bounds_and_error(spark):
             assert -127 <= r.q <= 127
             # one-step dequantization error bound
             assert abs(emb[r.i - 1] - r.q * ma / 127) <= ma / 127 + 1e-9
+
+
+def test_bucket_all_udf_matches_per_table_buckets(spark):
+    # the one-pass multi-table bucket UDF must emit, per table t, exactly
+    # the bucket id the original per-table UDF computed — the LSH blocking
+    # (and its DuckDB oracle twin) depend on bit-identical keys
+    from kgpipe.simsearch import _bucket_all_udf, _bucket_udf
+
+    dim, n_bits, n_tables = 16, 8, 4
+    rows = [(i, [((i * 31 + j * 13) % 97 - 48) / 24.0 for j in range(dim)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pyspark.sql import functions as F
+
+    combined = {
+        r.vec_id: r.bks
+        for r in df.select(
+            "vec_id", _bucket_all_udf(dim, n_bits, n_tables)("embedding").alias("bks")
+        ).collect()
+    }
+    for t in range(n_tables):
+        per_table = {
+            r.vec_id: r.bkt
+            for r in df.select(
+                "vec_id", _bucket_udf(dim, n_bits, t)("embedding").alias("bkt")
+            ).collect()
+        }
+        for vid, bkt in per_table.items():
+            assert combined[vid][t] == bkt, (t, vid)
