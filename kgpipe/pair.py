@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from .annotate import annotate_turn
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .schemas import TRIPLE_SCHEMA
-from .score import apply_inversion, get_tlink_instance, tlink_label, tokens_for_mode
+from .score import (
+    TLINK_PAD_LENGTH,
+    apply_inversion,
+    get_tlink_instance,
+    tlink_label,
+    tokens_for_mode,
+)
 
 __all__ = [
     "pair_window",
@@ -57,17 +63,98 @@ def pair_window(
         F.col("annotation_id").alias("m_annotation_id"),
         "win_char_begin", "win_char_end",
     )
+    # the uninverted tlink label is a function of the TIMEX row alone
+    # (normed value vs the turn anchor), so it is computed here on the
+    # timex side — one narrow vectorized UDF over |timexes| rows — and
+    # rides the join, instead of running over the ~5x larger pair set
     t = timexes_f.select(
         "conv_id", "turn_idx",
         F.col("begin").alias("t_begin"), F.col("end").alias("t_end"),
         F.col("tok_begin").alias("t_tok_begin"), F.col("tok_end").alias("t_tok_end"),
         F.col("normed").alias("t_normed"),
         F.col("annotation_id").alias("t_annotation_id"),
+        _tlink_label_udf()("normed", "anchor_date").alias("t_lab0"),
     )
     return m.join(t, ["conv_id", "turn_idx"]).where(
         F.col("t_begin").between(F.col("win_char_begin"), F.col("win_char_end"))
         & F.col("t_end").between(F.col("win_char_begin"), F.col("win_char_end"))
     )
+
+
+def _py_slice(arr, a, b):
+    """Python-style ``arr[a:b]`` (0-based, end-exclusive, clamped) as a
+    Spark slice expression — Spark's slice is 1-based with a non-negative
+    length."""
+    return F.slice(arr, a + F.lit(1), F.greatest(F.lit(0), b - a))
+
+
+def _tlink_instance_col(tokens):
+    """get_tlink_instance as a pure JVM column expression over the turn's
+    token array: identical string algebra (packet sort by begin with the
+    event winning ties — Python's stable sort —, pad clamping, and the
+    reference's end-exclusive final slice), no Python boundary."""
+    e_b, e_e = F.col("m_tok_begin"), F.col("m_tok_end") + F.lit(1)
+    t_b, t_e = F.col("t_tok_begin"), F.col("t_tok_end") + F.lit(1)
+    event_first = e_b <= t_b
+    fb = F.when(event_first, e_b).otherwise(t_b)
+    fe = F.when(event_first, e_e).otherwise(t_e)
+    fo = F.when(event_first, F.lit("<e>")).otherwise(F.lit("<t>"))
+    fc = F.when(event_first, F.lit("</e>")).otherwise(F.lit("</t>"))
+    sb = F.when(event_first, t_b).otherwise(e_b)
+    se = F.when(event_first, t_e).otherwise(e_e)
+    so = F.when(event_first, F.lit("<t>")).otherwise(F.lit("<e>"))
+    sc = F.when(event_first, F.lit("</t>")).otherwise(F.lit("</e>"))
+    pad = F.lit(TLINK_PAD_LENGTH)
+    start = F.greatest(F.lit(0), fb - pad)
+    end_i = F.least(F.size(tokens) - F.lit(1), se + pad)
+    return F.array_join(
+        F.concat(
+            _py_slice(tokens, start, fb), F.array(fo),
+            _py_slice(tokens, fb, fe), F.array(fc),
+            _py_slice(tokens, fe, sb), F.array(so),
+            _py_slice(tokens, sb, se), F.array(sc),
+            _py_slice(tokens, se, end_i),
+        ),
+        " ",
+    )
+
+
+def _tlink_label_udf():
+    """tlink_label over (normed, anchor) as a vectorized UDF: the
+    TimeML-interval parse runs once per DISTINCT (normed, anchor) in the
+    Arrow batch (values repeat heavily — a few hundred distinct anchors
+    over ~1M pairs at sf0.1), exactly the per-distinct memo shape of the
+    event-event scorer."""
+
+    @F.pandas_udf("string")
+    def lab(normed: pd.Series, anchor: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for n, a in zip(normed, anchor):
+            a2 = None if a is None or a != a else a
+            key = (n, a2)
+            v = cache.get(key)
+            if v is None:
+                v = tlink_label(n, a2)
+                cache[key] = v
+            out.append(v)
+        return pd.Series(out)
+
+    return lab
+
+
+_INVERT_MAP_COL = None
+
+
+def _invert_map_col():
+    from .config import LABEL_TO_INVERTED_LABEL
+
+    global _INVERT_MAP_COL
+    if _INVERT_MAP_COL is None:
+        _INVERT_MAP_COL = F.create_map(
+            *[F.lit(x) for kv in LABEL_TO_INVERTED_LABEL.items() for x in kv]
+        )
+    return _INVERT_MAP_COL
 
 
 def tlink_triples_from_pairs(
@@ -82,56 +169,39 @@ def tlink_triples_from_pairs(
     \\x1f-joined, <newline>-substituted token stream (tokens_for_mode
     mode="dtr", precomputed at annotate time).
 
-    Pairs are first collapsed to ONE row per (conv_id, turn_idx) — the
-    groupBy reuses the keyed exchange every upstream stage already
-    established — so the turn's token arrays are shipped through the join
-    exactly once per turn (not once per pair) and ``tokens_for_mode`` runs
-    once per turn inside the Arrow batch instead of once per pair. At p
-    pairs over a t-token turn this cuts the stage from O(p·t) to O(p + t)
-    per turn, which is what made the structured path 2.6x the fused path
-    before.
-    """
-    pair_struct = F.struct(
-        "anchor_date",
-        "m_begin", "m_tok_begin", "m_tok_end", "m_surface", "m_annotation_id",
-        "t_begin", "t_tok_begin", "t_tok_end", "t_normed", "t_annotation_id",
+    Everything here is JVM whole-stage codegen except one narrow
+    ArrowEvalPython for the label (two columns in, one out, per-distinct
+    memoized): the token stream is split ONCE per turn on the toks side,
+    the co-partitioned join attaches the array to each pair, and the
+    instance string is built by a slice/concat/array_join expression
+    (value-identical to get_tlink_instance — pytest-pinned). The previous
+    shape collected pair structs per turn and assembled instances in a
+    row-at-a-time Python loop; moving the string algebra into codegen
+    removed the whole mapInPandas stage (~1.6 s of the structured path at
+    sf0.1, plan: MapInPandas -> none)."""
+    tok_arr = toks.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("tok_stream") == "", F.array().cast("array<string>"))
+        .otherwise(F.split("tok_stream", "\x1f")).alias("toks_arr"),
     )
-    per_turn = pairs.groupBy("conv_id", "turn_idx").agg(
-        F.collect_list(pair_struct).alias("pairs")
+    joined = pairs.join(tok_arr, ["conv_id", "turn_idx"])
+    label = F.when(
+        F.col("t_begin") < F.col("m_begin"),
+        F.element_at(_invert_map_col(), F.col("t_lab0")),
+    ).otherwise(F.col("t_lab0"))
+    out = joined.select(
+        F.col("m_annotation_id").alias("subj"),
+        F.concat(F.lit("tlink:"), label).alias("pred"),
+        F.col("t_annotation_id").alias("obj"),
+        "anchor_date", "conv_id", "turn_idx",
+        F.col("m_surface").alias("subj_text"),
+        F.col("t_normed").alias("obj_text"),
+        _tlink_instance_col(F.col("toks_arr")).alias("instance"),
     )
-    joined = per_turn.join(
-        toks.select("conv_id", "turn_idx", "tok_stream"),
-        ["conv_id", "turn_idx"],
+    # exact schema contract (types included) with the previous shape
+    return out.select(
+        *[F.col(f.name).cast(f.dataType) for f in TRIPLE_SCHEMA.fields]
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k: [] for k in TRIPLE_SCHEMA.fieldNames()}
-            for r in pdf.itertuples(index=False):
-                tokens = r.tok_stream.split("\x1f") if r.tok_stream else []
-                for p in r.pairs:
-                    inst = get_tlink_instance(
-                        (p["m_tok_begin"], p["m_tok_end"] + 1),
-                        (p["t_tok_begin"], p["t_tok_end"] + 1),
-                        tokens,
-                    )
-                    anchor = p["anchor_date"]
-                    anchor = None if pd.isna(anchor) else anchor
-                    label = apply_inversion(
-                        tlink_label(p["t_normed"], anchor), p["t_begin"], p["m_begin"]
-                    )
-                    rows["subj"].append(p["m_annotation_id"])
-                    rows["pred"].append("tlink:" + label)
-                    rows["obj"].append(p["t_annotation_id"])
-                    rows["anchor_date"].append(anchor)
-                    rows["conv_id"].append(r.conv_id)
-                    rows["turn_idx"].append(r.turn_idx)
-                    rows["subj_text"].append(p["m_surface"])
-                    rows["obj_text"].append(p["t_normed"])
-                    rows["instance"].append(inst)
-            yield pd.DataFrame(rows)
-
-    return joined.mapInPandas(gen, schema=TRIPLE_SCHEMA)
 
 
 def nearest_anchor_timex(mentions_f: DataFrame, timexes_f: DataFrame) -> DataFrame:
