@@ -80,8 +80,22 @@ _CFG = DEFAULT_CONFIG
 # shared inputs
 # --------------------------------------------------------------------------
 
+def _spread_small(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan that cannot split (single-row-group
+    parquet + the 4 MB open-cost floor leave the driver tables at 1-2
+    partitions, serializing every downstream narrow stage on 1-2 cores of
+    local[32]). Content-neutral; fires only when the scan yields fewer
+    splits than cores, so a production-scale table (thousands of row
+    groups) passes through untouched with no shuffle."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(3 * cores)
+    return df
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread_small(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _docs_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +115,7 @@ _DOCS_PLUS_SQL = (
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread_small(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _emb_plus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -126,7 +126,11 @@ def minhash_dup_pairs(
     """MinHash+LSH near-duplicate candidates: (doc_a, doc_b, n_bands_hit)
     with doc_a < doc_b. Docs colliding in >=1 band are candidates; the
     n_bands_hit count orders by similarity evidence."""
-    sigs = doc_minhash_signatures(doc_shingles(documents, n=n), k=k)
+    # min() is duplicate-insensitive, so the signatures read the RAW gram
+    # stream — doc_shingles' distinct() added a full shuffle of every gram
+    # and, worse, blocked map-side partial aggregation (the 8 min-aggs now
+    # compress ~50 grams/doc to one row per doc before the exchange)
+    sigs = doc_minhash_signatures(_word_grams(documents, n, clamp=True), k=k)
     r = k // bands
     # all bands in ONE pass via explode — the previous per-band union
     # re-executed the signature subtree (shingle + k-way min aggregate)
