@@ -77,16 +77,21 @@ def lsh_candidate_pairs(
     """Band the signature, self-join per band key -> candidate (a, b) pairs
     with a < b. rows_per_band = k // bands."""
     r = k // bands
-    per_band = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{i}").cast("string") for i in range(b * r, (b + 1) * r)]
-        key = F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        per_band.append(
-            signatures.select(F.col("surface"), key, F.lit(b).alias("band"))
+    # one explode pass, not a per-band union (which re-executed the
+    # signature aggregation subtree once per band per join side)
+    band_structs = F.array(*[
+        F.struct(
+            F.md5(F.concat_ws("|", *[
+                F.col(f"sig_{i}").cast("string")
+                for i in range(b * r, (b + 1) * r)
+            ])).alias("band_key"),
+            F.lit(b).alias("band"),
         )
-    banded = per_band[0]
-    for extra in per_band[1:]:
-        banded = banded.unionByName(extra)
+        for b in range(bands)
+    ])
+    banded = signatures.select(
+        "surface", F.explode(band_structs).alias("bk")
+    ).select("surface", "bk.band_key", "bk.band")
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -27,7 +27,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # 8192-row Arrow batches: A/B at sf0.1 measured 5-15% off the fused/
+        # structured/cross-turn walls vs the old 2048 (fewer boundary
+        # crossings per task); Spark 4's maxBytesPerBatch (default 64 MB)
+        # still caps batch BYTES, so wide binary payloads (multimodal) stay
+        # bounded regardless of the row count here
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "8g"))
