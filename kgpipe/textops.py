@@ -185,7 +185,13 @@ def ngram_jaccard_pairs(
     shingles, so any pair with at least one sub-threshold-frequency shingle
     is found (pytest-property-tested; the driver query runs with the cut
     active and still matches the full-jaccard oracle)."""
-    sh = doc_shingles(documents, n=n)
+    from pyspark import StorageLevel
+
+    # the shingle set feeds sizes, the df-cut, BOTH sides of the candidate
+    # join and BOTH sides of the exact re-count — 6 subtree executions of
+    # the explode+distinct without a persist (one of them eager, for the
+    # hot-shingle log line); pin it once per call
+    sh = doc_shingles(documents, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_shingle_df is None:
         inter = (
