@@ -1478,9 +1478,25 @@ def _bounded_windows(text: str, kind: str) -> List[Tuple[int, int]]:
 # earlier/later+in, digit+in+the) decompose into per-token conditions
 # AND-ed per alternative; per-token results are lru-memoized like the
 # quick keys.
-_AMPM_WORD_RE = re.compile(r"(?<![a-z])[ap]\.?m\.?(?![a-z])")
-_NOON_WORD_RE = re.compile(r"(?<![a-z])(?:noon|midday|midnight)")
+# Per-token conditions are evaluated on the ORIGINAL-case token with the
+# same `re.I` engine the indicators use: `str.lower()` applies FULL case
+# folding (e.g. 'İ' -> 'i' + combining dot) while `re.IGNORECASE` applies
+# SIMPLE per-char folding ('İ' matches pattern 'i'), so a lowered-string
+# prefix test could reject a token the indicator regex accepts — an unsound
+# skip. Same-engine-same-flags makes every condition exactly as permissive
+# as the indicator it guards.
+_AMPM_WORD_RE = re.compile(r"(?<![a-z])[ap]\.?m\.?(?![a-z])", re.I)
+_NOON_WORD_RE = re.compile(r"(?<![a-z])(?:noon|midday|midnight)", re.I)
 _DSLASH_WORD_RE = re.compile(r"\d/\d")
+_IN_START_RE = re.compile(r"in", re.I)        # used via .match -> ^in
+_THE_START_RE = re.compile(r"the", re.I)
+_OR_ANY_RE = re.compile(r"or", re.I)
+_SO_START_RE = re.compile(r"so", re.I)
+_UP_END_RE = re.compile(r"up\Z", re.I)
+_TO_START_RE = re.compile(r"to", re.I)
+_EL_END_RE = re.compile(r"(?:earlier|later)\Z", re.I)
+_PART_END_RE = re.compile(r"part\Z", re.I)
+_OF_START_RE = re.compile(r"of", re.I)
 
 # token-condition ids
 _IT_COLON, _IT_AMPM, _IT_NOON, _IT_DSLASH = 0, 1, 2, 3
@@ -1490,7 +1506,7 @@ _IT_EARLIER_LATER, _IT_PART, _IT_OF = 10, 11, 12
 
 @lru_cache(maxsize=65536)
 def _word_indicator_bits(word: str) -> frozenset:
-    """Indicator token-conditions satisfied by one (lowercased)
+    """Indicator token-conditions satisfied by one ORIGINAL-case
     whitespace token. Exact for the single-token regex conditions; the
     word-piece conditions for multi-word indicators are NECESSARY (never
     miss a true indicator) but may over-fire — over-firing only costs the
@@ -1498,34 +1514,40 @@ def _word_indicator_bits(word: str) -> frozenset:
     bits = []
     if ":" in word:
         bits.append(_IT_COLON)
-    if ("m" in word) and _AMPM_WORD_RE.search(word):
+    if _AMPM_WORD_RE.search(word):
         bits.append(_IT_AMPM)
-    if ("noon" in word or "midday" in word or "midnight" in word) and \
-            _NOON_WORD_RE.search(word):
+    if _NOON_WORD_RE.search(word):
         bits.append(_IT_NOON)
     if "/" in word and _DSLASH_WORD_RE.search(word):
         bits.append(_IT_DSLASH)
-    if word.startswith("in"):
+    if _IN_START_RE.match(word):
         # loose on purpose: "\s+in\s+" needs the exact token but
         # "...\s+in\b" (mod_in_span) also matches "in," / "in." tokens
         bits.append(_IT_IN)
-    if word.startswith("the"):
+    if _THE_START_RE.match(word):
         bits.append(_IT_THE)
-    if "or" in word:
+    if _OR_ANY_RE.search(word):
         bits.append(_IT_OR)
-    if word.startswith("so"):
+    if _SO_START_RE.match(word):
         bits.append(_IT_SO)
-    if word.endswith("up"):
+    if _UP_END_RE.search(word):
         bits.append(_IT_UP)
-    if word.startswith("to"):
+    if _TO_START_RE.match(word):
         bits.append(_IT_TO)
-    if word.endswith("earlier") or word.endswith("later"):
+    if _EL_END_RE.search(word):
         bits.append(_IT_EARLIER_LATER)
-    if word.endswith("part"):
+    if _PART_END_RE.search(word):
         bits.append(_IT_PART)
-    if word.startswith("of"):
+    if _OF_START_RE.match(word):
         bits.append(_IT_OF)
     return frozenset(bits)
+
+
+@lru_cache(maxsize=65536)
+def _word_prefilters(word: str):
+    """(quick-key set, indicator-bit set) of one ORIGINAL-case whitespace
+    token — the fused per-word memo detect_timexes unions per turn."""
+    return _word_quick_keys(word.lower()), _word_indicator_bits(word)
 
 
 def _region_kind_possible(kind: str, bits: frozenset, has_digit: bool) -> bool:
@@ -1572,7 +1594,6 @@ def detect_timexes(text: str):
     therefore lose to a shorter earlier one — patterns whose phrasings
     collide that way carry guards (e.g. past_ref's lookahead).
     """
-    lower = text.lower()
     first_digit = _DIGIT_RE.search(text)
     has_digit = first_digit is not None
     if has_digit:
@@ -1585,14 +1606,21 @@ def detect_timexes(text: str):
     # substring scan — and natural-language word distributions are
     # Zipfian, so the per-word sets cache extremely well (the 172-key
     # scan itself was 25% of per-turn detection cost)
+    # indicator bits are computed on the ORIGINAL-case token (the
+    # conditions carry re.I themselves — see _word_indicator_bits on why
+    # lowered-string tests would be unsound under simple case folding);
+    # one fused per-word memo covers both prefilters, so the lowering and
+    # both probes run only on cache miss
     present = set()
     ind_bits = set()
-    for w in set(lower.split()):
+    for w in set(text.split()):
         if len(w) <= _MAX_CACHED_WORD:
-            present |= _word_quick_keys(w)
-            ind_bits |= _word_indicator_bits(w)
+            qk, ib = _word_prefilters(w)
+            present |= qk
+            ind_bits |= ib
         else:
-            present.update(k for k in _QUICK_SUBSTRINGS if k in w)
+            lw = w.lower()
+            present.update(k for k in _QUICK_SUBSTRINGS if k in lw)
             ind_bits |= _word_indicator_bits.__wrapped__(w)
     candidates = []
     for prio, (kind, pat) in enumerate(TIMEX_PATTERNS):

@@ -1338,10 +1338,9 @@ def test_indicator_word_gate_is_sound(t):
         _word_indicator_bits,
     )
 
-    lower = t.lower()
     has_digit = any(c.isdigit() for c in t)
     bits = set()
-    for w in set(lower.split()):
+    for w in set(t.split()):
         if len(w) <= _MAX_CACHED_WORD:
             bits |= _word_indicator_bits(w)
         else:
@@ -1350,6 +1349,24 @@ def test_indicator_word_gate_is_sound(t):
         if not _region_kind_possible(kind, bits, has_digit):
             hit = ind.search(t)
             assert hit is None, (kind, t, hit)
+
+
+def test_indicator_word_gate_simple_vs_full_case_folding():
+    # re.IGNORECASE uses SIMPLE per-char folding ('İ' matches pattern 'i')
+    # while str.lower() uses FULL folding ('İ' -> 'i' + combining dot); the
+    # gate must be computed with the regex engine, not lowered-string
+    # prefix tests, or "later İn" would skip a scan whose indicator matches
+    from kgpipe.timex import (
+        _REGION_BOUNDED, _region_kind_possible, _word_indicator_bits,
+    )
+
+    t = "later İn the year"
+    ind, _, _ = _REGION_BOUNDED["mod_in_span"]
+    assert ind.search(t) is not None  # the indicator DOES match
+    bits = set()
+    for w in set(t.split()):
+        bits |= _word_indicator_bits(w)
+    assert _region_kind_possible("mod_in_span", bits, has_digit=False)
 
 
 def test_sentence_period_does_not_fuse_clock_with_next_sentence():
