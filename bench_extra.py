@@ -6,7 +6,7 @@ cross-turn / dedup walls, all against the SAME materialized parquet input
 shape bench.py times, each labeled via setJobDescription and computed with
 the noop sink so the numbers are engine cost, not sink cost.
 
-Usage: python bench_extra.py [--stages|--headline]
+Usage: python bench_extra.py   (runs the per-stage sweep)
 """
 
 from __future__ import annotations

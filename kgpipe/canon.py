@@ -76,22 +76,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, self-join per band key -> candidate (a, b) pairs
     with a < b. rows_per_band = k // bands."""
-    r = k // bands
-    # one explode pass, not a per-band union (which re-executed the
-    # signature aggregation subtree once per band per join side)
-    band_structs = F.array(*[
-        F.struct(
-            F.md5(F.concat_ws("|", *[
-                F.col(f"sig_{i}").cast("string")
-                for i in range(b * r, (b + 1) * r)
-            ])).alias("band_key"),
-            F.lit(b).alias("band"),
-        )
-        for b in range(bands)
-    ])
-    banded = signatures.select(
-        "surface", F.explode(band_structs).alias("bk")
-    ).select("surface", "bk.band_key", "bk.band")
+    from .textops import banded_keys
+
+    banded = banded_keys(signatures, "surface", k=k, bands=bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

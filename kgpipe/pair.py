@@ -131,6 +131,14 @@ def _tlink_label_udf():
         cache: dict = {}
         out = []
         for n, a in zip(normed, anchor):
+            if n is None:
+                # unfiltered timex frames carry normed=NULL for
+                # normalization failures; the label stage runs pre-join
+                # now, so tolerate them (the pipeline filters them out
+                # before pairing — F5 — and 'none' matches tlink_label's
+                # unparseable-value arm)
+                out.append("none")
+                continue
             a2 = None if a is None or a != a else a
             key = (n, a2)
             v = cache.get(key)

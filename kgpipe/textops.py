@@ -120,6 +120,31 @@ def doc_minhash_signatures(shingled: DataFrame, k: int = 16) -> DataFrame:
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
+def banded_keys(
+    signatures: DataFrame, id_col: str, *, k: int, bands: int
+) -> DataFrame:
+    """(id, band, band_key) rows from a sig_0..sig_{k-1} signature frame —
+    all bands in ONE explode pass. A per-band union would re-execute the
+    signature subtree (shingle + k-way min aggregate) once per band per
+    join side; the explode leaves one subtree whose exchange a self-join's
+    other side can reuse. Shared by the doc-dedup and the surface-canon
+    LSH paths so the band-key construction cannot diverge."""
+    r = k // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"sig_{i}").cast("string")
+                for i in range(b * r, (b + 1) * r)
+            ])).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return signatures.select(
+        id_col, F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
 def minhash_dup_pairs(
     documents: DataFrame, *, n: int = 3, k: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -131,24 +156,7 @@ def minhash_dup_pairs(
     # and, worse, blocked map-side partial aggregation (the 8 min-aggs now
     # compress ~50 grams/doc to one row per doc before the exchange)
     sigs = doc_minhash_signatures(_word_grams(documents, n, clamp=True), k=k)
-    r = k // bands
-    # all bands in ONE pass via explode — the previous per-band union
-    # re-executed the signature subtree (shingle + k-way min aggregate)
-    # once per band per join side; the explode leaves one subtree whose
-    # exchange the self-join's other side reuses
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[
-                F.col(f"sig_{i}").cast("string")
-                for i in range(b * r, (b + 1) * r)
-            ])).alias("band_key"),
-        )
-        for b in range(bands)
-    ])
-    banded = sigs.select(
-        "doc_id", F.explode(band_structs).alias("bk")
-    ).select("doc_id", "bk.band", "bk.band_key")
+    banded = banded_keys(sigs, "doc_id", k=k, bands=bands)
     l, rgt = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -190,7 +198,10 @@ def ngram_jaccard_pairs(
     # the shingle set feeds sizes, the df-cut, BOTH sides of the candidate
     # join and BOTH sides of the exact re-count — 6 subtree executions of
     # the explode+distinct without a persist (one of them eager, for the
-    # hot-shingle log line); pin it once per call
+    # hot-shingle log line); pin it once per call. The cache entry lives
+    # until the session's next clearCache (bench does this per query) —
+    # long-lived callers invoking this per-corpus should clearCache or
+    # accept one shingle-frame-sized entry per invocation.
     sh = doc_shingles(documents, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_shingle_df is None:

@@ -1321,10 +1321,23 @@ _QUICK_SUBSTRINGS = tuple(sorted(
 # bookkeeping on top of the probe
 _MAX_CACHED_WORD = 24
 
+# str.lower() applies the one unconditional multi-char Unicode lowercase
+# special case ('İ' U+0130 -> 'i' + combining dot) while re.IGNORECASE uses
+# simple per-char folding ('İ' matches pattern 'i') — so a lowered copy of
+# "FRİDAY" does not contain the substring "friday" although the weekday
+# regex matches it. Folding U+0130 to plain 'i' BEFORE lowering makes the
+# substring prefilter exactly as permissive as the re.I patterns it gates.
+_SIMPLE_FOLD = str.maketrans({"İ": "i"})
+
+
+def _fold_lower(s: str) -> str:
+    """Lowercase with re.IGNORECASE-compatible (simple) case folding."""
+    return s.translate(_SIMPLE_FOLD).lower()
+
 
 @lru_cache(maxsize=65536)
 def _word_quick_keys(word: str) -> frozenset:
-    """Quick-key substrings present in one (lowercased) whitespace
+    """Quick-key substrings present in one (fold-lowered) whitespace
     token. Memoized across calls — see the detect_timexes prefilter."""
     return frozenset(k for k in _QUICK_SUBSTRINGS if k in word)
 
@@ -1547,7 +1560,7 @@ def _word_indicator_bits(word: str) -> frozenset:
 def _word_prefilters(word: str):
     """(quick-key set, indicator-bit set) of one ORIGINAL-case whitespace
     token — the fused per-word memo detect_timexes unions per turn."""
-    return _word_quick_keys(word.lower()), _word_indicator_bits(word)
+    return _word_quick_keys(_fold_lower(word)), _word_indicator_bits(word)
 
 
 def _region_kind_possible(kind: str, bits: frozenset, has_digit: bool) -> bool:
@@ -1619,7 +1632,7 @@ def detect_timexes(text: str):
             present |= qk
             ind_bits |= ib
         else:
-            lw = w.lower()
+            lw = _fold_lower(w)
             present.update(k for k in _QUICK_SUBSTRINGS if k in lw)
             ind_bits |= _word_indicator_bits.__wrapped__(w)
     candidates = []

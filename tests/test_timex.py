@@ -1311,14 +1311,29 @@ def test_word_memoized_prefilter_matches_whole_text_scan(t):
     # whole-text substring scan — sound because every key is single-word
     # (module invariant); fuzz includes unicode whose lower() can change
     # length
-    from kgpipe.timex import _QUICK_SUBSTRINGS, _word_quick_keys
+    from kgpipe.timex import _QUICK_SUBSTRINGS, _fold_lower, _word_quick_keys
 
-    lower = t.lower()
+    lower = _fold_lower(t)
     full = {k for k in _QUICK_SUBSTRINGS if k in lower}
     per_word = set()
     for w in set(lower.split()):
         per_word |= _word_quick_keys(w)
     assert full == per_word
+
+
+def test_quick_key_gate_simple_vs_full_case_folding():
+    # same folding class as the indicator gate: 'FRİDAY' (Turkish dotted
+    # capital I) matches the weekday regex under re.IGNORECASE, but
+    # 'FRİDAY'.lower() is 'fri̇day' (combining dot) which does NOT contain
+    # the 'friday' quick key — the fold-lowered prefilter must keep the
+    # pattern scan alive
+    from kgpipe.timex import detect_timexes
+
+    spans = detect_timexes("see you next FRİDAY")
+    assert any(s["kind"] in ("partial_rel_unit", "rel_weekday", "weekday")
+               or "FRİDAY" in s["surface"] for s in spans), spans
+    # and the plain-ASCII reading is unchanged
+    assert detect_timexes("see you next FRIDAY")
 
 
 @settings(max_examples=300, deadline=None)

@@ -27,14 +27,18 @@ spark = get_spark(
 import __spark_entry__ as E  # noqa: E402
 
 base = "/tmp/kg_exp_layout"
-p17 = base + "/asis"
+p17 = base + "/few17"
 pN = base + f"/rr{NPART}"
 if not os.path.exists(p17 + "/_SUCCESS"):
-    derive_transcripts(spark, SF).write.mode("overwrite").parquet(p17)
-if not os.path.exists(pN + "/_SUCCESS"):
-    derive_transcripts(spark, SF).repartition(NPART).write.mode(
+    # derive_transcripts now repartitions itself (the fix this experiment
+    # motivated), so the few-file "before" layout is reproduced explicitly
+    # with coalesce(17) — the file count the AQE-coalesced join output used
+    # to produce at sf0.1
+    derive_transcripts(spark, SF).coalesce(17).write.mode(
         "overwrite"
-    ).parquet(pN)
+    ).parquet(p17)
+if not os.path.exists(pN + "/_SUCCESS"):
+    derive_transcripts(spark, SF).write.mode("overwrite").parquet(pN)
 
 
 def timed(label, build):
