@@ -1352,6 +1352,12 @@ _DIGIT_BOUNDED = {
     # 1 word left, trailing "s" inside the +4-char right margin;
     # "March 5(th)": 1 word left, ordinal suffix inside the right margin
     "season_year", "decade", "month_day",
+    # "friday(,) march 5(th)(, 2021)" / "friday 3/5/2021" / "friday
+    # 2021-03-05": every alternative requires a digit; max reach left of
+    # the first digit is month word + weekday word = 2 whitespace-words
+    # (the optional comma rides the weekday token), and every match ends
+    # on \d or an ordinal suffix inside the +4-char right margin
+    "weekday_date",
 }
 
 
@@ -1436,8 +1442,11 @@ _REGION_BOUNDED: dict = {
     # worded clock: "<digit> in the" (the tod word follows inside the
     # window)
     "date_at_time_word": (re.compile(r"\d\s+in\s+the\b", re.I), 8, 10),
-    # proper fraction core
-    "frac_slash": (re.compile(r"\d/\d"), 4, 5),
+    # proper fraction core WITH its leading integer: every frac_slash
+    # match contains "<int> <num>/<den>", and requiring the digit-word
+    # adjacency in the indicator keeps plain slash DATES ("on 3/5/2021",
+    # planted on most turns) from opening windows at all
+    "frac_slash": (re.compile(r"\d\s+\d{1,2}/\d"), 4, 5),
     # "or so" / "up to" connectives. The right margin must cover the
     # up-to branch's FULL reach incl. the trailing (?!ago|earlier)
     # lookahead — "up to a couple of weeks ago" is 6 words past the
@@ -1501,15 +1510,23 @@ def _bounded_windows(text: str, kind: str) -> List[Tuple[int, int]]:
 _AMPM_WORD_RE = re.compile(r"(?<![a-z])[ap]\.?m\.?(?![a-z])", re.I)
 _NOON_WORD_RE = re.compile(r"(?<![a-z])(?:noon|midday|midnight)", re.I)
 _DSLASH_WORD_RE = re.compile(r"\d/\d")
-_IN_START_RE = re.compile(r"in", re.I)        # used via .match -> ^in
-_THE_START_RE = re.compile(r"the", re.I)
-_OR_ANY_RE = re.compile(r"or", re.I)
-_SO_START_RE = re.compile(r"so", re.I)
-_UP_END_RE = re.compile(r"up\Z", re.I)
-_TO_START_RE = re.compile(r"to", re.I)
-_EL_END_RE = re.compile(r"(?:earlier|later)\Z", re.I)
-_PART_END_RE = re.compile(r"part\Z", re.I)
-_OF_START_RE = re.compile(r"of", re.I)
+# Each condition mirrors the indicator's \b at token level exactly: a
+# word-boundary inside the text is, at the token edge, "start/end of
+# token" (the neighbor is whitespace) and, inside a token, "adjacent to a
+# non-word char" — so e.g. "for" no longer satisfies the "or"-final
+# condition ('f' is a word char, \bor cannot match there) while "-or"
+# and the bare token "or" still do. Necessary conditions stay necessary;
+# they just stop over-firing on everyday vocabulary ("some", "today",
+# "group", "for"), which is most of what the gate exists to skip.
+_IN_START_RE = re.compile(r"in(?:\Z|\W)", re.I)    # used via .match
+_THE_START_RE = re.compile(r"the(?:\Z|\W)", re.I)
+_OR_END_RE = re.compile(r"(?:\A|\W)or\Z", re.I)
+_SO_START_RE = re.compile(r"so(?:\Z|\W)", re.I)
+_UP_END_RE = re.compile(r"(?:\A|\W)up\Z", re.I)
+_TO_START_RE = re.compile(r"to(?:\Z|\W)", re.I)
+_EL_END_RE = re.compile(r"(?:\A|\W)(?:earlier|later)\Z", re.I)
+_PART_END_RE = re.compile(r"(?:\A|\W)part\Z", re.I)
+_OF_START_RE = re.compile(r"of(?:\Z|\W)", re.I)
 
 # token-condition ids
 _IT_COLON, _IT_AMPM, _IT_NOON, _IT_DSLASH = 0, 1, 2, 3
@@ -1539,7 +1556,7 @@ def _word_indicator_bits(word: str) -> frozenset:
         bits.append(_IT_IN)
     if _THE_START_RE.match(word):
         bits.append(_IT_THE)
-    if _OR_ANY_RE.search(word):
+    if _OR_END_RE.search(word):
         bits.append(_IT_OR)
     if _SO_START_RE.match(word):
         bits.append(_IT_SO)

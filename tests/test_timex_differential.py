@@ -48,6 +48,11 @@ _WORDS = [
     "week", "of", "every", "weekly", "morning", "night", "tonight",
     "christmas", "thanksgiving", "march", "5th", "29",
     "pm", "am", "3", "10:30", "day", "before", "after", "decades",
+    # round-7 gate stress: the word-level indicator conditions for the
+    # region-bounded kinds (or-so/up-to connectives, proper fractions,
+    # mod-in-span words, worded clocks) and their everyday near-misses
+    "or", "so", "up", "to", "1/2", "2", "part", "earlier", "later",
+    "noon", "for", "some", "today", "group", "into", "p.m.", "weeks",
 ]
 _SEPS = [" ", "  ", " \n ", "\t", "   "]
 
