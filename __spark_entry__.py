@@ -114,8 +114,14 @@ _DOCS_PLUS_SQL = (
 )
 
 
-def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread_small(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+def _embeddings(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """``spread=False`` skips the small-scan repartition for consumers
+    whose per-row work is trivial (the 10k-row brute-force cross join):
+    there the added exchange costs more than the parallelism buys."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread_small(df) if spread else df
 
 
 def _emb_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,7 +1009,7 @@ def _q_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: JVM higher-order functions (zip_with/aggregate)
     for the dot product, window row_number for top-k. Embeddings cast to
     double so the left-fold sum is bit-identical to the DuckDB list_reduce."""
-    emb = _embeddings(spark, sf_dir).select(
+    emb = _embeddings(spark, sf_dir, spread=False).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = emb.where(F.col("vec_id") < 5).select(
